@@ -1,0 +1,18 @@
+"""dataguards_ray — a Ray-Data-native webtext quality-filter engine.
+
+A from-scratch rebuild of the capability set of ``visenger/DataGuards``
+(reference checkout empty — see SURVEY.md §0; normative spec is
+BASELINE.json:6/14/15): a declarative data-quality rule DSL (conditional
+functional dependencies, denial constraints, regex/range predicates)
+compiled into vectorized ``map_batches`` stages over zero-copy Arrow,
+chained with language-ID, n-gram perplexity scoring, Gopher/C4-style
+heuristic rules and regex PII/toxicity scrubbing, over Parquet-backed
+``ray.data.Dataset``s.
+
+Library code NEVER calls ``ray.init()`` / ``ray.shutdown()`` — sessions
+are owned by ``bench.py``, CLI entry points and the test fixture only.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
