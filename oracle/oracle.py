@@ -1,0 +1,177 @@
+"""Scalar single-threaded oracle for the quality-filter pipeline (SURVEY §5.1).
+
+Plays the role of the absent reference implementation: a deliberately
+simple sequential pass over a pages table producing golden per-url labels
+(keep / drop_rule / rule_hits / lang_id / ppl / byte-exact text_scrubbed),
+dedup decisions and corpus stats.  The distributed Ray pipeline must
+reproduce these EXACTLY at any parallelism (keep/drop F1 target 1.0,
+scrub byte-identity 100% — BASELINE.md targets).
+
+Shares only the frozen per-doc semantics with the pipeline (spec.py,
+textproc.py, measures.py, model kernels — see measures.py docstring);
+all *orchestration* here (url-dedup winners, text-dedup winners, stats
+accumulation) is independent scalar code using plain dicts.
+
+Frozen pipeline-level semantics (E1, SURVEY §3):
+ 1. url-dedup: one winner per url — max warc_ts, tie → min raw digest.
+ 2. per-winner annotation: extract (if text null) → normalize → langid →
+    perplexity(lang_id) → measures → scrub → rules → keep/drop_rule.
+ 3. exact text-dedup among KEPT rows: one winner per text_clean digest —
+    max warc_ts, tie → min url.  `dedup_keep` = kept AND winner.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import os
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dataguards_ray import langid, measures, perplexity, spec, textproc  # noqa: E402
+
+
+def raw_digest(text: str | None, html: bytes | None) -> str:
+    data = text.encode("utf-8") if text is not None else (html or b"")
+    return hashlib.blake2b(data, digest_size=16).hexdigest()
+
+
+def clean_digest(text_clean: str) -> str:
+    return hashlib.blake2b(text_clean.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
+    """Sequential golden run. Returns dict with 'golden' (pa.Table, one row
+    per distinct url), 'rule_drops', 'lang_retention', 'survivor_urls'."""
+    W = langid.load_model() if models_dir is None else langid.load_model(
+        os.path.join(models_dir, "langid.npz"))
+    lms = perplexity.load_models() if models_dir is None else perplexity.load_models(models_dir)
+
+    rows = table.to_pylist()
+
+    # -- 1. url dedup (newest wins; tie -> min raw digest) ------------------
+    best: dict[str, dict] = {}
+    for r in rows:
+        ts = r["warc_ts"]
+        key = r["url"]
+        rd = raw_digest(r["text"], r["html"])
+        cur = best.get(key)
+        # higher ts wins; equal ts -> smaller digest wins
+        if cur is None or (ts, _neg(rd)) > (cur["warc_ts"], _neg(cur["_rd"])):
+            r = dict(r)
+            r["_rd"] = rd
+            best[key] = r
+
+    # -- 2. per-url annotation ---------------------------------------------
+    golden: list[dict] = []
+    for url in best:  # dict order = first-seen; output table order is irrelevant
+        r = best[url]
+        text = r["text"]
+        if text is None and r["html"] is not None:
+            text = textproc.extract_text_one(r["html"])
+        valid = r["url"] is not None and text is not None
+        text_clean = textproc.normalize_text_one(text) if text is not None else ""
+        lang_id, lang_score = langid.score_one(text_clean, W)
+        tokens = spec.lm_tokens(text_clean)
+        if lang_id in lms:
+            ppl = perplexity.ppl_one(tokens, lms[lang_id])
+        else:
+            ppl = float(spec.PPL_EMPTY_DOC)
+        m = measures.doc_measures(text_clean)
+        scrubbed, pii_n, tox_n = spec.scrub_text(text_clean)
+        hits = measures.evaluate_rules(
+            m, valid=valid, bad_marker=measures.has_bad_marker(text_clean),
+            lang_id=lang_id, lang_score=lang_score, ppl=ppl, pii_count=pii_n,
+        )
+        golden.append(
+            {
+                "url": url,
+                "warc_ts": r["warc_ts"],
+                "keep": not hits,
+                "drop_rule": hits[0] if hits else None,
+                "rule_hits": hits,
+                "lang_id": lang_id,
+                "lang_score": lang_score,
+                "ppl": ppl,
+                "text_scrubbed": scrubbed,
+                "scrub_count": pii_n + tox_n,
+                "scrubbed_sha256": hashlib.sha256(scrubbed.encode()).hexdigest(),
+                "digest": clean_digest(text_clean),
+            }
+        )
+
+    # -- 3. exact text dedup among kept ------------------------------------
+    dwin: dict[str, dict] = {}
+    for g in golden:
+        if not g["keep"]:
+            continue
+        cur = dwin.get(g["digest"])
+        if cur is None or (g["warc_ts"], _neg(g["url"])) > (cur["warc_ts"], _neg(cur["url"])):
+            dwin[g["digest"]] = g
+    survivors = {id(g) for g in dwin.values()}
+    for g in golden:
+        g["dedup_keep"] = g["keep"] and id(g) in survivors
+
+    # -- 4. stats ------------------------------------------------------------
+    rule_drops: dict[str, int] = {}
+    lang_tot: dict[str, int] = {}
+    lang_kept: dict[str, int] = {}
+    for g in golden:
+        for h in g["rule_hits"]:
+            rule_drops[h] = rule_drops.get(h, 0) + 1
+        lang_tot[g["lang_id"]] = lang_tot.get(g["lang_id"], 0) + 1
+        if g["keep"]:
+            lang_kept[g["lang_id"]] = lang_kept.get(g["lang_id"], 0) + 1
+    lang_retention = {
+        lang: {
+            "total": lang_tot[lang],
+            "kept": lang_kept.get(lang, 0),
+            "retention": lang_kept.get(lang, 0) / lang_tot[lang],
+        }
+        for lang in lang_tot
+    }
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("keep", pa.bool_()),
+            ("drop_rule", pa.string()),
+            ("rule_hits", pa.list_(pa.string())),
+            ("lang_id", pa.string()),
+            ("lang_score", pa.float32()),
+            ("ppl", pa.float32()),
+            ("text_scrubbed", pa.string()),
+            ("scrub_count", pa.int32()),
+            ("scrubbed_sha256", pa.string()),
+            ("digest", pa.string()),
+            ("dedup_keep", pa.bool_()),
+        ]
+    )
+    golden_tbl = pa.Table.from_pylist(golden, schema=schema)
+    return {
+        "golden": golden_tbl,
+        "rule_drops": rule_drops,
+        "lang_retention": lang_retention,
+        "survivor_urls": sorted(g["url"] for g in golden if g["dedup_keep"]),
+    }
+
+
+class _neg:
+    """Order-reversing wrapper so 'min digest/url wins' composes with max()."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: str):
+        self.v = v
+
+    def __lt__(self, other: "_neg") -> bool:
+        return self.v > other.v
+
+    def __gt__(self, other: "_neg") -> bool:
+        return self.v < other.v
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _neg) and self.v == other.v
