@@ -1,0 +1,118 @@
+"""Stateful annotation stages (SURVEY §2.4 A1–A4): actor-pool classes for
+``ds.map_batches(Cls, concurrency=N, batch_format="pyarrow")``.
+
+Model weights / LM tables / compiled regexes load ONCE per actor in
+``__init__``; ``__call__`` does per-batch work.  Scoring kernels are the
+same functions the scalar oracle calls (langid.score_batch /
+perplexity.ppl_batch) so annotations are bit-identical at any
+parallelism or batch composition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import langid, measures, perplexity, spec
+
+
+class LangIdStage:
+    """A1: + (lang_id, lang_score)."""
+
+    def __init__(self, models_dir: str | None = None):
+        self.W = (
+            langid.load_model()
+            if models_dir is None
+            else langid.load_model(f"{models_dir}/langid.npz")
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text_clean").to_pylist()
+        langs, scores = langid.score_batch(texts, self.W)
+        return batch.append_column("lang_id", pa.array(langs, type=pa.string())).append_column(
+            "lang_score", pa.array(scores, type=pa.float32())
+        )
+
+
+class PerplexityStage:
+    """A2: + ppl, scored with the LM of the row's OWN lang_id (CCNet §4.3).
+
+    Rows whose lang_id has no LM (e.g. 'und') get spec.PPL_EMPTY_DOC —
+    they are dropped by lang.confidence anyway.
+    """
+
+    def __init__(self, models_dir: str | None = None):
+        self.lms = perplexity.load_models() if models_dir is None else perplexity.load_models(models_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text_clean").to_pylist()
+        langs = batch.column("lang_id").to_pylist()
+        n = len(texts)
+        ppl = np.full(n, spec.PPL_EMPTY_DOC, dtype=np.float32)
+        by_lang: dict[str, list[int]] = {}
+        for i, lg in enumerate(langs):
+            if lg in self.lms:
+                by_lang.setdefault(lg, []).append(i)
+        for lg, idxs in by_lang.items():
+            toks = [spec.lm_tokens(texts[i]) for i in idxs]
+            ppl[np.array(idxs)] = perplexity.ppl_batch(toks, self.lms[lg])
+        return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+
+
+class ScoreStage:
+    """A3/A4 + §2.9 + R7 fused: quality measures, scrub, digest,
+    rule evaluation → (keep, drop_rule, rule_hits, text_scrubbed, …).
+
+    One fused per-doc pass (compiled-regex scans) — the scrub regex and
+    rule thresholds come from the frozen spec; rule evaluation calls the
+    same measures.evaluate_rules as the oracle.
+    """
+
+    def __init__(self):
+        self.scrub_re = spec.SCRUB_RE  # compiled at import; pinned here per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text_clean").to_pylist()
+        valid = batch.column("valid").to_pylist()
+        langs = batch.column("lang_id").to_pylist()
+        scores = batch.column("lang_score").to_pylist()
+        ppls = batch.column("ppl").to_pylist()
+        n = len(texts)
+
+        keep = np.zeros(n, dtype=bool)
+        drop_rule: list[str | None] = [None] * n
+        rule_hits: list[list[str]] = [[]] * n
+        scrubbed: list[str] = [""] * n
+        scrub_count = np.zeros(n, dtype=np.int32)
+        digests: list[str] = [""] * n
+
+        for i in range(n):
+            t = texts[i]
+            m = measures.doc_measures(t)
+            sc, pii_n, tox_n = spec.scrub_text(t)
+            hits = measures.evaluate_rules(
+                m,
+                valid=bool(valid[i]),
+                bad_marker=measures.has_bad_marker(t),
+                lang_id=langs[i],
+                lang_score=scores[i],
+                ppl=ppls[i],
+                pii_count=pii_n,
+            )
+            keep[i] = not hits
+            drop_rule[i] = hits[0] if hits else None
+            rule_hits[i] = hits
+            scrubbed[i] = sc
+            scrub_count[i] = pii_n + tox_n
+            digests[i] = hashlib.blake2b(t.encode("utf-8"), digest_size=16).hexdigest()
+
+        return (
+            batch.append_column("keep", pa.array(keep))
+            .append_column("drop_rule", pa.array(drop_rule, type=pa.string()))
+            .append_column("rule_hits", pa.array(rule_hits, type=pa.list_(pa.string())))
+            .append_column("text_scrubbed", pa.array(scrubbed, type=pa.string()))
+            .append_column("scrub_count", pa.array(scrub_count, type=pa.int32()))
+            .append_column("digest", pa.array(digests, type=pa.string()))
+        )
