@@ -1,12 +1,20 @@
 """Sources / sinks (SURVEY §2.1): schema-validated Parquet reader,
-partition-deterministic resumable writer, lineage manifests.
+two-phase partition-deterministic resumable writer, lineage manifests.
 
-Resumable layout (SURVEY §3 E3, BASELINE.json:6 "resumes from checkpoint"):
-one data file per deterministic ``part_id`` (``part-{pid:05d}.parquet``,
-written atomically: tmp file + rename) plus one JSON lineage manifest per
-partition under ``_lineage/``.  A rerun scans the manifests, skips every
-finished partition BEFORE any heavy compute (part_id = fnv1a64(url) % P
-is assigned in the prepare stage), and processes only the remainder.
+Resumable layout (SURVEY §3 E3, BASELINE.json:6 "resumes from checkpoint"),
+one deterministic ``part_id = fnv1a64(url) % P`` per row (assigned in the
+prepare stage so a resume can skip finished partitions BEFORE any heavy
+compute):
+
+  out_dir/
+    kept-{pid:05d}.parquet    phase 1: annotated KEPT rows (pre-dedup)
+    part-{pid:05d}.parquet    phase 2: final survivors (post text-dedup)
+    _lineage/part-{pid:05d}.json   manifest: stage "annotated" → "final"
+
+Every file is written atomically (tmp + os.replace).  Phase 2 (exact
+text-dedup) only starts once phase 1 holds for ALL partitions; both
+phases are deterministic functions of the input corpus, so a crashed run
+resumed later converges to byte-identical output (tests/test_e2e.py).
 """
 
 from __future__ import annotations
@@ -20,10 +28,9 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data import Dataset
 
-from . import spec
 from .schema import PAGES_SCHEMA, validate_schema
 
-# Columns of the filtered-corpus output files.
+# Columns persisted for kept rows (phase 1) and final output (phase 2).
 OUTPUT_COLUMNS = [
     "url", "warc_ts", "lang", "lang_id", "lang_score", "ppl",
     "text_scrubbed", "scrub_count", "digest", "part_id",
@@ -45,80 +52,124 @@ def read_table(sf_dir: str, name: str, *, columns: list[str] | None = None) -> D
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
-def _write_partition(group: pa.Table, out_dir: str) -> pa.Table:
-    """Write one part_id's survivors + lineage manifest. Runs inside
-    ``groupby('part_id').map_groups`` — each partition is one atomic file."""
-    pid = int(group.column("part_id")[0].as_py())
-    kept_mask = group.column("dedup_keep")
-    kept = group.filter(kept_mask)
-    n_in = group.num_rows
-    n_kept = kept.num_rows
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    tmp = os.path.join(
+        os.path.dirname(path), f".tmp-{os.path.basename(path)}-{uuid.uuid4().hex}"
+    )
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
+
+def _atomic_write_json(obj: dict, path: str) -> None:
+    tmp = os.path.join(
+        os.path.dirname(path), f".tmp-{os.path.basename(path)}-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "_lineage", f"part-{pid:05d}.json")
+
+
+def kept_file(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"kept-{pid:05d}.parquet")
+
+
+def final_file(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}.parquet")
+
+
+def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
+    """Phase 1 writer — runs inside groupby('part_id').map_groups.
+
+    Writes the partition's kept rows (pre-dedup) + an 'annotated'
+    manifest with input/rule counters.  Returns a one-row summary table.
+    """
+    pid = int(group.column("part_id")[0].as_py())
+    kept = group.filter(group.column("keep"))
     rule_counts: dict[str, int] = {}
     for hits in group.column("rule_hits").to_pylist():
         for h in hits:
             rule_counts[h] = rule_counts.get(h, 0) + 1
 
-    out_file = ""
-    if n_kept:
-        out_file = f"part-{pid:05d}.parquet"
-        tmp = os.path.join(out_dir, f".tmp-{out_file}-{uuid.uuid4().hex}")
-        pq.write_table(kept.select(OUTPUT_COLUMNS), tmp)
-        os.replace(tmp, os.path.join(out_dir, out_file))
+    kf = ""
+    if kept.num_rows:
+        kf = f"kept-{pid:05d}.parquet"
+        _atomic_write_table(kept.select(OUTPUT_COLUMNS), os.path.join(out_dir, kf))
 
     manifest = {
         "part_id": pid,
-        "input_rows": n_in,
-        "kept_rows": n_kept,
-        "dropped_rows": n_in - n_kept,
+        "stage": "annotated",
+        "input_rows": group.num_rows,
+        "kept_pre_dedup": kept.num_rows,
         "rule_counts": rule_counts,
-        "output_file": out_file,
+        "kept_file": kf,
     }
-    lin_dir = os.path.join(out_dir, "_lineage")
-    tmpm = os.path.join(lin_dir, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
-    with open(tmpm, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmpm, os.path.join(lin_dir, f"part-{pid:05d}.json"))
-
+    _atomic_write_json(manifest, _manifest_path(out_dir, pid))
     return pa.table(
         {
             "part_id": pa.array([pid], type=pa.int32()),
-            "input_rows": pa.array([n_in], type=pa.int64()),
-            "kept_rows": pa.array([n_kept], type=pa.int64()),
-            "dropped_rows": pa.array([n_in - n_kept], type=pa.int64()),
-            "rule_counts": pa.array(
-                [[{"rule": r, "n": n} for r, n in sorted(rule_counts.items())]],
-                type=pa.list_(pa.struct([("rule", pa.string()), ("n", pa.int64())])),
-            ),
-            "output_file": pa.array([out_file], type=pa.string()),
+            "input_rows": pa.array([group.num_rows], type=pa.int64()),
+            "kept_pre_dedup": pa.array([kept.num_rows], type=pa.int64()),
         }
     )
 
 
-def write_filtered(ds: Dataset, out_dir: str) -> Dataset:
-    """S3+S4: groupby(part_id) → one atomic file + manifest per partition.
-    Returns the lineage Dataset (one row per partition present in `ds`)."""
-    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
-    return ds.groupby("part_id").map_groups(
-        lambda g: _write_partition(g, out_dir), batch_format="pyarrow"
+def finalize_partition(pid: int, out_dir: str, winners: dict[str, str]) -> dict:
+    """Phase 2 — pure per-partition task: drop text-dedup losers from the
+    kept file, write the final survivor file, upgrade the manifest."""
+    from .steps.dedup import rank_expr  # local import: keep io deps minimal
+
+    with open(_manifest_path(out_dir, pid)) as f:
+        manifest = json.load(f)
+    n_final = 0
+    out_f = ""
+    if manifest["kept_file"]:
+        t = pq.read_table(os.path.join(out_dir, manifest["kept_file"]))
+        if winners:
+            ranks = rank_expr(t.column("warc_ts"), t.column("url")).to_pylist()
+            digests = t.column("digest").to_pylist()
+            mask = [d not in winners or winners[d] == r for d, r in zip(digests, ranks)]
+            t = t.filter(pa.array(mask, type=pa.bool_()))
+        n_final = t.num_rows
+        if n_final:
+            out_f = f"part-{pid:05d}.parquet"
+            _atomic_write_table(t, os.path.join(out_dir, out_f))
+    manifest.update(
+        stage="final",
+        kept_rows=n_final,
+        dropped_rows=manifest["input_rows"] - n_final,
+        output_file=out_f,
     )
+    _atomic_write_json(manifest, _manifest_path(out_dir, pid))
+    return manifest
 
 
-def done_partitions(out_dir: str) -> set[int]:
-    """part_ids with a manifest AND (if any rows were kept) their data file."""
+def partitions_by_stage(out_dir: str) -> dict[str, set[int]]:
+    """{'annotated': pids, 'final': pids} — manifests whose referenced data
+    files actually exist (a manifest without its file is not done)."""
     lin_dir = os.path.join(out_dir, "_lineage")
-    done: set[int] = set()
+    out: dict[str, set[int]] = {"annotated": set(), "final": set()}
     if not os.path.isdir(lin_dir):
-        return done
+        return out
     for name in os.listdir(lin_dir):
         if not (name.startswith("part-") and name.endswith(".json")):
             continue
         with open(os.path.join(lin_dir, name)) as f:
             m = json.load(f)
-        if m["output_file"] and not os.path.exists(os.path.join(out_dir, m["output_file"])):
-            continue  # manifest without data → not done
-        done.add(int(m["part_id"]))
-    return done
+        pid = int(m["part_id"])
+        if m["kept_file"] and not os.path.exists(os.path.join(out_dir, m["kept_file"])):
+            continue
+        out["annotated"].add(pid)
+        if m["stage"] == "final":
+            if m["output_file"] and not os.path.exists(
+                os.path.join(out_dir, m["output_file"])
+            ):
+                continue
+            out["final"].add(pid)
+    return out
 
 
 def read_lineage(out_dir: str) -> list[dict]:
@@ -131,11 +182,25 @@ def read_lineage(out_dir: str) -> list[dict]:
     return out
 
 
-def read_filtered(out_dir: str) -> Dataset:
-    """Read back a finished run's survivor corpus."""
+def _read_parts(out_dir: str, prefix: str) -> Dataset:
     files = [
         os.path.join(out_dir, n)
         for n in sorted(os.listdir(out_dir))
-        if n.startswith("part-") and n.endswith(".parquet")
+        if n.startswith(prefix) and n.endswith(".parquet")
     ]
     return ray.data.read_parquet(files)
+
+
+def read_filtered(out_dir: str) -> Dataset:
+    """Read back a finished run's survivor corpus."""
+    return _read_parts(out_dir, "part-")
+
+
+def read_kept(out_dir: str, *, columns: list[str] | None = None) -> Dataset:
+    """Read back phase-1 kept rows (annotated, pre-dedup)."""
+    files = [
+        os.path.join(out_dir, n)
+        for n in sorted(os.listdir(out_dir))
+        if n.startswith("kept-") and n.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(files, columns=columns)

@@ -1,17 +1,28 @@
 """Flagship quality-filter pipeline (SURVEY §3 E1) + step registry (§2.10).
 
-    read_pages → prepare (extract/normalize, part_id, drop html)
-      → url-dedup (newest wins; collision-only shuffle)
-      → LangIdStage (actor pool) → PerplexityStage (actor pool)
-      → ScoreStage (actor pool: measures + scrub + rules + keep)
-      → flag_text_dedup (collision-only shuffle on digest)
-      [→ write_filtered: groupby(part_id) → atomic per-partition files
-         + lineage manifests]
+    thin pass A (url, warc_ts only, column-pruned read)
+        → url-dup winners broadcast                       [no shuffle]
+    main chain (single linear streaming pass):
+      read_pages → prepare (extract/normalize, part_id, drop html)
+        → url-dedup filter (vectorized, broadcast winners)
+        → LangIdStage → PerplexityStage → ScoreStage      [actor pools]
+        → phase-1 write: groupby(part_id) → kept-{pid}.parquet
+          + 'annotated' lineage manifest                  [one all-to-all]
+    thin pass B (digest, warc_ts, url of kept rows, column-pruned)
+        → text-dedup winners broadcast                    [tiny groupby]
+    finalize: Dataset over part_ids → per-partition task rewrites
+        kept → part-{pid}.parquet, upgrades manifest      [no shuffle]
 
-Everything is lazy/streaming: no stage materializes the corpus; the only
-all-to-all exchanges are the two collision-set shuffles and the
-final partition-write groupby.  Resume (E3) diffs lineage manifests and
-filters finished part_ids out right after `prepare`.
+Everything streams; the only all-to-all on corpus-sized data is the
+partition-write groupby.  Dedup collision resolution happens on thin
+metadata (SURVEY §4 skew/scale table; see steps/dedup.py for the
+10^12-doc scale notes).  Resume (E3) skips partitions whose manifests
+are already at the required stage; both phases are deterministic
+functions of the input, so resumed output is byte-identical.
+
+``annotate()`` is the in-memory variant for tests / queries(): same
+semantics, but the scored dataset is materialized once (test-scale
+convenience) so text-dedup winners don't re-execute the chain.
 
 Library code never calls ray.init() (driver contract).
 """
@@ -25,6 +36,7 @@ from typing import Callable, Protocol
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data
 from ray.data import Dataset
 
 from . import io as dg_io
@@ -83,15 +95,6 @@ class PrepareStep:
         )
 
 
-@register_step("url_dedup")
-@dataclass
-class UrlDedupStep:
-    def apply(self, ds: Dataset) -> Dataset:
-        return dedup_mod.dedup_by_key(
-            ds, "url", [("warc_ts", "descending"), ("raw_digest", "ascending")]
-        )
-
-
 @register_step("langid")
 @dataclass
 class LangIdStep:
@@ -137,16 +140,9 @@ class ScoreStep:
         )
 
 
-@register_step("text_dedup")
-@dataclass
-class TextDedupStep:
-    def apply(self, ds: Dataset) -> Dataset:
-        return dedup_mod.flag_text_dedup(ds)
-
-
 @dataclass
 class FilterPipeline:
-    """E1 builder. ``steps`` is the frozen default chain unless overridden."""
+    """E1 builder.  ``steps`` is the frozen default chain unless overridden."""
 
     num_parts: int = spec.DEFAULT_NUM_PARTS
     concurrency: tuple[int, int] | int = (1, 8)
@@ -156,34 +152,99 @@ class FilterPipeline:
         if not self.steps:
             self.steps = [
                 PrepareStep(num_parts=self.num_parts),
-                UrlDedupStep(),
                 LangIdStep(concurrency=self.concurrency),
                 PerplexityStep(concurrency=self.concurrency),
                 ScoreStep(concurrency=self.concurrency),
-                TextDedupStep(),
             ]
 
-    def annotate(self, ds: Dataset, *, skip_parts: set[int] | None = None) -> Dataset:
-        """Run the full annotation chain (lazy)."""
+    # -- shared pieces -----------------------------------------------------
+
+    def _url_winners(self, input_path: str | None, ds: Dataset) -> dict[str, int]:
+        if input_path is not None:
+            meta = dg_io.read_pages(input_path, columns=["url", "warc_ts"])
+        else:
+            meta = ds.select_columns(["url", "warc_ts"])
+        return dedup_mod.url_max_ts(meta)
+
+    def _score_chain(
+        self,
+        ds: Dataset,
+        url_winners: dict[str, int],
+        *,
+        skip_parts: set[int] | None = None,
+    ) -> Dataset:
         for step in self.steps:
             ds = step.apply(ds)
-            if step.name == "prepare" and skip_parts:
-                skip = pa.array(sorted(skip_parts), type=pa.int32())
-                ds = ds.map_batches(
-                    lambda b, s=skip: b.filter(
-                        pc.invert(pc.is_in(b.column("part_id"), value_set=s))
-                    ),
-                    batch_format="pyarrow",
-                )
+            if step.name == "prepare":
+                if skip_parts:
+                    skip = pa.array(sorted(skip_parts), type=pa.int32())
+                    ds = ds.map_batches(
+                        lambda b, s=skip: b.filter(
+                            pc.invert(pc.is_in(b.column("part_id"), value_set=s))
+                        ),
+                        batch_format="pyarrow",
+                    )
+                ds = dedup_mod.url_dedup_filter(ds, url_winners)
         return ds
 
-    def run(self, ds: Dataset, out_dir: str, *, resume: bool = False) -> list[dict]:
-        """Annotate → write survivors + lineage. Returns lineage records."""
-        skip = dg_io.done_partitions(out_dir) if resume else set()
-        annotated = self.annotate(ds, skip_parts=skip)
-        lineage = dg_io.write_filtered(annotated, out_dir)
-        records = lineage.take_all()
-        return records
+    # -- in-memory variant (tests / queries) -------------------------------
+
+    def annotate(self, ds: Dataset, *, input_path: str | None = None) -> Dataset:
+        """Full annotation incl. ``dedup_keep`` flag; materializes the
+        scored dataset once (use run() for corpus-scale streaming)."""
+        winners = self._url_winners(input_path, ds)
+        scored = self._score_chain(ds, winners).materialize()
+        kept_meta = scored.map_batches(
+            lambda b: b.filter(b.column("keep")).select(["digest", "warc_ts", "url"]),
+            batch_format="pyarrow",
+        )
+        dwinners = dedup_mod.digest_winners(kept_meta)
+        return dedup_mod.flag_dedup_keep(scored, dwinners)
+
+    # -- streaming two-phase run -------------------------------------------
+
+    def run(
+        self, input_path: str, out_dir: str, *, resume: bool = False
+    ) -> list[dict]:
+        """E1/E3: annotate → phase-1 kept files → text-dedup → finalize.
+        Returns the final lineage manifests (one per partition)."""
+        import os
+
+        os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+        stages = dg_io.partitions_by_stage(out_dir) if resume else {"annotated": set(), "final": set()}
+
+        # phase 1 — annotate + write kept rows per partition
+        ds = dg_io.read_pages(input_path)
+        url_winners = self._url_winners(input_path, ds)
+        scored = self._score_chain(ds, url_winners, skip_parts=stages["annotated"])
+        scored.groupby("part_id").map_groups(
+            lambda g: dg_io.write_annotated_partition(g, out_dir),
+            batch_format="pyarrow",
+        ).materialize()  # consume (summary rows only — tiny)
+
+        # phase 2 — global text-dedup winners from thin kept metadata
+        all_parts = dg_io.partitions_by_stage(out_dir)["annotated"]
+        kept_meta = dg_io.read_kept(out_dir, columns=["digest", "warc_ts", "url"])
+        dwinners = dedup_mod.digest_winners(kept_meta)
+
+        todo = sorted(all_parts - stages["final"])
+        if todo:
+            wref = ray.put(dwinners)
+
+            def _finalize(batch: pa.Table) -> pa.Table:
+                w = dedup_mod.get_broadcast(wref)
+                ms = [
+                    dg_io.finalize_partition(int(pid), out_dir, w)
+                    for pid in batch.column("pid").to_pylist()
+                ]
+                return pa.table({"part_id": pa.array([m["part_id"] for m in ms], type=pa.int32())})
+
+            (
+                ray.data.from_arrow(pa.table({"pid": pa.array(todo, type=pa.int32())}))
+                .map_batches(_finalize, batch_format="pyarrow", batch_size=4)
+                .materialize()
+            )
+        return dg_io.read_lineage(out_dir)
 
 
 def run_filter_job(
@@ -196,6 +257,5 @@ def run_filter_job(
 ) -> list[dict]:
     """`dg filter` / `dg resume` entry (jobs/filter_job.py wraps this)."""
     assert ray.is_initialized(), "caller owns the Ray session"
-    ds = dg_io.read_pages(input_path)
     pipe = FilterPipeline(num_parts=num_parts, concurrency=concurrency)
-    return pipe.run(ds, out_dir, resume=resume)
+    return pipe.run(input_path, out_dir, resume=resume)

@@ -1,147 +1,157 @@
-"""Exact dedup (SURVEY §2.7 D1/D2, §2.6 J4) — collision-only shuffle.
+"""Exact dedup (SURVEY §2.7 D1/D2, §2.6 J4) — thin-pass winners, no
+full-corpus shuffle, no DAG branching.
 
 A naive ``groupby(key).map_groups(pick_winner)`` shuffles the ENTIRE
-corpus to deduplicate a few-percent collision set.  Instead (scale
-design, SURVEY §4):
+corpus to resolve a few-percent collision set, and branching the main
+Dataset DAG re-executes the upstream chain once per branch.  Instead:
 
-  phase 1: per-batch partial counts of `key` (vectorized pyarrow
-           group_by) → tiny global groupby → keys with n > 1;
-  phase 2: only rows whose key collides are shuffled
-           (``groupby(key).map_groups`` over pyarrow tables, winner =
-           lexicographic sort, exactly one row out); the other ≥95% of
-           the corpus streams through a vectorized membership filter
-           with NO all-to-all.
+  pass 1 (thin): a separate pipeline over ONLY the key + order columns
+    (column-pruned parquet read, or a projection of an already-
+    materialized dataset) computes, per key, (count, max rank) via
+    vectorized per-batch partial aggregation + one tiny global groupby.
+    Keys with count > 1 and their winning rank are collected to the
+    driver and broadcast via ``ray.put``.
+  pass 2: the main chain applies a vectorized membership filter /
+    flag — a row survives iff its key is not contested or its rank
+    equals the winner.  No all-to-all on the corpus.
 
-The collision key set is broadcast via ``ray.put`` (read once per
-worker, SURVEY §2.6 J1).  At 10^12-doc scale the collision set itself
-can be large; the documented scale path is to swap the exact set for a
-Bloom filter (false positives only route extra rows into the shuffle —
-semantics unchanged) or fall back to the full groupby.
+Frozen winner semantics:
+  url-dedup (J4):  winner = max warc_ts.  Input contract: (url,
+    warc_ts) is unique per corpus (a crawler cannot fetch the same url
+    twice in the same microsecond); the oracle asserts this.
+  text-dedup (D1): winner = lexicographic max of rank
+    f"{warc_ts:020d}|{url}" (max ts, tie → max url; urls are unique
+    after url-dedup so ranks are unique).
+
+Scale note (10^12 docs): the driver-side winner dict covers only
+*contested* keys.  If that set outgrows driver memory, swap the exact
+dict for a Bloom filter of contested keys (false positives only send
+extra rows through a secondary exact check) or fall back to a full
+hash-partitioned groupby; semantics are unchanged.
 """
 
 from __future__ import annotations
 
-import ray
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
-_VALUESET_CACHE: dict[str, pa.Array] = {}
+_BCAST_CACHE: dict[str, object] = {}
 
 
-def _cached_value_set(ref: ray.ObjectRef) -> pa.Array:
+def get_broadcast(ref: ray.ObjectRef):
+    """Worker-local cache for a small broadcast object (ray.get is cheap
+    after first fetch, but we also avoid re-deserialization per batch)."""
     key = ref.hex()
-    arr = _VALUESET_CACHE.get(key)
-    if arr is None:
-        arr = pa.array(sorted(ray.get(ref)), type=pa.string())
-        _VALUESET_CACHE.clear()  # hold at most one broadcast set per worker
-        _VALUESET_CACHE[key] = arr
-    return arr
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
 
 
-def find_dup_keys(ds: Dataset, key: str) -> set[str]:
-    """Keys occurring more than once — two-phase (partial counts, then a
-    small groupby over one row per key per batch)."""
+def rank_expr(ts: pa.ChunkedArray | pa.Array, url: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """rank = f"{ts:020d}|{url}" — lexicographic max == (max ts, max url)."""
+    ts_int = pc.cast(ts, pa.int64())
+    ts_str = pc.utf8_lpad(pc.cast(ts_int, pa.string()), 20, padding="0")
+    return pc.binary_join_element_wise(ts_str, url, "|")
+
+
+def contested_winners(
+    meta: Dataset, key: str, rank_col: str
+) -> dict[str, str]:
+    """{key: winning rank} for keys with >1 row.  `meta` must have columns
+    (key, rank_col) — thin!  Partial-aggregates per batch first so the
+    global groupby shuffles ≤ one row per key per batch."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([key]).group_by(key).aggregate([(key, "count")])
-        return t.rename_columns([key, "n"])
+        g = batch.group_by(key).aggregate([(rank_col, "max"), (rank_col, "count")])
+        return g.rename_columns([key, "r", "n"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    agg = (
+        meta.map_batches(partial, batch_format="pyarrow")
         .groupby(key)
-        .aggregate(Sum("n", alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"), Max("r", alias_name="r"))
     )
-    dup = counts.filter(expr="n > 1")
-    return {r[key] for r in dup.take_all()}
+    out: dict[str, str] = {}
+    for row in agg.filter(expr="n > 1").take_all():
+        out[row[key]] = row["r"]
+    return out
 
 
-def split_by_membership(
-    ds: Dataset, col: str, keys: set[str]
-) -> tuple[Dataset, Dataset]:
-    """(rows with col ∉ keys, rows with col ∈ keys) — vectorized, no shuffle."""
-    ref = ray.put(keys)
+def url_max_ts(meta: Dataset) -> dict[str, int]:
+    """{url: max warc_ts (µs int)} for urls appearing more than once.
+    `meta` needs columns (url, warc_ts) only — read them pruned."""
 
-    def _filter(batch: pa.Table, invert: bool) -> pa.Table:
-        vs = _cached_value_set(ref)
-        mask = pc.is_in(batch.column(col), value_set=vs)
-        if invert:
-            mask = pc.invert(mask)
-        return batch.filter(mask)
-
-    out_nonmember = ds.map_batches(
-        lambda b: _filter(b, True), batch_format="pyarrow"
-    )
-    member = ds.map_batches(lambda b: _filter(b, False), batch_format="pyarrow")
-    return out_nonmember, member
-
-
-def pick_winner_fn(sort_keys: list[tuple[str, str]]):
-    """Per-group winner: lexicographic sort by sort_keys, first row."""
-
-    def _winner(group: pa.Table) -> pa.Table:
-        return group.sort_by(sort_keys).slice(0, 1)
-
-    return _winner
-
-
-def dedup_by_key(
-    ds: Dataset,
-    key: str,
-    sort_keys: list[tuple[str, str]],
-) -> Dataset:
-    """One winner per `key` (winner = first row under sort_keys order).
-
-    E.g. url-dedup (J4 newest-wins): key="url",
-    sort_keys=[("warc_ts", "descending"), ("raw_digest", "ascending")].
-    """
-    dups = find_dup_keys(ds, key)
-    if not dups:
-        return ds
-    uniq, collide = split_by_membership(ds, key, dups)
-    winners = collide.groupby(key).map_groups(
-        pick_winner_fn(sort_keys), batch_format="pyarrow"
-    )
-    return uniq.union(winners)
-
-
-def flag_text_dedup(ds: Dataset) -> Dataset:
-    """D1: append ``dedup_keep`` — keep==True minus exact-duplicate losers.
-
-    Winner per `digest` among kept rows = (max warc_ts, tie → min url).
-    Only (digest, url, warc_ts) metadata of colliding KEPT rows is
-    shuffled; winners (small) are broadcast back as a digest→url dict.
-    """
-
-    def kept_meta(batch: pa.Table) -> pa.Table:
-        return batch.filter(batch.column("keep")).select(["digest", "url", "warc_ts"])
-
-    meta = ds.map_batches(kept_meta, batch_format="pyarrow")
-    dup_digests = find_dup_keys(meta, "digest")
-    if not dup_digests:
-        return ds.map_batches(
-            lambda b: b.append_column("dedup_keep", b.column("keep")),
-            batch_format="pyarrow",
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "url": batch.column("url"),
+                "ts": pc.cast(batch.column("warc_ts"), pa.int64()),
+            }
         )
-    ref = ray.put(dup_digests)
-    _, collide = split_by_membership(meta, "digest", dup_digests)
-    winners = collide.groupby("digest").map_groups(
-        pick_winner_fn([("warc_ts", "descending"), ("url", "ascending")]),
-        batch_format="pyarrow",
+        g = t.group_by("url").aggregate([("ts", "max"), ("ts", "count")])
+        return g.rename_columns(["url", "ts", "n"])
+
+    agg = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("n", alias_name="n"), Max("ts", alias_name="ts"))
     )
-    winner_map = {r["digest"]: r["url"] for r in winners.take_all()}
-    wref = ray.put(winner_map)
+    return {row["url"]: row["ts"] for row in agg.filter(expr="n > 1").take_all()}
+
+
+def url_dedup_filter(ds: Dataset, winners: dict[str, int]) -> Dataset:
+    """Drop url-dup losers (row survives iff url uncontested or ts == max)."""
+    if not winners:
+        return ds
+    ref = ray.put(winners)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        w: dict[str, int] = get_broadcast(ref)
+        urls = batch.column("url").to_pylist()
+        tss = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+        mask = [u not in w or t == w[u] for u, t in zip(urls, tss)]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def digest_winners(kept_meta: Dataset) -> dict[str, str]:
+    """Winners among kept rows per text digest; `kept_meta` must have
+    columns (digest, warc_ts, url) of KEPT rows only."""
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "digest": batch.column("digest"),
+                "rank": rank_expr(batch.column("warc_ts"), batch.column("url")),
+            }
+        )
+
+    return contested_winners(
+        kept_meta.map_batches(add_rank, batch_format="pyarrow"), "digest", "rank"
+    )
+
+
+def flag_dedup_keep(ds: Dataset, winners: dict[str, str]) -> Dataset:
+    """Append ``dedup_keep`` = keep AND (digest uncontested or row is the
+    winner).  Vectorized; no shuffle."""
+    ref = ray.put(winners)
 
     def _flag(batch: pa.Table) -> pa.Table:
-        wm: dict[str, str] = ray.get(wref)
+        w: dict[str, str] = get_broadcast(ref)
         keep = batch.column("keep").to_pylist()
-        digests = batch.column("digest").to_pylist()
-        urls = batch.column("url").to_pylist()
-        out = [
-            bool(k) and (d not in wm or wm[d] == u)
-            for k, d, u in zip(keep, digests, urls)
-        ]
+        if w:
+            digests = batch.column("digest").to_pylist()
+            ranks = rank_expr(batch.column("warc_ts"), batch.column("url")).to_pylist()
+            out = [
+                bool(k) and (d not in w or w[d] == r)
+                for k, d, r in zip(keep, digests, ranks)
+            ]
+        else:
+            out = [bool(k) for k in keep]
         return batch.append_column("dedup_keep", pa.array(out, type=pa.bool_()))
 
     return ds.map_batches(_flag, batch_format="pyarrow")

@@ -12,12 +12,13 @@ textproc.py, measures.py, model kernels — see measures.py docstring);
 all *orchestration* here (url-dedup winners, text-dedup winners, stats
 accumulation) is independent scalar code using plain dicts.
 
-Frozen pipeline-level semantics (E1, SURVEY §3):
- 1. url-dedup: one winner per url — max warc_ts, tie → min raw digest.
+Frozen pipeline-level semantics (E1, SURVEY §3; steps/dedup.py):
+ 1. url-dedup: one winner per url — max warc_ts.  Input contract:
+    (url, warc_ts) unique per corpus (asserted here).
  2. per-winner annotation: extract (if text null) → normalize → langid →
     perplexity(lang_id) → measures → scrub → rules → keep/drop_rule.
  3. exact text-dedup among KEPT rows: one winner per text_clean digest —
-    max warc_ts, tie → min url.  `dedup_keep` = kept AND winner.
+    max warc_ts, tie → max url.  `dedup_keep` = kept AND winner.
 """
 
 from __future__ import annotations
@@ -33,11 +34,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from dataguards_ray import langid, measures, perplexity, spec, textproc  # noqa: E402
 
 
-def raw_digest(text: str | None, html: bytes | None) -> str:
-    data = text.encode("utf-8") if text is not None else (html or b"")
-    return hashlib.blake2b(data, digest_size=16).hexdigest()
-
-
 def clean_digest(text_clean: str) -> str:
     return hashlib.blake2b(text_clean.encode("utf-8"), digest_size=16).hexdigest()
 
@@ -51,18 +47,16 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
 
     rows = table.to_pylist()
 
-    # -- 1. url dedup (newest wins; tie -> min raw digest) ------------------
+    # -- 1. url dedup (newest crawl wins; (url, warc_ts) must be unique) ----
+    seen_ts: set[tuple[str, object]] = set()
     best: dict[str, dict] = {}
     for r in rows:
-        ts = r["warc_ts"]
-        key = r["url"]
-        rd = raw_digest(r["text"], r["html"])
-        cur = best.get(key)
-        # higher ts wins; equal ts -> smaller digest wins
-        if cur is None or (ts, _neg(rd)) > (cur["warc_ts"], _neg(cur["_rd"])):
-            r = dict(r)
-            r["_rd"] = rd
-            best[key] = r
+        key = (r["url"], r["warc_ts"])
+        assert key not in seen_ts, f"input contract violated: duplicate (url, warc_ts) {key}"
+        seen_ts.add(key)
+        cur = best.get(r["url"])
+        if cur is None or r["warc_ts"] > cur["warc_ts"]:
+            best[r["url"]] = r
 
     # -- 2. per-url annotation ---------------------------------------------
     golden: list[dict] = []
@@ -102,13 +96,13 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
             }
         )
 
-    # -- 3. exact text dedup among kept ------------------------------------
+    # -- 3. exact text dedup among kept (max ts, tie -> max url) -----------
     dwin: dict[str, dict] = {}
     for g in golden:
         if not g["keep"]:
             continue
         cur = dwin.get(g["digest"])
-        if cur is None or (g["warc_ts"], _neg(g["url"])) > (cur["warc_ts"], _neg(cur["url"])):
+        if cur is None or (g["warc_ts"], g["url"]) > (cur["warc_ts"], cur["url"]):
             dwin[g["digest"]] = g
     survivors = {id(g) for g in dwin.values()}
     for g in golden:
@@ -157,21 +151,3 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
         "lang_retention": lang_retention,
         "survivor_urls": sorted(g["url"] for g in golden if g["dedup_keep"]),
     }
-
-
-class _neg:
-    """Order-reversing wrapper so 'min digest/url wins' composes with max()."""
-
-    __slots__ = ("v",)
-
-    def __init__(self, v: str):
-        self.v = v
-
-    def __lt__(self, other: "_neg") -> bool:
-        return self.v > other.v
-
-    def __gt__(self, other: "_neg") -> bool:
-        return self.v < other.v
-
-    def __eq__(self, other: object) -> bool:
-        return isinstance(other, _neg) and self.v == other.v

@@ -1,0 +1,117 @@
+"""End-to-end: Ray pipeline must reproduce the oracle exactly (SURVEY §5.1).
+
+Targets (BASELINE.md): keep/drop F1 ≥ 0.99 (we assert == 1.0), scrubbed
+text byte-identical per url, survivor set identical after both dedups —
+and all of it invariant under partition count (§5.4).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from conftest import corpus_path, golden_path
+
+
+def _run_annotate(path: str, num_blocks: int | None = None):
+    import ray.data
+
+    from dataguards_ray.pipeline import FilterPipeline
+
+    ds = ray.data.read_parquet(path)
+    if num_blocks is not None:
+        ds = ds.repartition(num_blocks)
+    return FilterPipeline().annotate(ds).to_pandas()
+
+
+def _assert_matches_golden(ann: pd.DataFrame, golden: pd.DataFrame):
+    a = ann.set_index("url").sort_index()
+    g = golden.to_pandas().set_index("url").sort_index() if not isinstance(golden, pd.DataFrame) else golden.set_index("url").sort_index()
+    assert set(a.index) == set(g.index)
+    pd.testing.assert_series_equal(a["keep"], g["keep"], check_names=False)
+    assert (a["text_scrubbed"] == g["text_scrubbed"]).all()
+    assert (a["lang_id"] == g["lang_id"]).all()
+    assert (a["ppl"].astype("float32") == g["ppl"].astype("float32")).all()
+    assert (a["lang_score"].astype("float32") == g["lang_score"].astype("float32")).all()
+    # drop_rule: same first-violated rule (nullable)
+    assert (a["drop_rule"].fillna("") == g["drop_rule"].fillna("")).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_annotate_matches_oracle(golden500):
+    ann = _run_annotate(corpus_path(500))
+    _assert_matches_golden(ann, golden500.to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_partition_invariance(golden500, blocks):
+    ann = _run_annotate(corpus_path(500), num_blocks=blocks)
+    _assert_matches_golden(ann, golden500.to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_run_survivors_and_lineage(tmp_path, golden500):
+    import pyarrow.parquet as pq
+
+    from dataguards_ray import io as dg_io
+    from dataguards_ray.pipeline import FilterPipeline
+    from oracle.oracle import oracle_run
+
+    out = str(tmp_path / "out")
+    recs = FilterPipeline().run(corpus_path(500), out)
+    res = oracle_run(pq.read_table(corpus_path(500)))
+
+    surv = sorted(dg_io.read_filtered(out).to_pandas()["url"])
+    assert surv == res["survivor_urls"]
+
+    assert sum(r["input_rows"] for r in recs) == res["golden"].num_rows
+    assert sum(r["kept_rows"] for r in recs) == len(res["survivor_urls"])
+    assert all(r["stage"] == "final" for r in recs)
+
+    # lineage rule counters == oracle rule drops
+    agg: dict[str, int] = {}
+    for r in recs:
+        for rule, n in r["rule_counts"].items():
+            agg[rule] = agg.get(rule, 0) + n
+    assert agg == res["rule_drops"]
+
+    # manifests on disk all reached 'final'
+    stages = dg_io.partitions_by_stage(out)
+    assert stages["final"] == {r["part_id"] for r in recs}
+    shutil.rmtree(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_skips_done_partitions(tmp_path):
+    """Kill-after-k-partitions resume equivalence (BASELINE.md)."""
+    import pyarrow.parquet as pq
+
+    from dataguards_ray import io as dg_io
+    from dataguards_ray.pipeline import FilterPipeline
+
+    path = corpus_path(500)
+    full_out = str(tmp_path / "full")
+    FilterPipeline().run(path, full_out)
+
+    # simulate a crash: keep only first 10 partitions' outputs
+    part_out = str(tmp_path / "partial")
+    FilterPipeline().run(path, part_out)
+    done = sorted(dg_io.partitions_by_stage(part_out)["final"])
+    import os
+
+    for pid in done[10:]:
+        os.remove(os.path.join(part_out, "_lineage", f"part-{pid:05d}.json"))
+        for pref in ("part", "kept"):
+            f = os.path.join(part_out, f"{pref}-{pid:05d}.parquet")
+            if os.path.exists(f):
+                os.remove(f)
+
+    recs2 = FilterPipeline().run(path, part_out, resume=True)
+    assert {r["part_id"] for r in recs2} == set(done)
+
+    a = dg_io.read_filtered(full_out).to_pandas().sort_values("url").reset_index(drop=True)
+    b = dg_io.read_filtered(part_out).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
