@@ -1,44 +1,732 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract (see module docstring history): entry() smoke,
+queries() per-operator callables, oracle_sql() DuckDB mirrors.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported — nothing
+here (or in dataguards_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-determinism policy for SQL-checked aggregates: money/value sums
+are computed as integer cents via FLOOR(x*100 + 0.5) in BOTH engines
+(identical IEEE-double expression → identical bits → exact int64 sums);
+counts are int64; avgs are avoided (sum+count instead).  Similarity
+scores are never returned — only ids/ranks (ulp-level cross-engine
+rounding cannot flap whole result sets).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    from dataguards_ray.io import read_table
+
+    return read_table(sf_dir, name, columns=columns)
+
+
+def _cents(arr) -> pa.Array:
+    """int64 cents = FLOOR(x*100 + 0.5) — mirror of the SQL expression."""
+    v = pc.cast(arr, pa.float64())
+    return pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)), pa.int64())
+
+
+_CENTS_SQL = "CAST(FLOOR({x}*100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship E1 over sf0.001 documents mapped to the pages schema:
+    extract → langid → perplexity → quality rules → scrub → dedup flags."""
+    from dataguards_ray.adapters import documents_as_pages
+    from dataguards_ray.pipeline import FilterPipeline
+
+    ds = documents_as_pages(SF_SMOKE)
+    return FilterPipeline().annotate(ds)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_tpch_q1(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), pa.scalar(datetime(1998, 9, 2))))
+        disc_price = pc.multiply(
+            pc.cast(b.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(b.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_c": _cents(b.column("l_quantity")),
+                "base_c": _cents(b.column("l_extendedprice")),
+                "disc_c": _cents(disc_price),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty_c", "sum", "sum_qty_cents"), ("base_c", "sum", "sum_base_cents"),
+         ("disc_c", "sum", "sum_disc_cents"), ("qty_c", "count", "count_order")],
+    )
+    return out
+
+
+_SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_CENTS_SQL.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM({_CENTS_SQL.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({_CENTS_SQL.format(x='l_extendedprice*(1.0-l_discount)')}) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_quantity"), 30.0),
+                    pc.less_equal(b.column("l_quantity"), 40.0)),
+            pc.greater(b.column("l_discount"), 0.05),
+        )
+        b = b.filter(m)
+        rev = pc.multiply(
+            pc.cast(b.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(b.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "revenue_cents": _cents(rev),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_FILTER_PROJECT = f"""
+SELECT l_orderkey, l_linenumber,
+       {_CENTS_SQL.format(x='l_extendedprice*(1.0-l_discount)')} AS revenue_cents
+FROM lineitem
+WHERE l_quantity >= 30.0 AND l_quantity <= 40.0 AND l_discount > 0.05
+"""
+
+
+def _q_join_customer_orders(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import broadcast_lookup
+
+    cust = {r["c_custkey"]: r["c_mktsegment"]
+            for r in _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).take_all()}
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_lookup(orders, cust, "o_custkey", "c_mktsegment",
+                              out_type=pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_mktsegment": b.column("c_mktsegment"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    return grouped_agg(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("price_c", "sum", "total_cents"), ("price_c", "count", "n_orders")],
+    )
+
+
+_SQL_JOIN_CUST_ORDERS = f"""
+SELECT c_mktsegment,
+       CAST(SUM({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q_join_region_nation_customer(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import broadcast_lookup
+
+    regions = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
+    nations = {r["n_nationkey"]: regions[r["n_regionkey"]]
+               for r in _read(sf_dir, "nation").take_all()}
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = broadcast_lookup(cust, nations, "c_nationkey", "r_name", out_type=pa.string())
+    return grouped_agg(joined, ["r_name"], [("c_custkey", "count", "n_customers")])
+
+
+_SQL_JOIN_RNC = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_semi_join(sf_dir: str):
+    from dataguards_ray.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_join(cust, orders, "c_custkey", right_key="o_custkey")
+
+
+_SQL_SEMI = "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+
+
+def _q_anti_join(sf_dir: str):
+    """Customers without an URGENT order (filtered right side keeps the
+    result non-empty at every sf — empty frames lose schema in pandas)."""
+    from dataguards_ray.joins import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    return anti_join(cust, orders, "c_custkey", right_key="o_custkey")
+
+
+_SQL_ANTI = (
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+)
+
+
+def _q_hash_join_supplier_nation(sf_dir: str):
+    """Large-large path: Dataset.join (hash-partitioned)."""
+    from dataguards_ray.joins import hash_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = hash_join(sup, nat, on=["s_nationkey"], right_on=["n_nationkey"], num_partitions=4)
+    return j.select_columns(["s_suppkey", "n_name"])
+
+
+_SQL_HASH_JOIN = "SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+
+
+def _q_topk_orders(sf_dir: str):
+    from dataguards_ray.aggregates import topk
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "price_cents": _cents(b.column("o_totalprice"))}
+        )
+
+    return topk(ds.map_batches(prep, batch_format="pyarrow"),
+                [("price_cents", True), ("o_orderkey", False)], 10)
+
+
+_SQL_TOPK = f"""
+SELECT o_orderkey, {_CENTS_SQL.format(x='o_totalprice')} AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _q_distinct(sf_dir: str):
+    from dataguards_ray.aggregates import distinct
+
+    return distinct(_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+                    ["l_returnflag", "l_linestatus"])
+
+
+_SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def _q_union_all_names(sf_dir: str):
+    r = _read(sf_dir, "region", ["r_name"]).rename_columns({"r_name": "name"})
+    n = _read(sf_dir, "nation", ["n_name"]).rename_columns({"n_name": "name"})
+    return r.union(n)
+
+
+_SQL_UNION = "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation"
+
+
+def _q_nations_without_negbal_suppliers(sf_dir: str):
+    from dataguards_ray.aggregates import distinct
+    from dataguards_ray.joins import anti_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey"])
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).filter(
+        expr="s_acctbal < 0.0"
+    )
+    return distinct(anti_join(nat, sup, "n_nationkey", right_key="s_nationkey"),
+                    ["n_nationkey"])
+
+
+_SQL_EXCEPT = (
+    "SELECT n_nationkey FROM nation EXCEPT "
+    "SELECT s_nationkey FROM supplier WHERE s_acctbal < 0"
+)
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    from dataguards_ray.joins import latest_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    out = latest_by_key(ds, "user_id", "ts", "event_id")
+    return out.select_columns(["user_id", "event_id", "event_type", "value"])
+
+
+_SQL_LATEST_EVENT = """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def _q_json_props_stats(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in b.column("props").to_pylist()]
+        return pa.table(
+            {"event_type": b.column("event_type"), "k": pa.array(ks, type=pa.int64())}
+        )
+
+    return grouped_agg(ds.map_batches(parse, batch_format="pyarrow"),
+                       ["event_type"], [("k", "sum", "sum_k"), ("k", "count", "n")])
+
+
+_SQL_JSON = """
+SELECT event_type, CAST(SUM(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def _q_window_tumbling(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        win = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()), 3600000000.0)), pa.int64())
+        return pa.table(
+            {"event_type": b.column("event_type"), "win": win,
+             "value_c": _cents(b.column("value"))}
+        )
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type", "win"],
+                       [("value_c", "sum", "sum_value_cents"), ("value_c", "count", "n")])
+
+
+_SQL_WINDOW = f"""
+SELECT event_type, CAST(FLOOR(epoch_us(ts)/3600000000.0) AS BIGINT) AS win,
+       CAST(SUM({_CENTS_SQL.format(x='value')}) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n
+FROM events GROUP BY event_type, win
+"""
+
+
+def _q_salted_source_counts(sf_dir: str):
+    from dataguards_ray.aggregates import salted_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return salted_groupby(ds, ["source"], [("doc_id", "count", "n_docs")],
+                          salt_n=8, salt_source="doc_id")
+
+
+_SQL_SALTED = "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source"
+
+
+def _q_rule_range_violations(sf_dir: str):
+    from dataguards_ray.rules import RangeRule, RuleSet
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = RuleSet([RangeRule("qty.range", "l_quantity", 5.0, 45.0)]).evaluate(ds)
+    out = out.filter(expr="keep == False")
+    return out.select_columns(["l_orderkey", "l_linenumber", "drop_rule"])
+
+
+_SQL_RULE_RANGE = """
+SELECT l_orderkey, l_linenumber, 'qty.range' AS drop_rule
+FROM lineitem WHERE NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)
+"""
+
+
+def _q_rule_predicate_violations(sf_dir: str):
+    from dataguards_ray.rules import Predicate, PredicateRule, RangeRule, RegexRule, RuleSet
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    rules = RuleSet([
+        RangeRule("bal.nonneg", "c_acctbal", lo=0.0),
+        RegexRule("name.format", "c_name", r"^Customer#"),
+    ])
+    out = rules.evaluate(ds).filter(expr="keep == False")
+    return out.select_columns(["c_custkey", "drop_rule"])
+
+
+_SQL_RULE_PRED = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal IS NULL OR c_acctbal < 0.0 THEN 'bal.nonneg'
+            WHEN NOT regexp_matches(c_name, '^Customer#') THEN 'name.format' END AS drop_rule
+FROM customer
+WHERE (c_acctbal IS NULL OR c_acctbal < 0.0) OR NOT regexp_matches(c_name, '^Customer#')
+"""
+
+
+def _q_cfd_violations(sf_dir: str):
+    from dataguards_ray.rules.cfd import CFD
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    cfd = CFD("fd.order_flag", ["l_orderkey"], "l_returnflag",
+              [{"l_orderkey": "_", "l_returnflag": "_"}])
+    keys = cfd._violating_keys(ds, cfd._var_rows[0])
+    return pa.table({"l_orderkey": pa.array(sorted(int(k) for k in keys), type=pa.int64())})
+
+
+_SQL_CFD = """
+SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+HAVING COUNT(DISTINCT l_returnflag) > 1
+"""
+
+
+def _q_dc_single_violations(sf_dir: str):
+    from dataguards_ray.rules import DenialConstraint, Predicate, RuleSet
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    dc = DenialConstraint(
+        "dc.negbal_building",
+        single=[Predicate("c_acctbal", "<", 0.0), Predicate("c_mktsegment", "==", "BUILDING")],
+    )
+    out = RuleSet([dc]).evaluate(ds).filter(expr="keep == False")
+    return out.select_columns(["c_custkey"])
+
+
+_SQL_DC_SINGLE = "SELECT c_custkey FROM customer WHERE c_acctbal < 0.0 AND c_mktsegment = 'BUILDING'"
+
+
+def _q_dc_pair_violations(sf_dir: str):
+    from dataguards_ray.rules import Atom, DenialConstraint
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_retailprice"])
+    dc = DenialConstraint("dc.brand_type_price", eq_keys=["p_brand", "p_type"],
+                          pair_atoms=[Atom("p_retailprice", "!=", "p_retailprice")])
+    out = dc.apply_shuffle(ds)
+    return out.map_batches(
+        lambda b: b.filter(b.column("__viol_dc.brand_type_price")).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_DC_PAIR = """
+SELECT p_partkey FROM part p
+WHERE EXISTS (SELECT 1 FROM part q WHERE q.p_brand = p.p_brand AND q.p_type = p.p_type
+              AND q.p_partkey <> p.p_partkey AND q.p_retailprice <> p.p_retailprice)
+"""
+
+
+def _q_dedup_docs_exact(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.textstats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    withfp = add_fingerprint(ds, "text", "fp")
+    out = grouped_agg(withfp, ["fp"], [("doc_id", "min", "doc_id")])
+    return out.select_columns(["doc_id"])
+
+
+_SQL_DEDUP_DOCS = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def _q_top_sources(sf_dir: str):
+    from dataguards_ray.aggregates import grouped_agg, topk
+
+    counts = grouped_agg(_read(sf_dir, "documents", ["doc_id", "source"]),
+                         ["source"], [("doc_id", "count", "n_docs")])
+    return topk(counts, [("n_docs", True), ("source", False)], 5)
+
+
+_SQL_TOP_SOURCES = """
+SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+ORDER BY n_docs DESC, source ASC LIMIT 5
+"""
+
+
+def _q_token_counts(sf_dir: str):
+    from dataguards_ray.textstats import add_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_token_count(ds).select_columns(["doc_id", "n_tokens"])
+
+
+_SQL_TOKENS = r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens FROM documents"
+
+
+def _q_quality_scores(sf_dir: str):
+    from dataguards_ray.textstats import add_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality_scores(ds).select_columns(["doc_id", "n_tokens", "word_chars"])
+
+
+_SQL_QUALITY = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\w')) AS BIGINT) AS word_chars
+FROM documents
+"""
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from dataguards_ray.textstats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+_SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def _q_knn_embeddings(sf_dir: str):
+    from dataguards_ray.similarity import knn_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.take_all() if r["vec_id"] < 5), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    t = knn_cosine(ds, queries, 6)
+    return pa.table(
+        {
+            "query_id": pc.cast(t.column("query_id"), pa.int64()),
+            "vec_id": t.column("vec_id"),
+            "rank": pc.cast(t.column("rank"), pa.int64()),
+        }
+    )
+
+
+_SQL_KNN = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+       ) AS BIGINT) AS rank
+FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN embeddings e
+QUALIFY rank <= 6
+"""
+
+
+def _q_near_dup_embeddings(sf_dir: str):
+    from dataguards_ray.similarity import near_dup_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return near_dup_cosine(ds, 0.4)
+
+
+_SQL_NEAR_DUP_EMB = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+
+def _mutated_documents(sf_dir: str):
+    """documents ∪ deterministic near-copies of doc_id<10 (near-dup bait)."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = sorted((r for r in ds.take_all() if r["doc_id"] < 10), key=lambda r: r["doc_id"])
+    copies = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] + 1_000_000 for r in base], type=pa.int64()),
+            "text": pa.array([r["text"] + " xyzzy plugh" for r in base], type=pa.string()),
+        }
+    )
+    return ds.union(ray.data.from_arrow(copies))
+
+
+def _q_minhash_near_dups(sf_dir: str):
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    t = minhash_near_dup_pairs(_mutated_documents(sf_dir), threshold=0.5)
+    return t.select(["id_a", "id_b"])
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    from dataguards_ray.neardup import simhash_near_dup_pairs
+
+    t = simhash_near_dup_pairs(_mutated_documents(sf_dir), max_hamming=3)
+    return t.select(["id_a", "id_b"])
+
+
+def _q_lsh_ann_pairs(sf_dir: str):
+    from dataguards_ray.similarity import lsh_bucket_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_bucket_pairs(ds, 0.4)
+
+
+def _q_lang_guess(sf_dir: str):
+    from dataguards_ray.textstats import add_lang_guess
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return add_lang_guess(ds).select_columns(["doc_id", "lang", "lang_guess"])
+
+
+def _q_scrub_documents(sf_dir: str):
+    from dataguards_ray.steps.annotate import ScoreStage  # noqa: F401 (doc pointer)
+    from dataguards_ray import spec
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        res = [spec.scrub_text(t or "") for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text_scrubbed": pa.array([r[0] for r in res], type=pa.string()),
+                "scrub_count": pa.array([r[1] + r[2] for r in res], type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_flagship(sf_dir: str):
+    from dataguards_ray.adapters import documents_as_pages
+    from dataguards_ray.pipeline import FilterPipeline
+
+    ds = FilterPipeline().annotate(documents_as_pages(sf_dir))
+    return ds.select_columns(["url", "keep", "drop_rule", "lang_id", "text_scrubbed"])
+
+
+def _q_rule_drop_stats(sf_dir: str):
+    from dataguards_ray.adapters import documents_as_pages
+    from dataguards_ray.pipeline import FilterPipeline
+    from dataguards_ray.rules.dsl import violation_report
+
+    ds = FilterPipeline().annotate(documents_as_pages(sf_dir))
+    return violation_report(ds)
+
+
+def _q_lang_retention(sf_dir: str):
+    from dataguards_ray.adapters import documents_as_pages
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.pipeline import FilterPipeline
+
+    ds = FilterPipeline().annotate(documents_as_pages(sf_dir))
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang_id": b.column("lang_id"),
+             "kept": pc.cast(b.column("keep"), pa.int64())}
+        )
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["lang_id"], [("kept", "sum", "kept"), ("kept", "count", "total")])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": _q_tpch_q1,
+        "filter_project": _q_filter_project,
+        "join_customer_orders": _q_join_customer_orders,
+        "join_region_nation_customer": _q_join_region_nation_customer,
+        "semi_join_customers_with_orders": _q_semi_join,
+        "anti_join_customers_without_orders": _q_anti_join,
+        "hash_join_supplier_nation": _q_hash_join_supplier_nation,
+        "topk_orders": _q_topk_orders,
+        "distinct_flag_status": _q_distinct,
+        "union_all_names": _q_union_all_names,
+        "nations_without_suppliers_negbal": _q_nations_without_negbal_suppliers,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "json_props_stats": _q_json_props_stats,
+        "window_tumbling_events": _q_window_tumbling,
+        "salted_source_counts": _q_salted_source_counts,
+        "rule_range_violations": _q_rule_range_violations,
+        "rule_predicate_violations": _q_rule_predicate_violations,
+        "cfd_violations": _q_cfd_violations,
+        "dc_single_violations": _q_dc_single_violations,
+        "dc_pair_violations": _q_dc_pair_violations,
+        "dedup_docs_exact": _q_dedup_docs_exact,
+        "top_sources": _q_top_sources,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "knn_embeddings": _q_knn_embeddings,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        # rows-only (no SQL equivalent):
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_ann_pairs": _q_lsh_ann_pairs,
+        "lang_guess": _q_lang_guess,
+        "scrub_documents": _q_scrub_documents,
+        "flagship_pipeline": _q_flagship,
+        "rule_drop_stats": _q_rule_drop_stats,
+        "lang_retention": _q_lang_retention,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": _SQL_TPCH_Q1,
+        "filter_project": _SQL_FILTER_PROJECT,
+        "join_customer_orders": _SQL_JOIN_CUST_ORDERS,
+        "join_region_nation_customer": _SQL_JOIN_RNC,
+        "semi_join_customers_with_orders": _SQL_SEMI,
+        "anti_join_customers_without_orders": _SQL_ANTI,
+        "hash_join_supplier_nation": _SQL_HASH_JOIN,
+        "topk_orders": _SQL_TOPK,
+        "distinct_flag_status": _SQL_DISTINCT,
+        "union_all_names": _SQL_UNION,
+        "nations_without_suppliers_negbal": _SQL_EXCEPT,
+        "latest_event_per_user": _SQL_LATEST_EVENT,
+        "json_props_stats": _SQL_JSON,
+        "window_tumbling_events": _SQL_WINDOW,
+        "salted_source_counts": _SQL_SALTED,
+        "rule_range_violations": _SQL_RULE_RANGE,
+        "rule_predicate_violations": _SQL_RULE_PRED,
+        "cfd_violations": _SQL_CFD,
+        "dc_single_violations": _SQL_DC_SINGLE,
+        "dc_pair_violations": _SQL_DC_PAIR,
+        "dedup_docs_exact": _SQL_DEDUP_DOCS,
+        "top_sources": _SQL_TOP_SOURCES,
+        "token_counts": _SQL_TOKENS,
+        "quality_scores": _SQL_QUALITY,
+        "doc_fingerprints": _SQL_FINGERPRINT,
+        "knn_embeddings": _SQL_KNN,
+        "near_dup_embeddings": _SQL_NEAR_DUP_EMB,
+    }

@@ -1,0 +1,156 @@
+"""Joins / lookups (SURVEY §2.6 J1–J4).
+
+Broadcast-first design: small sides ship once via ``ray.put`` and join
+map-side inside ``map_batches`` (no shuffle); only genuinely large-large
+joins use ``Dataset.join`` (hash-partitioned, ray 2.49).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Max, Sum
+
+from .steps.dedup import get_broadcast
+
+
+def broadcast_lookup(
+    ds: Dataset,
+    small: dict,
+    key: str,
+    out_col: str,
+    *,
+    default=None,
+    out_type: pa.DataType | None = None,
+) -> Dataset:
+    """J1: map-side hash join against a broadcast dict (blocklists,
+    per-language thresholds...).  Appends ``out_col = small.get(row[key])``."""
+    ref = ray.put(small)
+
+    def _lookup(batch: pa.Table) -> pa.Table:
+        d = get_broadcast(ref)
+        vals = [d.get(k, default) for k in batch.column(key).to_pylist()]
+        arr = pa.array(vals, type=out_type) if out_type else pa.array(vals)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(_lookup, batch_format="pyarrow")
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str],
+    *,
+    how: str = "inner",
+    num_partitions: int = 16,
+    right_on: Sequence[str] | None = None,
+    left_suffix: str | None = None,
+    right_suffix: str | None = "_r",
+) -> Dataset:
+    """J2: large-large equi-join → ``Dataset.join`` (hash-partitioned
+    shuffle of both sides — use broadcast_lookup when one side is small)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+def _key_set(ds: Dataset, key: str) -> set:
+    """Distinct key values, collected to the driver via per-batch partial
+    dedup (one row per key per batch) + a tiny groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key]).group_by(key).aggregate([(key, "count")])
+        return t.rename_columns([key, "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return {r[key] for r in agg.take_all()}
+
+
+def semi_join(left: Dataset, right: Dataset, key: str, *, right_key: str | None = None) -> Dataset:
+    """J3: rows of `left` WITH a match in `right` — broadcast key-set
+    membership filter, no shuffle of `left`.  Scale path for a huge right
+    side: Bloom filter of its keys (false positives re-checked) — SURVEY §2.6."""
+    keys = _key_set(right, right_key or key)
+    ref = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = get_broadcast(ref)
+        vs = pa.array(list(ks))
+        return batch.filter(pc.is_in(batch.column(key), value_set=vs))
+
+    return left.map_batches(_filter, batch_format="pyarrow")
+
+
+def anti_join(left: Dataset, right: Dataset, key: str, *, right_key: str | None = None) -> Dataset:
+    """J3: rows of `left` WITHOUT a match in `right`."""
+    keys = _key_set(right, right_key or key)
+    ref = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = get_broadcast(ref)
+        vs = pa.array(list(ks))
+        return batch.filter(pc.invert(pc.is_in(batch.column(key), value_set=vs)))
+
+    return left.map_batches(_filter, batch_format="pyarrow")
+
+
+def latest_by_key(
+    ds: Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> Dataset:
+    """J4 (as-of newest analog): ONE winner row per key = max (ts, tiebreak).
+
+    Thin winner pass (per-batch partial max-rank, tiny global groupby,
+    driver dict broadcast) then a vectorized filter — the dataset itself
+    is never shuffled.  rank = f"{ts:020d}|{tiebreak:020d}" must be
+    unique per key (include a unique column as tiebreak).  The winner
+    dict holds one entry per distinct key — for very high-cardinality
+    keys use groupby(key).map_groups instead (documented trade-off)."""
+
+    def rank_of(batch: pa.Table) -> pa.Array:
+        ts = pc.utf8_lpad(
+            pc.cast(pc.cast(batch.column(ts_col), pa.int64()), pa.string()), 20, padding="0"
+        )
+        tb = pc.utf8_lpad(
+            pc.cast(pc.cast(batch.column(tiebreak_col), pa.int64()), pa.string()),
+            20,
+            padding="0",
+        )
+        return pc.binary_join_element_wise(ts, tb, "|")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key), "r": rank_of(batch)})
+        return t.group_by(key).aggregate([("r", "max")]).rename_columns([key, "r"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Max("r", alias_name="r"))
+    )
+    winners = {row[key]: row["r"] for row in agg.take_all()}
+    ref = ray.put(winners)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        w = get_broadcast(ref)
+        ranks = rank_of(batch).to_pylist()
+        keys = batch.column(key).to_pylist()
+        mask = [w.get(k) == r for k, r in zip(keys, ranks)]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1,0 +1,157 @@
+"""Conditional functional dependencies (SURVEY §2.2 R4; Bohannon, Fan,
+Geerts, Jia, Kementsietsidis, ICDE 2007).
+
+A CFD is an embedded FD ``X → Y`` restricted by a pattern tableau: each
+tableau row gives, per attribute of X and for Y, either a constant or
+the wildcard ``"_"``.  Two compile targets:
+
+  (a) all-constant tableau rows (incl. constant Y) → a pure vectorized
+      row predicate: rows matching the X constants must have Y equal to
+      the Y constant — fused into the RuleSet's single map_batches.
+  (b) tableau rows with a wildcard Y → a true FD on the matching subset:
+      groupby(X) and flag EVERY row of a group carrying >1 distinct Y —
+      a shuffle keyed on X (SURVEY §7: "CFD → its LHS X").
+
+The shuffle path pre-aggregates per batch (one (X, y-set-sample) row per
+group per batch) before the global groupby, then broadcasts the violating
+X-keys back as a filter — the corpus itself is never re-shuffled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+from .dsl import Rule
+
+WILDCARD = "_"
+
+
+def _sep_join(batch: pa.Table, cols: list[str]) -> pa.Array:
+    """Composite string key over cols (null → literal '<null>')."""
+    parts = []
+    for c in cols:
+        s = pc.cast(batch.column(c), pa.string())
+        parts.append(pc.fill_null(s, "<null>"))
+    if len(parts) == 1:
+        return parts[0].combine_chunks() if isinstance(parts[0], pa.ChunkedArray) else parts[0]
+    out = pc.binary_join_element_wise(*parts, "\x1f")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+@dataclass
+class CFD(Rule):
+    """``CFD(name, lhs, rhs, tableau)`` — tableau: list of dicts mapping
+    each lhs attr and the rhs attr to a constant or "_"."""
+
+    name: str
+    lhs: list[str]
+    rhs: str
+    tableau: list[dict[str, Any]]
+    row_local: bool = False  # set in __post_init__
+
+    def __post_init__(self):
+        self._const_rows = [t for t in self.tableau if t.get(self.rhs, WILDCARD) != WILDCARD]
+        self._var_rows = [t for t in self.tableau if t.get(self.rhs, WILDCARD) == WILDCARD]
+        self.row_local = not self._var_rows
+
+    # -- shared: does a row match a tableau row's X constants? -------------
+    def _match_mask(self, batch: pa.Table, trow: dict[str, Any]) -> pa.Array | None:
+        m = None
+        for col in self.lhs:
+            pat = trow.get(col, WILDCARD)
+            if pat == WILDCARD:
+                continue
+            em = pc.fill_null(pc.equal(batch.column(col), pat), False)
+            m = em if m is None else pc.and_(m, em)
+        return m  # None == matches everything
+
+    # -- target (a): constant tableau rows → vectorized ------------------
+    def violations(self, batch: pa.Table) -> pa.Array:
+        viol = pa.array([False] * batch.num_rows)
+        for trow in self._const_rows:
+            m = self._match_mask(batch, trow)
+            bad = pc.invert(
+                pc.fill_null(pc.equal(batch.column(self.rhs), trow[self.rhs]), False)
+            )
+            viol = pc.or_(viol, bad if m is None else pc.and_(m, bad))
+        return viol if isinstance(viol, pa.Array) else viol.combine_chunks()
+
+    # -- target (b): wildcard-Y rows → groupby(X) shuffle ------------------
+    def apply_shuffle(self, ds: Dataset) -> Dataset:
+        flag_col = f"__viol_{self.name}"
+        const_part = self._const_rows
+
+        def with_const_flags(batch: pa.Table) -> pa.Table:
+            if const_part:
+                self_local = CFD(self.name, self.lhs, self.rhs, const_part)
+                return batch.append_column(flag_col, self_local.violations(batch))
+            return batch.append_column(
+                flag_col, pa.array([False] * batch.num_rows, type=pa.bool_())
+            )
+
+        ds = ds.map_batches(with_const_flags, batch_format="pyarrow")
+
+        for i, trow in enumerate(self._var_rows):
+            bad_keys = self._violating_keys(ds, trow)
+            if not bad_keys:
+                continue
+            ref = ray.put(bad_keys)
+
+            def mark(batch: pa.Table, trow=trow, ref=ref) -> pa.Table:
+                from ..steps.dedup import get_broadcast
+
+                keys = get_broadcast(ref)
+                kcol = _sep_join(batch, self.lhs)
+                inset = pc.is_in(kcol, value_set=pa.array(sorted(keys), type=pa.string()))
+                m = self._match_mask(batch, trow)
+                bad = inset if m is None else pc.and_(m, inset)
+                new = pc.or_(batch.column(flag_col), bad)
+                return batch.set_column(
+                    batch.schema.get_field_index(flag_col), flag_col, new.combine_chunks()
+                )
+
+            ds = ds.map_batches(mark, batch_format="pyarrow")
+        return ds
+
+    def _violating_keys(self, ds: Dataset, trow: dict[str, Any]) -> set[str]:
+        """X-keys (composite string) whose matching rows carry >1 distinct Y.
+        Per-batch partial: one (key, min_y, max_y) row per key; a key
+        violates iff global min != global max OR any partial disagrees."""
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = self._match_mask(batch, trow)
+            if m is not None:
+                batch = batch.filter(m)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"k": pa.array([], type=pa.string()),
+                     "y_min": pa.array([], type=pa.string()),
+                     "y_max": pa.array([], type=pa.string())}
+                )
+            t = pa.table(
+                {
+                    "k": _sep_join(batch, self.lhs),
+                    "y": pc.fill_null(pc.cast(batch.column(self.rhs), pa.string()), "<null>"),
+                }
+            )
+            g = t.group_by("k").aggregate([("y", "min"), ("y", "max")])
+            return g.rename_columns(["k", "y_min", "y_max"])
+
+        from ray.data.aggregate import Max, Min
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Min("y_min", alias_name="y_min"), Max("y_max", alias_name="y_max"))
+        )
+        return {
+            r["k"]
+            for r in agg.filter(expr="y_min != y_max").take_all()
+        }

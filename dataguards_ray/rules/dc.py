@@ -1,0 +1,99 @@
+"""Denial constraints (SURVEY §2.2 R5; Chu, Ilyas, Papotti, VLDB 2013).
+
+A DC forbids a conjunction of predicates: ¬∃ t (single-tuple) or
+¬∃ t,t′, t≠t′ (two-tuple).  Compile targets:
+
+  single-tuple → vectorized filter: violation = all atoms hold on the
+    row (fused into the RuleSet map_batches stage).
+  two-tuple → the equality atoms (t.x = t′.x, same attribute) form the
+    groupby key (SURVEY §7 shuffle table: "two-tuple DC → its
+    equality-atom key"); remaining atoms are checked pairwise inside
+    each group with numpy outer comparisons.  A row is flagged if it
+    participates in ANY witness pair (either role).  Group-local work is
+    O(n²) — bounded by ``max_group`` with an explicit error on
+    pathological groups (SURVEY §7 hard-parts); for larger groups add a
+    salt attribute to the key or rewrite the DC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from .dsl import Predicate, Rule
+
+_NP_OPS = {
+    "==": np.equal,
+    "!=": np.not_equal,
+    "<": np.less,
+    "<=": np.less_equal,
+    ">": np.greater,
+    ">=": np.greater_equal,
+}
+
+
+@dataclass(frozen=True)
+class Atom:
+    """t.left OP t′.right (two-tuple predicate)."""
+
+    left: str
+    op: str
+    right: str
+
+
+@dataclass
+class DenialConstraint(Rule):
+    name: str
+    # single-tuple form: violation where ALL predicates hold
+    single: list[Predicate] = field(default_factory=list)
+    # two-tuple form: eq_keys = equality atoms (same attribute both sides)
+    eq_keys: list[str] = field(default_factory=list)
+    pair_atoms: list[Atom] = field(default_factory=list)
+    max_group: int = 20_000
+    row_local: bool = True
+
+    def __post_init__(self):
+        if self.pair_atoms and not self.eq_keys:
+            raise ValueError("two-tuple DC needs at least one equality atom as groupby key")
+        self.row_local = not self.pair_atoms
+
+    def violations(self, batch: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+
+        m = None
+        for p in self.single:
+            pm = p.mask(batch)
+            m = pm if m is None else pc.and_(m, pm)
+        if m is None:
+            return pa.array([False] * batch.num_rows)
+        return m if isinstance(m, pa.Array) else m.combine_chunks()
+
+    def apply_shuffle(self, ds: Dataset) -> Dataset:
+        flag_col = f"__viol_{self.name}"
+        atoms = tuple(self.pair_atoms)
+        max_group = self.max_group
+
+        def per_group(group: pa.Table) -> pa.Table:
+            n = group.num_rows
+            if n > max_group:
+                raise ValueError(
+                    f"DC {self.name}: group of {n} rows exceeds max_group="
+                    f"{max_group}; salt the key or rewrite the constraint"
+                )
+            if n < 2:
+                return group.append_column(flag_col, pa.array([False] * n))
+            conj = np.ones((n, n), dtype=bool)
+            for a in atoms:
+                lv = group.column(a.left).to_numpy(zero_copy_only=False)
+                rv = group.column(a.right).to_numpy(zero_copy_only=False)
+                conj &= _NP_OPS[a.op](lv[:, None], rv[None, :])
+            np.fill_diagonal(conj, False)  # t ≠ t′
+            viol = conj.any(axis=1) | conj.any(axis=0)
+            return group.append_column(flag_col, pa.array(viol))
+
+        return ds.groupby(self.eq_keys if len(self.eq_keys) > 1 else self.eq_keys[0]).map_groups(
+            per_group, batch_format="pyarrow"
+        )

@@ -1,0 +1,209 @@
+"""Rule DSL core (SURVEY §2.2 R1–R3, R6–R8).
+
+A ``Rule`` produces a per-row boolean *violation* mask.  ``RuleSet``
+compiles a rule list into:
+
+  - ONE fused vectorized ``map_batches`` stage for all row-local rules
+    (pyarrow.compute kernels, zero-copy Arrow), and
+  - one groupby stage per FD-style / pairwise rule (CFD with variable
+    tableau patterns, two-tuple denial constraints) — the only shuffles.
+
+Canonical order = list order; ``drop_rule`` is the FIRST violated rule
+(matching the flagship's frozen semantics, spec.RULE_ORDER).
+
+Null semantics (data-quality convention): a predicate over a null value
+does not *hold*; whether that is a violation depends on the rule
+(``Predicate("c", "not_null")`` exists to check nulls explicitly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+_OPS = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+@dataclass(frozen=True)
+class Predicate:
+    """R1 atom: column OP (constant | other column).  ``mask`` is True
+    where the predicate HOLDS (nulls → False)."""
+
+    col: str
+    op: str
+    value: Any = None
+    col2: str | None = None
+
+    def mask(self, batch: pa.Table) -> pa.Array:
+        c = batch.column(self.col)
+        if self.op in _OPS:
+            rhs = batch.column(self.col2) if self.col2 else self.value
+            m = _OPS[self.op](c, rhs)
+        elif self.op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(self.value)))
+        elif self.op == "not_in":
+            m = pc.invert(pc.is_in(c, value_set=pa.array(list(self.value))))
+        elif self.op == "is_null":
+            return pc.is_null(c).combine_chunks()
+        elif self.op == "not_null":
+            return pc.is_valid(c).combine_chunks()
+        elif self.op == "between":
+            lo, hi = self.value
+            m = pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        elif self.op == "matches":
+            m = pc.match_substring_regex(c, self.value)
+        elif self.op == "not_matches":
+            m = pc.invert(pc.match_substring_regex(c, self.value))
+        else:
+            raise ValueError(f"unknown predicate op {self.op!r}")
+        return pc.fill_null(m, False).combine_chunks()
+
+
+class Rule:
+    """Base: named rule; row-local rules implement ``violations``."""
+
+    name: str
+    row_local: bool = True
+
+    def violations(self, batch: pa.Table) -> pa.Array:  # pragma: no cover
+        raise NotImplementedError
+
+    def apply_shuffle(self, ds: Dataset) -> Dataset:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class PredicateRule(Rule):
+    """Row must satisfy ALL predicates; violation = any fails."""
+
+    name: str
+    predicates: list[Predicate] = field(default_factory=list)
+    row_local: bool = True
+
+    def violations(self, batch: pa.Table) -> pa.Array:
+        m = None
+        for p in self.predicates:
+            pm = p.mask(batch)
+            m = pm if m is None else pc.and_(m, pm)
+        if m is None:
+            return pa.array([False] * batch.num_rows)
+        return pc.invert(m)
+
+
+@dataclass
+class RangeRule(Rule):
+    """R2: violated outside [lo, hi] (nulls violate)."""
+
+    name: str
+    col: str
+    lo: Any = None
+    hi: Any = None
+    row_local: bool = True
+
+    def violations(self, batch: pa.Table) -> pa.Array:
+        c = batch.column(self.col)
+        ok = pc.is_valid(c)
+        if self.lo is not None:
+            ok = pc.and_(ok, pc.fill_null(pc.greater_equal(c, self.lo), False))
+        if self.hi is not None:
+            ok = pc.and_(ok, pc.fill_null(pc.less_equal(c, self.hi), False))
+        return pc.invert(ok).combine_chunks()
+
+
+@dataclass
+class RegexRule(Rule):
+    """R3: violated when (not) matching `pattern` (RE2 via pyarrow;
+    nulls violate when must_match, pass otherwise)."""
+
+    name: str
+    col: str
+    pattern: str
+    must_match: bool = True
+    row_local: bool = True
+
+    def violations(self, batch: pa.Table) -> pa.Array:
+        m = pc.match_substring_regex(batch.column(self.col), self.pattern)
+        if self.must_match:
+            return pc.invert(pc.fill_null(m, False)).combine_chunks()
+        return pc.fill_null(m, False).combine_chunks()
+
+
+@dataclass
+class RuleSet:
+    """R6/R7: compile + evaluate.  ``evaluate`` appends per-rule flag
+    columns, then rule_hits / keep / drop_rule, and drops the flags."""
+
+    rules: list[Rule]
+
+    def evaluate(self, ds: Dataset) -> Dataset:
+        row_local = [r for r in self.rules if r.row_local]
+        shuffled = [r for r in self.rules if not r.row_local]
+
+        if row_local:
+
+            def fused(batch: pa.Table, rules=tuple(row_local)) -> pa.Table:
+                for r in rules:
+                    batch = batch.append_column(f"__viol_{r.name}", r.violations(batch))
+                return batch
+
+            ds = ds.map_batches(fused, batch_format="pyarrow")
+
+        for r in shuffled:
+            ds = r.apply_shuffle(ds)  # appends __viol_{r.name}
+
+        names = [r.name for r in self.rules]  # canonical order = list order
+
+        def decide(batch: pa.Table, names=tuple(names)) -> pa.Table:
+            viols = [batch.column(f"__viol_{n}").to_numpy(zero_copy_only=False) for n in names]
+            n_rows = batch.num_rows
+            hits: list[list[str]] = []
+            first: list[str | None] = []
+            for i in range(n_rows):
+                h = [names[j] for j in range(len(names)) if viols[j][i]]
+                hits.append(h)
+                first.append(h[0] if h else None)
+            keep = pa.array([not h for h in hits], type=pa.bool_())
+            batch = batch.drop_columns([f"__viol_{n}" for n in names])
+            return (
+                batch.append_column("rule_hits", pa.array(hits, type=pa.list_(pa.string())))
+                .append_column("keep", keep)
+                .append_column("drop_rule", pa.array(first, type=pa.string()))
+            )
+
+        return ds.map_batches(decide, batch_format="pyarrow")
+
+
+def violation_report(ds: Dataset) -> Dataset:
+    """R8/G1: per-rule violation counts, sorted desc — explode rule_hits
+    via per-batch partial counts (pre-aggregation), then a tiny groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for hits in batch.column("rule_hits").to_pylist():
+            for h in hits:
+                counts[h] = counts.get(h, 0) + 1
+        return pa.table(
+            {
+                "rule": pa.array(list(counts.keys()), type=pa.string()),
+                "drops": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(Sum("drops", alias_name="drops"))
+        .sort("drops", descending=True)
+    )

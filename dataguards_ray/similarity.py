@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (task brief): brute-force
+cosine top-k as the exact baseline, and an LSH-bucketed variant as the
+scale path.
+
+Embeddings stay Arrow ``list<float>`` until the numpy kernel; the query
+matrix is broadcast ONCE via ``ray.put`` and each batch does one float64
+matmul against it (SURVEY steering: broadcast small side, vectorized
+per-batch compute).  float64 throughout so results are comparable with
+DuckDB's double-precision ``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from .steps.dedup import get_broadcast
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-30)
+
+
+def knn_cosine(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact top-k cosine neighbors per query vector.
+
+    Per batch: normalized float64 matmul → per-batch top-k partials;
+    global merge on the driver with a heap (k × n_queries rows only).
+    Returns (query_id, vec_id, rank) — scores are intentionally omitted
+    from the result so cross-engine float rounding can't flap the
+    comparison; ordering is by (score desc, vec_id asc).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = get_broadcast(ref)
+        e = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = e @ q.T  # (b, nq)
+        nq = q.shape[0]
+        take = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            idx = np.argsort(-col, kind="stable")[:take]
+            out_q.extend([j] * take)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int32()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    heaps: dict[int, list] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        h = heaps.setdefault(row["query_id"], [])
+        # max by (score, then smaller vec_id wins ties → push -vec_id)
+        heapq.heappush(h, (row["score"], -row["vec_id"]))
+        if len(h) > k:
+            heapq.heappop(h)
+    qs, vs, rks = [], [], []
+    for qid in sorted(heaps):
+        best = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
+        for r, (s, nid) in enumerate(best[:k], start=1):
+            qs.append(qid)
+            vs.append(-nid)
+            rks.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int32()),
+            "vec_id": pa.array(vs, type=pa.int64()),
+            "rank": pa.array(rks, type=pa.int32()),
+        }
+    )
+
+
+def near_dup_cosine(
+    ds: Dataset,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """All pairs (a < b) with cosine ≥ threshold — exact brute force.
+
+    The normalized full matrix is broadcast once; each batch computes its
+    block of the similarity matrix (O(n²) flops spread across tasks).
+    Scale path for corpora where the matrix can't broadcast:
+    ``lsh_bucket_pairs`` below (hyperplane-LSH buckets + within-bucket
+    exact check)."""
+    full = ds.select_columns([id_col, vec_col]).take_all()
+    ids_all = np.array([r[id_col] for r in full], dtype=np.int64)
+    m = _normalize(np.array([r[vec_col] for r in full], dtype=np.float64))
+    ref = ray.put((ids_all, m))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_a, mat = get_broadcast(ref)
+        e = _normalize(_to_matrix(batch.column(vec_col)))
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = e @ mat.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a = bids[ii]
+        b = ids_a[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def lsh_bucket_pairs(
+    ds: Dataset,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> pa.Table:
+    """Scale-path ANN: random-hyperplane LSH (deterministic seed) —
+    signature buckets via groupby, exact cosine verify within buckets.
+    Recall < 1 by design; candidates only ever shrink the exact check."""
+    rng = np.random.RandomState(seed)
+
+    def make_planes(d: int) -> np.ndarray:
+        return rng.standard_normal((n_tables, n_planes, d))
+
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        e = _normalize(_to_matrix(batch.column(vec_col)))
+        if "p" not in planes_holder:
+            # deterministic: same seed → same planes in every task
+            planes_holder["p"] = np.random.RandomState(seed).standard_normal(
+                (n_tables, n_planes, e.shape[1])
+            )
+        planes = planes_holder["p"]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t_ids, buckets, out_ids = [], [], []
+        for t in range(n_tables):
+            bits = (e @ planes[t].T) > 0  # (b, n_planes)
+            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            t_ids.extend([t] * len(ids))
+            buckets.extend(sig.tolist())
+            out_ids.extend(ids.tolist())
+        return pa.table(
+            {
+                "t": pa.array(t_ids, type=pa.int32()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "vec_id": pa.array(out_ids, type=pa.int64()),
+            }
+        )
+
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow")
+
+    # candidate pairs within (table, bucket) groups
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("vec_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a, type=pa.int64()), "id_b": pa.array(b, type=pa.int64())})
+
+    cand = sigs.groupby(["t", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    uniq = {(r["id_a"], r["id_b"]) for r in cand.take_all()}
+
+    # exact verify on the candidate set only
+    full = ds.select_columns([id_col, vec_col]).take_all()
+    vec = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in full}
+    out_a, out_b = [], []
+    for a, b in sorted(uniq):
+        va, vb = vec[a], vec[b]
+        sim = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
+        if sim >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table({"id_a": pa.array(out_a, type=pa.int64()), "id_b": pa.array(out_b, type=pa.int64())})
