@@ -87,13 +87,14 @@ def score_batch(texts: list[str], W: np.ndarray) -> tuple[list[str], np.ndarray]
         return langs_out, scores
     nonempty = np.nonzero(lens > 0)[0]
     if nonempty.size:
-        flat = np.concatenate([buckets[i] for i in nonempty])
-        rows = W[flat.astype(np.int64)]  # (total_grams, L)
-        ne_lens = lens[nonempty]
-        offsets = np.zeros(nonempty.size, dtype=np.int64)
-        np.cumsum(ne_lens[:-1], out=offsets[1:])
-        sums = np.add.reduceat(rows, offsets, axis=0)  # sequential per segment
-        means = sums / ne_lens[:, None]
+        # per-doc bucket-count × weight matvec: O(DIM·L) flops per doc and
+        # no per-gram row gather; count vector is a pure function of the
+        # doc, so scores are batch-composition-invariant.
+        dim = W.shape[0]
+        means = np.empty((nonempty.size, W.shape[1]), dtype=np.float64)
+        for j, i in enumerate(nonempty):
+            counts = np.bincount(buckets[i].astype(np.int64), minlength=dim)
+            means[j] = (counts @ W) / lens[i]
         shifted = means - means.max(axis=1, keepdims=True)
         e = np.exp(shifted)
         probs = e / e.sum(axis=1, keepdims=True)

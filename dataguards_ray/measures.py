@@ -18,11 +18,11 @@ from __future__ import annotations
 
 from collections import Counter
 
-import regex as _regex
+import re as _re
 
 from . import spec
 
-ELLIPSIS_RE = _regex.compile(r"\.\.\.|…", flags=_regex.V1)
+ELLIPSIS_RE = _re.compile(r"\.\.\.|…")
 
 # Union of all languages' stopword sets (language-independent hit count —
 # the stopword gate runs before language ID is trusted).

@@ -185,6 +185,11 @@ class FilterPipeline:
                         batch_format="pyarrow",
                     )
                 ds = dedup_mod.url_dedup_filter(ds, url_winners)
+        # drop columns not needed downstream (raw_digest consumed by the
+        # url filter, text_clean/valid consumed by scoring) so the
+        # partition-write shuffle moves only output + decision columns
+        # (static list — avoids a schema fetch that would execute a block)
+        ds = ds.drop_columns(["raw_digest", "text_clean", "valid"])
         return ds
 
     # -- in-memory variant (tests / queries) -------------------------------

@@ -16,7 +16,7 @@ exist; the spec below *is* the normative behavior.
 
 from __future__ import annotations
 
-import regex as _regex
+import re as _re
 
 # --------------------------------------------------------------------------
 # Languages
@@ -57,10 +57,11 @@ LANGID_DIM = 8192  # feature buckets
 # --------------------------------------------------------------------------
 
 # LM / stopword / toxicity tokens: maximal runs of word characters.
-WORD_RE = _regex.compile(r"\w+", flags=_regex.V1)
+# Engine frozen to stdlib `re` (sre): C-speed scans, stable semantics.
+WORD_RE = _re.compile(r"\w+")
 
 # Terminal-punctuation sentence boundary (C4 §2.2 style; incl. CJK 。！？).
-SENTENCE_END_RE = _regex.compile(r"[.!?…。！？](?=[\s\"')\]]|$)", flags=_regex.V1)
+SENTENCE_END_RE = _re.compile(r"[.!?…。！？](?=[\s\"')\]]|$)")
 
 BULLET_PREFIXES: tuple[str, ...] = ("- ", "* ", "• ", "· ")
 ELLIPSIS_SUFFIXES: tuple[str, ...] = ("…", "...")
@@ -204,15 +205,18 @@ _SCRUB_PARTS: tuple[tuple[str, str], ...] = (
         r"|\(\d{3}\)[ .\-]?\d{3}[ .\-]\d{4}"
         r"|\b\d{3}[.\-]\d{3}[.\-]\d{4}\b",
     ),
-    ("TOX", r"(?i)\b(?:" + "|".join(BADWORDS) + r")\b"),
+    ("TOX", r"(?i:\b(?:" + "|".join(BADWORDS) + r")\b)"),
 )
 
-SCRUB_RE = _regex.compile(
-    "|".join(f"(?P<{name}>{pat})" for name, pat in _SCRUB_PARTS),
-    flags=_regex.V1,
-)
+SCRUB_RE = _re.compile("|".join(f"(?P<{name}>{pat})" for name, pat in _SCRUB_PARTS))
 
 PII_CATEGORIES: tuple[str, ...] = ("EMAIL", "IPV6", "IPV4", "CARD", "SSN", "IBAN", "PHONE")
+
+# Fast-path trigger: every PII category requires a digit, '@' or ':'
+# (EMAIL→@, IPV6→:, IPV4/CARD/SSN/IBAN/PHONE→digit), and TOX requires a
+# badword substring.  A doc with neither cannot match SCRUB_RE at all,
+# so skipping the full scan is byte-exact (asserted in tests).
+_SCRUB_TRIGGER_RE = _re.compile(r"[0-9@:]")
 
 
 def luhn_ok(digits: str) -> bool:
@@ -236,6 +240,10 @@ def scrub_text(text: str) -> tuple[str, int, int]:
     Byte-deterministic: single left-to-right pass of SCRUB_RE; a CARD match
     failing Luhn is emitted unchanged (and not re-scanned).
     """
+    if _SCRUB_TRIGGER_RE.search(text) is None:
+        low = text.lower()
+        if not any(w in low for w in BADWORDS):
+            return text, 0, 0
     pii = 0
     tox = 0
     out: list[str] = []

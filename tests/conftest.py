@@ -41,6 +41,21 @@ def ray_session():
     ray.shutdown()
 
 
+def _spec_hash() -> str:
+    """Cache key component: golden labels/corpora depend on the frozen
+    spec + measures + textproc + model artifacts."""
+    import hashlib
+
+    import dataguards_ray
+
+    root = os.path.dirname(dataguards_ray.__file__)
+    h = hashlib.sha256()
+    for rel in ("spec.py", "measures.py", "textproc.py", "langid.py", "perplexity.py"):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def corpus_path(n: int, seed: int = 42) -> str:
     """Deterministic pages corpus parquet, cached in /tmp."""
     from fixtures.gen import pages_parquet
@@ -55,7 +70,7 @@ def golden_path(n: int, seed: int = 42) -> str:
     """Oracle golden labels for corpus (n, seed), cached in /tmp."""
     from oracle.oracle import oracle_run
 
-    path = f"/tmp/dg_fixtures/golden_n{n}_s{seed}.parquet"
+    path = f"/tmp/dg_fixtures/golden_n{n}_s{seed}_{_spec_hash()}.parquet"
     if not os.path.exists(path):
         res = oracle_run(pq.read_table(corpus_path(n, seed)))
         os.makedirs(os.path.dirname(path), exist_ok=True)
