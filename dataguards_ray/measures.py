@@ -43,12 +43,21 @@ MEASURE_FIELDS: tuple[str, ...] = (
 )
 
 
+def _word_has_alpha(w: str) -> bool:
+    # fast paths are C-level; the genexpr handles mixed words only
+    if w.isalpha():
+        return True
+    if w.isdigit():
+        return False
+    return any(c.isalpha() for c in w)
+
+
 def doc_measures(text: str) -> dict:
     """All row-local quality measures of a (normalized, pre-scrub) doc."""
     words = spec.WORD_RE.findall(text)
     wc = len(words)
     wc1 = max(wc, 1)
-    char_sum = sum(len(w) for w in words)
+    char_sum = sum(map(len, words))
     mean_len = char_sum / wc if wc else 0.0
 
     n_sym = text.count("#") + len(ELLIPSIS_RE.findall(text))
@@ -58,11 +67,13 @@ def doc_measures(text: str) -> dict:
     n_bullet = sum(1 for ln in lines if ln.startswith(spec.BULLET_PREFIXES))
     n_ell_end = sum(1 for ln in lines if ln.endswith(spec.ELLIPSIS_SUFFIXES))
 
-    n_alpha_words = sum(1 for w in words if any(c.isalpha() for c in w))
+    n_alpha_words = sum(map(_word_has_alpha, words))
 
-    lowered = [w.lower() for w in words]
-    stop_hits = sum(1 for w in lowered if w in _STOP_UNION)
-    tox_hits = sum(1 for w in lowered if w in spec.BADWORDS_SET)
+    # frozen definition: lowered tokens = tokenization of text.lower()
+    # (one C-level lower of the whole doc instead of one per word)
+    lowered = spec.WORD_RE.findall(text.lower())
+    stop_hits = sum(map(_STOP_UNION.__contains__, lowered))
+    tox_hits = sum(map(spec.BADWORDS_SET.__contains__, lowered))
 
     n_sent = len(spec.SENTENCE_END_RE.findall(text))
 

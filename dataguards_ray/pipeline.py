@@ -161,7 +161,12 @@ class FilterPipeline:
 
     def _url_winners(self, input_path: str | None, ds: Dataset) -> dict[str, int]:
         if input_path is not None:
-            meta = dg_io.read_pages(input_path, columns=["url", "warc_ts"])
+            # thin pass: 2 columns, block count ≈ CPUs (hundreds of tiny
+            # blocks just inflate the groupby's shuffle overhead)
+            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+            meta = ray.data.read_parquet(
+                input_path, columns=["url", "warc_ts"], override_num_blocks=n_blocks
+            )
         else:
             meta = ds.select_columns(["url", "warc_ts"])
         return dedup_mod.url_max_ts(meta)

@@ -70,7 +70,7 @@ def contested_winners(
         return g.rename_columns([key, "r", "n"])
 
     agg = (
-        meta.map_batches(partial, batch_format="pyarrow")
+        meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby(key)
         .aggregate(Sum("n", alias_name="n"), Max("r", alias_name="r"))
     )
@@ -95,7 +95,7 @@ def url_max_ts(meta: Dataset) -> dict[str, int]:
         return g.rename_columns(["url", "ts", "n"])
 
     agg = (
-        meta.map_batches(partial, batch_format="pyarrow")
+        meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby("url")
         .aggregate(Sum("n", alias_name="n"), Max("ts", alias_name="ts"))
     )
