@@ -1,0 +1,183 @@
+"""Operator tests: joins, aggregates, dedup, similarity, near-dup,
+multimodal plumbing (SURVEY §2.6–§2.8 + task-brief extras)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_broadcast_lookup():
+    import ray.data
+
+    from dataguards_ray.joins import broadcast_lookup
+
+    ds = ray.data.from_items([{"k": 1}, {"k": 2}, {"k": 9}])
+    out = broadcast_lookup(ds, {1: "a", 2: "b"}, "k", "v", out_type=pa.string())
+    df = out.to_pandas().sort_values("k")
+    assert list(df["v"]) == ["a", "b", None]
+
+
+def test_semi_anti_join_partition():
+    import ray.data
+
+    from dataguards_ray.joins import anti_join, semi_join
+
+    left = ray.data.from_items([{"k": i} for i in range(10)])
+    right = ray.data.from_items([{"k": i} for i in range(0, 10, 2)])
+    got_semi = sorted(r["k"] for r in semi_join(left, right, "k").take_all())
+    got_anti = sorted(r["k"] for r in anti_join(left, right, "k").take_all())
+    assert got_semi == [0, 2, 4, 6, 8]
+    assert got_anti == [1, 3, 5, 7, 9]
+
+
+def test_latest_by_key():
+    import ray.data
+
+    rows = [
+        {"k": "a", "ts": 5, "id": 1, "v": "x"},
+        {"k": "a", "ts": 9, "id": 2, "v": "y"},
+        {"k": "a", "ts": 9, "id": 3, "v": "z"},  # tie → higher id wins
+        {"k": "b", "ts": 1, "id": 4, "v": "w"},
+    ]
+    from dataguards_ray.joins import latest_by_key
+
+    ds = ray.data.from_items(rows)
+    out = {r["k"]: r for r in latest_by_key(ds, "k", "ts", "id").take_all()}
+    assert out["a"]["id"] == 3 and out["b"]["id"] == 4
+
+
+def test_salted_vs_plain_groupby():
+    from dataguards_ray.aggregates import grouped_agg, salted_groupby
+    from dataguards_ray.io import read_table
+
+    ds = read_table(SF, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"),
+             "q": pc.cast(b.column("l_quantity"), pa.int64())}
+        )
+
+    ds2 = ds.map_batches(prep, batch_format="pyarrow")
+    a = grouped_agg(ds2, ["l_returnflag"], [("q", "sum", "s"), ("q", "count", "n")])
+    b = salted_groupby(ds2, ["l_returnflag"], [("q", "sum", "s"), ("q", "count", "n")],
+                       salt_n=4)
+    da = a.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    db = b.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(da, db)
+
+
+def test_topk_and_approx_topk():
+    import ray.data
+
+    from dataguards_ray.aggregates import approx_top_k, topk
+
+    ds = ray.data.from_items(
+        [{"k": f"k{i % 7}", "v": i} for i in range(100)]
+    ).repartition(5)
+    top = topk(ds, [("v", True), ("k", False)], 3).to_pandas()
+    assert list(top["v"]) == [99, 98, 97]
+    heavy = approx_top_k(ds, "k", 2)
+    # k0 (i=0,7,..98) and k1 (i=1,8,..99) both occur 15x; tie broken by key
+    assert heavy[0] == ("k1", 15) and heavy[1] == ("k0", 15)
+
+
+def test_minhash_finds_near_dups():
+    import ray.data
+
+    from dataguards_ray.neardup import minhash_near_dup_pairs, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base + "and then some extra words"
+    other = "completely different content about databases " * 20
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": near},
+         {"doc_id": 3, "text": other}]
+    )
+    pairs = minhash_near_dup_pairs(ds, threshold=0.5)
+    got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert got == {(1, 2)}
+    # repeated base text has only ~44 unique shingles; the suffix adds ~25
+    assert ngram_jaccard(base, near) > 0.5
+    assert ngram_jaccard(base, other) < 0.05
+
+
+def test_simhash_hamming():
+    import ray.data
+
+    from dataguards_ray.neardup import simhash_near_dup_pairs, simhash64
+
+    # wide vocabulary -> per-bit majorities have big margins -> a one-word
+    # edit moves few bits (8-word repeats would flip many near-zero margins)
+    vocab = [f"word{i}making{i%7}text" for i in range(60)]
+    a = " ".join(vocab * 3)
+    b = a + " extraterm"
+    assert bin(simhash64(a) ^ simhash64(b)).count("1") <= 3
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b},
+         {"doc_id": 3, "text": "unrelated words entirely here " * 10}]
+    )
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3)
+    got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (1, 2) in got and not any(3 in p for p in got)
+
+
+def test_knn_matches_bruteforce():
+    import ray.data
+
+    from dataguards_ray.similarity import knn_cosine
+
+    rng = np.random.RandomState(0)
+    m = rng.standard_normal((50, 16))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(50)]
+    ).repartition(4)
+    out = knn_cosine(ds, m[:2], 5)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[:2].T
+    for q in range(2):
+        want = list(np.argsort(-sims[:, q], kind="stable")[:5])
+        got = [
+            v for qq, v in zip(out.column("query_id").to_pylist(),
+                               out.column("vec_id").to_pylist())
+            if qq == q
+        ]
+        assert got == want
+
+
+def test_multimodal_decode_resize():
+    import ray.data
+
+    from dataguards_ray.multimodal import (
+        decode_images,
+        encode_fake_image,
+        resize_images,
+    )
+
+    items = [{"img_id": i, "image": encode_fake_image(32, 16, seed=i)} for i in range(20)]
+    ds = ray.data.from_items(items)
+    dec = decode_images(ds, concurrency=(1, 2)).to_pandas()
+    assert set(dec["width"]) == {32} and set(dec["height"]) == {16}
+    small = resize_images(ds, 8, 8, concurrency=(1, 2))
+    dec2 = decode_images(small, concurrency=(1, 2)).to_pandas()
+    assert set(dec2["width"]) == {8} and set(dec2["height"]) == {8}
+
+    import pytest as _pytest
+
+    from dataguards_ray.multimodal import _decode_one
+
+    with _pytest.raises(NotImplementedError):
+        _decode_one(b"\x89PNG\r\n...")

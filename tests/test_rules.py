@@ -1,0 +1,120 @@
+"""Rule DSL tests (SURVEY §2.2 / §5.2): predicates, range/regex rules,
+CFD (both compile targets), denial constraints, report."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from dataguards_ray.rules import (
+    CFD,
+    Atom,
+    DenialConstraint,
+    Predicate,
+    PredicateRule,
+    RangeRule,
+    RegexRule,
+    RuleSet,
+    violation_report,
+)
+
+
+@pytest.fixture()
+def mini(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "city": ["NYC", "NYC", "LA", "LA", "SF", None],
+            "zip": ["10001", "10002", "90001", "90001", "94103", "x"],
+            "bal": [10.0, -5.0, 3.0, 99.0, -1.0, 0.0],
+            "seg": ["A", "B", "A", "A", "B", "A"],
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def _by_id(ds):
+    df = ds.to_pandas().sort_values("id").set_index("id")
+    return {i: list(df.loc[i, "rule_hits"]) for i in df.index}
+
+
+def test_predicate_ops(mini):
+    t = pa.table({"x": [1, 2, None], "y": ["a", "bb", "ccc"]})
+    assert Predicate("x", ">", 1).mask(t).to_pylist() == [False, True, False]
+    assert Predicate("x", "is_null").mask(t).to_pylist() == [False, False, True]
+    assert Predicate("x", "between", (1, 2)).mask(t).to_pylist() == [True, True, False]
+    assert Predicate("y", "matches", "^b+$").mask(t).to_pylist() == [False, True, False]
+    assert Predicate("y", "in", ["a", "ccc"]).mask(t).to_pylist() == [True, False, True]
+
+
+def test_range_regex_predicate_rules(mini):
+    rs = RuleSet(
+        [
+            RangeRule("bal.nonneg", "bal", lo=0.0),
+            RegexRule("zip.format", "zip", r"^\d{5}$"),
+            PredicateRule("city.notnull", [Predicate("city", "not_null")]),
+        ]
+    )
+    hits = _by_id(rs.evaluate(mini))
+    assert hits[1] == []
+    assert hits[2] == ["bal.nonneg"]
+    assert hits[6] == ["zip.format", "city.notnull"]
+
+
+def test_cfd_constant_and_variable(mini):
+    # constant tableau: city == SF must have zip 94103 (holds)
+    const = CFD("cfd.sf", ["city"], "zip", [{"city": "SF", "zip": "94103"}])
+    assert const.row_local
+    # variable: FD city -> zip violated by NYC (two zips)
+    var = CFD("cfd.fd", ["city"], "zip", [{"city": "_", "zip": "_"}])
+    assert not var.row_local
+    rs = RuleSet([const, var])
+    hits = _by_id(rs.evaluate(mini))
+    assert hits[1] == ["cfd.fd"] and hits[2] == ["cfd.fd"]
+    assert hits[3] == [] and hits[5] == []
+
+
+def test_dc_single_and_pair(mini):
+    rs = RuleSet(
+        [
+            DenialConstraint(
+                "dc.negB",
+                single=[Predicate("bal", "<", 0.0), Predicate("seg", "==", "B")],
+            ),
+            DenialConstraint(
+                "dc.pair", eq_keys=["seg"], pair_atoms=[Atom("bal", "<", "bal")]
+            ),
+        ]
+    )
+    hits = _by_id(rs.evaluate(mini))
+    assert hits[2] == ["dc.negB", "dc.pair"]
+    # every row participates in a within-seg bal inequality pair
+    assert all("dc.pair" in h for h in hits.values())
+
+
+def test_dc_pair_group_cap(ray_session):
+    import ray.data
+
+    t = pa.table({"k": ["a"] * 5, "v": [1, 2, 3, 4, 5]})
+    dc = DenialConstraint("dc.cap", eq_keys=["k"],
+                          pair_atoms=[Atom("v", "<", "v")], max_group=3)
+    with pytest.raises(Exception):
+        dc.apply_shuffle(ray.data.from_arrow(t)).materialize()
+
+
+def test_violation_report(mini):
+    rs = RuleSet([RangeRule("bal.nonneg", "bal", lo=0.0)])
+    rep = violation_report(rs.evaluate(mini)).to_pandas()
+    assert rep.iloc[0]["rule"] == "bal.nonneg"
+    assert rep.iloc[0]["drops"] == 2
+
+
+def test_step_registry(ray_session):
+    from dataguards_ray.pipeline import MapBatchesStep, make_step
+
+    step = make_step("prepare", num_parts=8)
+    assert step.name == "prepare"
+    wrap = MapBatchesStep("noop", lambda t: t)
+    assert wrap.name == "noop"
