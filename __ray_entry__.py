@@ -517,6 +517,29 @@ def _q_doc_fingerprints(sf_dir: str):
 _SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def _q_hash_sample(sf_dir: str):
+    """T3: deterministic hash-based sampling (parallelism-invariant —
+    NOT ds.random_sample); md5-prefix mod 1000 < 200 → ~20% of docs."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1000 < 200
+            for t in b.column("text").to_pylist()
+        ]
+        return b.filter(pa.array(mask, type=pa.bool_())).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_HASH_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 200
+"""
+
+
 def _q_knn_embeddings(sf_dir: str):
     from dataguards_ray.similarity import knn_cosine
 
@@ -686,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_doc_fingerprints,
+        "hash_sample": _q_hash_sample,
         "knn_embeddings": _q_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
         # rows-only (no SQL equivalent):
@@ -727,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKENS,
         "quality_scores": _SQL_QUALITY,
         "doc_fingerprints": _SQL_FINGERPRINT,
+        "hash_sample": _SQL_HASH_SAMPLE,
         "knn_embeddings": _SQL_KNN,
         "near_dup_embeddings": _SQL_NEAR_DUP_EMB,
     }

@@ -72,6 +72,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # one fused actor stage does ~80% of the compute; the per-operator
+    # reservation allocator would hand it only a fraction of the CPUs
+    ctx.op_resource_reservation_enabled = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -85,9 +88,11 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/dg_bench/out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    # floor the actor pools so autoscaling ramp-up (1 actor ≈ 1s spawn +
-    # model load) doesn't serialize the start of the run
-    conc = (max(2, NUM_CPUS // 4), max(2, NUM_CPUS))
+    # FIXED pool size: Ray's actor-pool autoscaler ramps far too slowly
+    # (measured 2× wall vs a fixed pool); N-2 leaves scheduling slots for
+    # the read / sort / write task ops (a full-width pool deadlocks the
+    # downstream sort).
+    conc = max(2, NUM_CPUS - 2)
     t0 = time.time()
     recs = FilterPipeline(concurrency=conc).run(corpus, out_dir)
     flagship_sec = time.time() - t0

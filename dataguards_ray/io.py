@@ -93,6 +93,13 @@ def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
     for hits in group.column("rule_hits").to_pylist():
         for h in hits:
             rule_counts[h] = rule_counts.get(h, 0) + 1
+    # per-language totals/kept (E2 retention stats come from manifests alone)
+    lang_totals: dict[str, int] = {}
+    lang_kept: dict[str, int] = {}
+    for lg, kp in zip(group.column("lang_id").to_pylist(), group.column("keep").to_pylist()):
+        lang_totals[lg] = lang_totals.get(lg, 0) + 1
+        if kp:
+            lang_kept[lg] = lang_kept.get(lg, 0) + 1
 
     kf = ""
     if kept.num_rows:
@@ -105,6 +112,8 @@ def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
         "input_rows": group.num_rows,
         "kept_pre_dedup": kept.num_rows,
         "rule_counts": rule_counts,
+        "lang_totals": lang_totals,
+        "lang_kept": lang_kept,
         "kept_file": kf,
     }
     _atomic_write_json(manifest, _manifest_path(out_dir, pid))

@@ -42,7 +42,7 @@ from ray.data import Dataset
 from . import io as dg_io
 from . import spec
 from .steps import dedup as dedup_mod
-from .steps.annotate import LangIdStage, PerplexityStage, ScoreStage
+from .steps.annotate import FusedAnnotateStage, LangIdStage, PerplexityStage, ScoreStage
 from .steps.prepare import prepare_batch
 
 
@@ -140,6 +140,25 @@ class ScoreStep:
         )
 
 
+@register_step("annotate")
+@dataclass
+class FusedAnnotateStep:
+    """langid + perplexity + score in one actor pool (see
+    FusedAnnotateStage) — the default; the three individual steps remain
+    available for custom chains."""
+
+    concurrency: tuple[int, int] | int = (1, 8)
+    batch_size: int = 1024
+
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.map_batches(
+            FusedAnnotateStage,
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )
+
+
 @dataclass
 class FilterPipeline:
     """E1 builder.  ``steps`` is the frozen default chain unless overridden."""
@@ -152,9 +171,7 @@ class FilterPipeline:
         if not self.steps:
             self.steps = [
                 PrepareStep(num_parts=self.num_parts),
-                LangIdStep(concurrency=self.concurrency),
-                PerplexityStep(concurrency=self.concurrency),
-                ScoreStep(concurrency=self.concurrency),
+                FusedAnnotateStep(concurrency=self.concurrency),
             ]
 
     # -- shared pieces -----------------------------------------------------

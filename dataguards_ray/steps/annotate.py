@@ -116,3 +116,22 @@ class ScoreStage:
             .append_column("scrub_count", pa.array(scrub_count, type=pa.int32()))
             .append_column("digest", pa.array(digests, type=pa.string()))
         )
+
+
+class FusedAnnotateStage:
+    """LangId + Perplexity + Score fused into ONE actor stage.
+
+    One pool instead of three: no inter-stage object-store round trips
+    for the wide text column, and no CPU-slot contention between pools
+    (three (min,max) pools on N CPUs fight for slots and stall the
+    stream).  Semantics identical by construction — it calls the three
+    stages' __call__ in pipeline order on the same batch.
+    """
+
+    def __init__(self, models_dir: str | None = None):
+        self._langid = LangIdStage(models_dir)
+        self._ppl = PerplexityStage(models_dir)
+        self._score = ScoreStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._score(self._ppl(self._langid(batch)))

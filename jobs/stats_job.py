@@ -1,0 +1,91 @@
+"""`dg stats` — reporting over a finished filter run (SURVEY §3 E2).
+
+Per-rule drop counts and per-language retention come straight from the
+per-partition lineage manifests (counters persisted at write time —
+BASELINE.json:6 "rule-hit counters persisted"); top-domain stats come
+from a salted groupby over the survivor corpus (G3, domain skew).
+
+  python jobs/stats_job.py OUT_DIR [--num-cpus 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def lineage_stats(out_dir: str) -> dict:
+    """Pure manifest merge — no Ray needed."""
+    from dataguards_ray.io import read_lineage
+
+    rule_drops: dict[str, int] = {}
+    lang_tot: dict[str, int] = {}
+    lang_kept: dict[str, int] = {}
+    input_rows = kept_rows = 0
+    for m in read_lineage(out_dir):
+        input_rows += m["input_rows"]
+        kept_rows += m.get("kept_rows", m["kept_pre_dedup"])
+        for r, n in m["rule_counts"].items():
+            rule_drops[r] = rule_drops.get(r, 0) + n
+        for lg, n in m.get("lang_totals", {}).items():
+            lang_tot[lg] = lang_tot.get(lg, 0) + n
+        for lg, n in m.get("lang_kept", {}).items():
+            lang_kept[lg] = lang_kept.get(lg, 0) + n
+    retention = {
+        lg: {"total": lang_tot[lg], "kept": lang_kept.get(lg, 0),
+             "retention": lang_kept.get(lg, 0) / lang_tot[lg]}
+        for lg in sorted(lang_tot)
+    }
+    return {
+        "input_rows": input_rows,
+        "kept_rows": kept_rows,
+        "rule_drops": dict(sorted(rule_drops.items(), key=lambda kv: -kv[1])),
+        "lang_retention": retention,
+    }
+
+
+def domain_stats(out_dir: str, k: int = 20) -> list[tuple[str, int]]:
+    """Top survivor domains via salted groupby (Ray session required)."""
+    import pyarrow as pa
+
+    from dataguards_ray.aggregates import salted_groupby, topk
+    from dataguards_ray.io import read_filtered
+    from dataguards_ray.urltools import add_url_domain
+
+    ds = add_url_domain(read_filtered(out_dir))
+    counts = salted_groupby(ds, ["domain"], [("url", "count", "n")],
+                            salt_n=16, salt_source="url")
+    top = topk(counts, [("n", True), ("domain", False)], k)
+    return [(r["domain"], r["n"]) for r in top.take_all()]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--top-domains", type=int, default=20)
+    args = ap.parse_args()
+
+    report = lineage_stats(args.out_dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    report["top_domains"] = domain_stats(args.out_dir, args.top_domains)
+    print(json.dumps(report, indent=2))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

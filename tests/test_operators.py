@@ -181,3 +181,13 @@ def test_multimodal_decode_resize():
 
     with _pytest.raises(NotImplementedError):
         _decode_one(b"\x89PNG\r\n...")
+
+
+def test_urltools():
+    from dataguards_ray.urltools import url_domain_one, url_normalize_one
+
+    assert url_normalize_one("HTTPS://Example.COM:443/a/b?q=1#frag") == "https://example.com/a/b?q=1"
+    assert url_normalize_one("http://example.com:8080/x") == "http://example.com:8080/x"
+    assert url_domain_one("https://a.b.site9.example.com/p") == "example.com"
+    assert url_domain_one("https://news.bbc.co.uk/x") == "bbc.co.uk"
+    assert url_domain_one("https://localhost/") == "localhost"
