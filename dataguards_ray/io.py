@@ -213,3 +213,18 @@ def read_kept(out_dir: str, *, columns: list[str] | None = None) -> Dataset:
         if n.startswith("kept-") and n.endswith(".parquet")
     ]
     return ray.data.read_parquet(files, columns=columns)
+
+
+def read_jsonl(path: str) -> Dataset:
+    """S5: JSONL reader (golden fixtures / sidecar metadata)."""
+    return ray.data.read_json(path)
+
+
+def cast_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """M8: explicit cast to a declared schema (fail-fast on impossible
+    casts; column order follows the target schema)."""
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return batch.select(schema.names).cast(schema)
+
+    return ds.map_batches(_cast, batch_format="pyarrow")

@@ -191,3 +191,23 @@ def test_urltools():
     assert url_domain_one("https://a.b.site9.example.com/p") == "example.com"
     assert url_domain_one("https://news.bbc.co.uk/x") == "bbc.co.uk"
     assert url_domain_one("https://localhost/") == "localhost"
+
+
+def test_cast_schema_and_jsonl(tmp_path):
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray.io import cast_schema, read_jsonl
+
+    ds = ray.data.from_items([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    target = pa.schema([("b", pa.string()), ("a", pa.int32())])
+    out = cast_schema(ds, target)
+    assert pa.schema(out.schema().base_schema).equals(target)
+
+    p = tmp_path / "rows.jsonl"
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"k": i}) + "\n")
+    assert sorted(r["k"] for r in read_jsonl(str(p)).take_all()) == [0, 1, 2]
