@@ -84,10 +84,23 @@ def final_file(out_dir: str, pid: int) -> str:
 def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
     """Phase 1 writer — runs inside groupby('part_id').map_groups.
 
-    Writes the partition's kept rows (pre-dedup) + an 'annotated'
+    url-dedup happens HERE: part_id = fnv1a64(url) % P co-locates every
+    row of a url in one partition group, so newest-wins needs no extra
+    pass or shuffle (J4; input contract: (url, warc_ts) unique).  Then
+    writes the partition's kept rows (pre text-dedup) + an 'annotated'
     manifest with input/rule counters.  Returns a one-row summary table.
     """
     pid = int(group.column("part_id")[0].as_py())
+    n_raw = group.num_rows
+    urls = group.column("url").to_pylist()
+    if len(set(urls)) != n_raw:  # url-dup losers present (rare)
+        ts = pa.compute.cast(group.column("warc_ts"), pa.int64()).to_pylist()
+        best: dict[str, int] = {}
+        for u, t in zip(urls, ts):
+            if u not in best or t > best[u]:
+                best[u] = t
+        mask = [best[u] == t for u, t in zip(urls, ts)]
+        group = group.filter(pa.array(mask, type=pa.bool_()))
     kept = group.filter(group.column("keep"))
     rule_counts: dict[str, int] = {}
     for hits in group.column("rule_hits").to_pylist():

@@ -42,7 +42,8 @@ from ray.data import Dataset
 from . import io as dg_io
 from . import spec
 from .steps import dedup as dedup_mod
-from .steps.annotate import FusedAnnotateStage, LangIdStage, PerplexityStage, ScoreStage
+from .steps.annotate import (FusedAnnotateStage, LangIdStage, PerplexityStage,
+                             ScoreStage, fused_annotate_batch)
 from .steps.prepare import prepare_batch
 
 
@@ -143,19 +144,34 @@ class ScoreStep:
 @register_step("annotate")
 @dataclass
 class FusedAnnotateStep:
-    """langid + perplexity + score in one actor pool (see
-    FusedAnnotateStage) — the default; the three individual steps remain
-    available for custom chains."""
+    """langid + perplexity + score fused (see FusedAnnotateStage /
+    fused_annotate_batch) — the default chain stage.
 
-    concurrency: tuple[int, int] | int = (1, 8)
+    Runs as a stateless TASK pool with a per-worker-process model cache:
+    same once-per-process init amortization as an actor pool, but fully
+    elastic scheduling (no pool sizing / autoscaler ramp / CPU-slot
+    starvation of the neighboring sort+write operators — all measured
+    problems; see steps/annotate.py).  Set ``use_actors=True`` for an
+    explicit pool (required if the stage ever pins accelerators)."""
+
+    concurrency: tuple[int, int] | int | None = None
     batch_size: int = 1024
+    slim_dropped: bool = False
+    use_actors: bool = False
 
     def apply(self, ds: Dataset) -> Dataset:
+        if self.use_actors:
+            return ds.map_batches(
+                FusedAnnotateStage,
+                fn_constructor_kwargs={"slim_dropped": self.slim_dropped},
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.concurrency or (1, 8),
+            )
         return ds.map_batches(
-            FusedAnnotateStage,
+            functools.partial(fused_annotate_batch, slim_dropped=self.slim_dropped),
             batch_format="pyarrow",
             batch_size=self.batch_size,
-            concurrency=self.concurrency,
         )
 
 
@@ -176,22 +192,9 @@ class FilterPipeline:
 
     # -- shared pieces -----------------------------------------------------
 
-    def _url_winners(self, input_path: str | None, ds: Dataset) -> dict[str, int]:
-        if input_path is not None:
-            # thin pass: 2 columns, block count ≈ CPUs (hundreds of tiny
-            # blocks just inflate the groupby's shuffle overhead)
-            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
-            meta = ray.data.read_parquet(
-                input_path, columns=["url", "warc_ts"], override_num_blocks=n_blocks
-            )
-        else:
-            meta = ds.select_columns(["url", "warc_ts"])
-        return dedup_mod.url_max_ts(meta)
-
     def _score_chain(
         self,
         ds: Dataset,
-        url_winners: dict[str, int],
         *,
         skip_parts: set[int] | None = None,
     ) -> Dataset:
@@ -206,7 +209,6 @@ class FilterPipeline:
                         ),
                         batch_format="pyarrow",
                     )
-                ds = dedup_mod.url_dedup_filter(ds, url_winners)
         # drop columns not needed downstream (raw_digest consumed by the
         # url filter, text_clean/valid consumed by scoring) so the
         # partition-write shuffle moves only output + decision columns
@@ -218,9 +220,14 @@ class FilterPipeline:
 
     def annotate(self, ds: Dataset, *, input_path: str | None = None) -> Dataset:
         """Full annotation incl. ``dedup_keep`` flag; materializes the
-        scored dataset once (use run() for corpus-scale streaming)."""
-        winners = self._url_winners(input_path, ds)
-        scored = self._score_chain(ds, winners).materialize()
+        scored dataset once (use run() for corpus-scale streaming).
+
+        url-dedup (newest wins) is applied from the materialized scored
+        metadata — losers are annotated (wasted work on the rare dup
+        fraction) then filtered, matching run()'s in-writer dedup."""
+        scored = self._score_chain(ds).materialize()
+        winners = dedup_mod.url_max_ts(scored.select_columns(["url", "warc_ts"]))
+        scored = dedup_mod.url_dedup_filter(scored, winners)
         kept_meta = scored.map_batches(
             lambda b: b.filter(b.column("keep")).select(["digest", "warc_ts", "url"]),
             batch_format="pyarrow",
@@ -240,10 +247,19 @@ class FilterPipeline:
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
         stages = dg_io.partitions_by_stage(out_dir) if resume else {"annotated": set(), "final": set()}
 
-        # phase 1 — annotate + write kept rows per partition
+        # phase 1 — annotate + write kept rows per partition (url-dedup
+        # happens inside the writer: part_id co-locates each url's rows)
         ds = dg_io.read_pages(input_path)
-        url_winners = self._url_winners(input_path, ds)
-        scored = self._score_chain(ds, url_winners, skip_parts=stages["annotated"])
+        # slim_dropped: the write shuffle must not move dropped rows'
+        # text (they only feed counters) — annotate() keeps full labels
+        steps = [
+            FusedAnnotateStep(concurrency=s.concurrency, slim_dropped=True)
+            if isinstance(s, FusedAnnotateStep) else s
+            for s in self.steps
+        ]
+        pipe = FilterPipeline(num_parts=self.num_parts,
+                              concurrency=self.concurrency, steps=steps)
+        scored = pipe._score_chain(ds, skip_parts=stages["annotated"])
         scored.groupby("part_id").map_groups(
             lambda g: dg_io.write_annotated_partition(g, out_dir),
             batch_format="pyarrow",

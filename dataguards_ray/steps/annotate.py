@@ -128,10 +128,50 @@ class FusedAnnotateStage:
     stages' __call__ in pipeline order on the same batch.
     """
 
-    def __init__(self, models_dir: str | None = None):
+    def __init__(self, models_dir: str | None = None, slim_dropped: bool = False):
         self._langid = LangIdStage(models_dir)
         self._ppl = PerplexityStage(models_dir)
         self._score = ScoreStage()
+        self._slim = slim_dropped
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self._score(self._ppl(self._langid(batch)))
+        out = self._score(self._ppl(self._langid(batch)))
+        if self._slim:
+            # write path: blank payload strings on dropped rows so the
+            # partition-write shuffle doesn't move their text (~60% of
+            # rows); they only feed the per-partition counters.
+            import pyarrow.compute as pc
+
+            keep = out.column("keep")
+            empty = pa.scalar("", type=pa.string())
+            # NOT url: the partition writer needs true urls for its
+            # in-group url-dedup and counters
+            for col in ("lang", "text_scrubbed", "text_clean"):
+                if col in out.schema.names:
+                    idx = out.schema.get_field_index(col)
+                    slimmed = pc.if_else(keep, out.column(col), empty)
+                    out = out.set_column(idx, col, slimmed.combine_chunks())
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Task-pool variant: stateless function + per-worker-process model cache.
+#
+# Ray reuses worker processes across tasks, so a module-level singleton
+# amortizes model loading exactly like an actor's __init__ — while task
+# scheduling is elastic: no pool sizing, no autoscaler ramp (measured 2×
+# slower than fixed pools), no CPU-slot starvation of neighboring sort /
+# write operators.  The actor classes above remain for callers that want
+# explicit pools (e.g. GPU stages would need them).
+# ---------------------------------------------------------------------------
+
+_FUSED_SINGLETON: dict[str, FusedAnnotateStage] = {}
+
+
+def fused_annotate_batch(batch: pa.Table, *, slim_dropped: bool = False) -> pa.Table:
+    key = "slim" if slim_dropped else "full"
+    stage = _FUSED_SINGLETON.get(key)
+    if stage is None:
+        stage = FusedAnnotateStage(slim_dropped=slim_dropped)
+        _FUSED_SINGLETON[key] = stage
+    return stage(batch)
