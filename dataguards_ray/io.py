@@ -130,11 +130,27 @@ def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
         "kept_file": kf,
     }
     _atomic_write_json(manifest, _manifest_path(out_dir, pid))
+
+    # return this partition's text-dedup PARTIALS (one row per distinct
+    # kept digest: count + max rank) — the caller's groupby('digest')
+    # merges them in the SAME execution, so winner discovery costs no
+    # second pass over the kept files.
+    if kept.num_rows:
+        from .steps.dedup import rank_expr
+
+        t = pa.table(
+            {
+                "digest": kept.column("digest"),
+                "r": rank_expr(kept.column("warc_ts"), kept.column("url")),
+            }
+        )
+        g = t.group_by("digest").aggregate([("r", "max"), ("r", "count")])
+        return g.rename_columns(["digest", "r", "n"])
     return pa.table(
         {
-            "part_id": pa.array([pid], type=pa.int32()),
-            "input_rows": pa.array([group.num_rows], type=pa.int64()),
-            "kept_pre_dedup": pa.array([kept.num_rows], type=pa.int64()),
+            "digest": pa.array([], type=pa.string()),
+            "r": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
         }
     )
 

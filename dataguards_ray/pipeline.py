@@ -1,24 +1,25 @@
 """Flagship quality-filter pipeline (SURVEY §3 E1) + step registry (§2.10).
 
-    thin pass A (url, warc_ts only, column-pruned read)
-        → url-dup winners broadcast                       [no shuffle]
-    main chain (single linear streaming pass):
+    ONE streaming pass over the corpus:
       read_pages → prepare (extract/normalize, part_id, drop html)
-        → url-dedup filter (vectorized, broadcast winners)
-        → LangIdStage → PerplexityStage → ScoreStage      [actor pools]
-        → phase-1 write: groupby(part_id) → kept-{pid}.parquet
-          + 'annotated' lineage manifest                  [one all-to-all]
-    thin pass B (digest, warc_ts, url of kept rows, column-pruned)
-        → text-dedup winners broadcast                    [tiny groupby]
-    finalize: Dataset over part_ids → per-partition task rewrites
-        kept → part-{pid}.parquet, upgrades manifest      [no shuffle]
+        → fused annotate (langid + perplexity + measures + scrub +
+          rules; task pool with per-worker model cache; dropped rows'
+          payloads slimmed to counter columns)
+        → phase-1 write: groupby(part_id) — THE only corpus-sized
+          all-to-all — each partition group does url-dedup in place
+          (part_id = fnv1a64(url) % P co-locates every row of a url),
+          writes kept-{pid}.parquet + 'annotated' manifest atomically,
+          and RETURNS its text-dedup partials (digest, max rank, count)
+        → groupby(digest) over the partials (tiny, same execution)
+          → contested winners broadcast
+    finalize: per-partition tasks rewrite kept → part-{pid}.parquet
+        dropping text-dedup losers, upgrade manifests     [no shuffle]
 
-Everything streams; the only all-to-all on corpus-sized data is the
-partition-write groupby.  Dedup collision resolution happens on thin
-metadata (SURVEY §4 skew/scale table; see steps/dedup.py for the
-10^12-doc scale notes).  Resume (E3) skips partitions whose manifests
-are already at the required stage; both phases are deterministic
-functions of the input, so resumed output is byte-identical.
+Dedup collision resolution rides the write shuffle (url) or thin
+metadata partials (digest) — see steps/dedup.py for the 10^12-doc
+notes.  Resume (E3) skips partitions whose manifests are already at the
+required stage; both phases are deterministic functions of the input,
+so resumed output is byte-identical.
 
 ``annotate()`` is the in-memory variant for tests / queries(): same
 semantics, but the scored dataset is materialized once (test-scale
@@ -260,15 +261,27 @@ class FilterPipeline:
         pipe = FilterPipeline(num_parts=self.num_parts,
                               concurrency=self.concurrency, steps=steps)
         scored = pipe._score_chain(ds, skip_parts=stages["annotated"])
-        scored.groupby("part_id").map_groups(
+        partials = scored.groupby("part_id").map_groups(
             lambda g: dg_io.write_annotated_partition(g, out_dir),
             batch_format="pyarrow",
-        ).materialize()  # consume (summary rows only — tiny)
+        )
+        # the writer emits per-partition digest partials → merge them in
+        # the SAME execution to find contested text-dedup winners
+        from ray.data.aggregate import Max, Sum
 
-        # phase 2 — global text-dedup winners from thin kept metadata
+        agg = partials.groupby("digest").aggregate(
+            Sum("n", alias_name="n"), Max("r", alias_name="r")
+        )
+        dwinners = {
+            row["digest"]: row["r"] for row in agg.filter(expr="n > 1").take_all()
+        }
+
         all_parts = dg_io.partitions_by_stage(out_dir)["annotated"]
-        kept_meta = dg_io.read_kept(out_dir, columns=["digest", "warc_ts", "url"])
-        dwinners = dedup_mod.digest_winners(kept_meta)
+        if resume and stages["annotated"]:
+            # resumed run: partitions finished earlier didn't re-emit
+            # partials — recompute winners from ALL kept files' metadata
+            kept_meta = dg_io.read_kept(out_dir, columns=["digest", "warc_ts", "url"])
+            dwinners = dedup_mod.digest_winners(kept_meta)
 
         todo = sorted(all_parts - stages["final"])
         if todo:
@@ -284,7 +297,7 @@ class FilterPipeline:
 
             (
                 ray.data.from_arrow(pa.table({"pid": pa.array(todo, type=pa.int32())}))
-                .map_batches(_finalize, batch_format="pyarrow", batch_size=4)
+                .map_batches(_finalize, batch_format="pyarrow", batch_size=1)
                 .materialize()
             )
         return dg_io.read_lineage(out_dir)
