@@ -517,6 +517,56 @@ def _q_doc_fingerprints(sf_dir: str):
 _SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def _q_sessionize_events(sf_dir: str):
+    """Gap-based session windows (30 min) per user over events."""
+    from dataguards_ray.events import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return sessionize(ds, gap_us=1_800_000_000)
+
+
+_SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts_us, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts_us) AS session_start_us,
+       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM sess GROUP BY user_id, sid
+"""
+
+
+_BPE_PAT = "'[a-z]+| ?[[:alpha:]]+| ?[0-9]+| ?[^\\s[:alpha:]0-9]+|\\s+"
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE-ish token count: GPT-2-style pretokenizer regex (RE2-safe
+    subset, no lookarounds), vectorized via the pyarrow count kernel."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"), _BPE_PAT)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_BPE_TOKENS = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '''[a-z]+| ?[[:alpha:]]+| ?[0-9]+| ?[^\s[:alpha:]0-9]+|\s+')) AS BIGINT)"
+    " AS n_bpe_tokens FROM documents"
+)
+
+
 def _q_hash_sample(sf_dir: str):
     """T3: deterministic hash-based sampling (parallelism-invariant —
     NOT ds.random_sample); md5-prefix mod 1000 < 200 → ~20% of docs."""
@@ -710,6 +760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_doc_fingerprints,
         "hash_sample": _q_hash_sample,
+        "sessionize_events": _q_sessionize_events,
+        "bpe_token_counts": _q_bpe_token_counts,
         "knn_embeddings": _q_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
         # rows-only (no SQL equivalent):
@@ -752,6 +804,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "doc_fingerprints": _SQL_FINGERPRINT,
         "hash_sample": _SQL_HASH_SAMPLE,
+        "sessionize_events": _SQL_SESSIONIZE,
+        "bpe_token_counts": _SQL_BPE_TOKENS,
         "knn_embeddings": _SQL_KNN,
         "near_dup_embeddings": _SQL_NEAR_DUP_EMB,
     }
