@@ -115,3 +115,15 @@ def test_resume_skips_done_partitions(tmp_path):
     a = dg_io.read_filtered(full_out).to_pandas().sort_values("url").reset_index(drop=True)
     b = dg_io.read_filtered(part_out).to_pandas().sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_correctness_tier_2000_docs():
+    """Correctness-tier corpus (SURVEY §5: bigger fixture sweep) — full
+    per-url parity at 2000 docs."""
+    from conftest import golden_path
+    import pyarrow.parquet as pq
+
+    golden = pq.read_table(golden_path(2000)).to_pandas()
+    ann = _run_annotate(corpus_path(2000))
+    _assert_matches_golden(ann, golden)
