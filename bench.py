@@ -123,6 +123,15 @@ def run_bench() -> dict:
     return result
 
 
+def _hw_unit(_):
+    import numpy as np
+
+    a = np.random.rand(1000, 1000)
+    for _ in range(4):
+        (a @ a).sum()
+    return 1
+
+
 def _hw_ceiling(lo_n: int, hi_n: int) -> float:
     """Measured hardware scaling ceiling: a fixed, embarrassingly
     parallel pure-CPU workload (numpy matmuls, zero coordination) run at
@@ -134,21 +143,12 @@ def _hw_ceiling(lo_n: int, hi_n: int) -> float:
     real N→4N node cluster every node brings full cores)."""
     import multiprocessing as mp
 
-    import numpy as np
-
     tasks = hi_n * 6
-
-    def unit(_):
-        a = np.random.rand(1000, 1000)
-        for _ in range(4):
-            (a @ a).sum()
-        return 1
-
     walls = {}
     for nproc in (lo_n, hi_n):
         with mp.Pool(nproc) as p:
             t0 = time.time()
-            p.map(unit, range(tasks))
+            p.map(_hw_unit, range(tasks))
             walls[nproc] = time.time() - t0
     return (walls[lo_n] / walls[hi_n]) / (hi_n / lo_n)
 
