@@ -142,6 +142,44 @@ class ScoreStep:
         )
 
 
+@register_step("blocklist")
+@dataclass
+class DomainBlocklistStep:
+    """Optional J1/J3 stage (RefinedWeb-style url filtering; FIXTURES.md
+    F3): drop rows whose url host is on a broadcast blocklist.  Not in
+    the frozen default chain (the oracle does not model it) — insert
+    after 'prepare' via a custom ``steps`` list."""
+
+    blocked: frozenset = frozenset()
+
+    def apply(self, ds: Dataset) -> Dataset:
+        import ray as _ray
+
+        from .steps.dedup import get_broadcast
+
+        ref = _ray.put(frozenset(self.blocked))
+
+        def _blocked_host(host: str, blocked: frozenset) -> bool:
+            # standard blocklist semantics: exact host or any parent domain
+            parts = host.split(".")
+            return any(".".join(parts[i:]) in blocked for i in range(len(parts)))
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            blocked = get_broadcast(ref)
+            from urllib.parse import urlsplit
+
+            mask = []
+            for u in batch.column("url").to_pylist():
+                try:
+                    host = (urlsplit(u).hostname or "").lower()
+                except ValueError:
+                    host = ""
+                mask.append(not _blocked_host(host, blocked))
+            return batch.filter(pa.array(mask, type=pa.bool_()))
+
+        return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 @register_step("annotate")
 @dataclass
 class FusedAnnotateStep:

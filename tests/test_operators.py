@@ -211,3 +211,22 @@ def test_cast_schema_and_jsonl(tmp_path):
         for i in range(3):
             f.write(json.dumps({"k": i}) + "\n")
     assert sorted(r["k"] for r in read_jsonl(str(p)).take_all()) == [0, 1, 2]
+
+
+def test_domain_blocklist_step():
+    import json
+
+    import ray.data
+
+    from dataguards_ray.pipeline import make_step
+
+    with open("fixtures/domain_blocklist.json") as f:
+        blocked = frozenset(json.load(f)["blocked"])
+    step = make_step("blocklist", blocked=blocked)
+    ds = ray.data.from_items(
+        [{"url": "https://site7.example.com/x"},     # host match
+         {"url": "https://a.dup3.example.org/y"},    # registered-domain match
+         {"url": "https://clean.example.com/z"}]
+    )
+    out = step.apply(ds).take_all()
+    assert [r["url"] for r in out] == ["https://clean.example.com/z"]
