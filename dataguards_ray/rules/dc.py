@@ -76,15 +76,48 @@ class DenialConstraint(Rule):
         atoms = tuple(self.pair_atoms)
         max_group = self.max_group
 
+        def single_atom_fast(group: pa.Table, a: Atom) -> np.ndarray | None:
+            """O(n) evaluation for ONE comparison atom on a single column
+            pair: a row participates in a witness pair iff it compares
+            against the group's extreme OTHER value (top-2/bottom-2
+            bookkeeping handles self-exclusion).  Returns None when the
+            atom shape isn't supported (fall back to O(n²))."""
+            if a.left != a.right or a.op not in ("<", "<=", ">", ">=", "!="):
+                return None
+            v = group.column(a.left).to_numpy(zero_copy_only=False)
+            n = len(v)
+            if a.op == "!=":
+                return np.full(n, len(np.unique(v)) > 1)
+            order = np.argsort(v, kind="stable")
+            lo1, lo2 = v[order[0]], v[order[1]]
+            hi1, hi2 = v[order[-1]], v[order[-2]]
+            max_other = np.where(v == hi1, hi2, hi1)  # ties: another max exists
+            if (v == hi1).sum() > 1:
+                max_other = np.full(n, hi1)
+            min_other = np.where(v == lo1, lo2, lo1)
+            if (v == lo1).sum() > 1:
+                min_other = np.full(n, lo1)
+            op = _NP_OPS[a.op]
+            flip = _NP_OPS[{"<": ">", "<=": ">=", ">": "<", ">=": "<="}[a.op]]
+            # role t: ∃ t′: v_i OP v_j  ⟺  v_i OP extreme_other
+            # role t′: ∃ t: v_j OP v_i  ⟺  v_i flip(OP) extreme_other
+            ext = max_other if a.op in (">", ">=") else min_other
+            ext2 = min_other if a.op in (">", ">=") else max_other
+            return op(v, ext2) | flip(v, ext)
+
         def per_group(group: pa.Table) -> pa.Table:
             n = group.num_rows
+            if n < 2:
+                return group.append_column(flag_col, pa.array([False] * n))
+            if len(atoms) == 1:
+                fast = single_atom_fast(group, atoms[0])
+                if fast is not None:
+                    return group.append_column(flag_col, pa.array(fast))
             if n > max_group:
                 raise ValueError(
                     f"DC {self.name}: group of {n} rows exceeds max_group="
                     f"{max_group}; salt the key or rewrite the constraint"
                 )
-            if n < 2:
-                return group.append_column(flag_col, pa.array([False] * n))
             conj = np.ones((n, n), dtype=bool)
             for a in atoms:
                 lv = group.column(a.left).to_numpy(zero_copy_only=False)

@@ -230,3 +230,36 @@ def test_domain_blocklist_step():
     )
     out = step.apply(ds).take_all()
     assert [r["url"] for r in out] == ["https://clean.example.com/z"]
+
+
+def test_bloom_filter():
+    import random
+
+    from dataguards_ray.bloom import bloom_from
+
+    rng = random.Random(3)
+    keys = [f"key-{rng.randrange(10**9)}" for _ in range(5000)]
+    bf = bloom_from(keys, fp_rate=0.01)
+    assert all(k in bf for k in keys)  # zero false negatives
+    fp = sum(1 for i in range(5000) if f"absent-{i}" in bf) / 5000
+    assert fp < 0.03
+    assert bf.nbytes < 64 * 1024
+
+
+def test_prepare_handles_nulls():
+    import pyarrow as pa
+
+    from dataguards_ray.steps.prepare import prepare_batch
+
+    t = pa.table(
+        {
+            "url": ["https://a/x", None, "https://a/y"],
+            "warc_ts": pa.array([1, 2, 3], type=pa.timestamp("us")),
+            "html": pa.array([None, b"<p>hi</p>", None], type=pa.binary()),
+            "text": ["ok text", None, None],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    out = prepare_batch(t)
+    assert out.column("valid").to_pylist() == [True, False, False]
+    assert out.column("text_clean").to_pylist()[2] == ""

@@ -97,9 +97,12 @@ def test_dc_single_and_pair(mini):
 def test_dc_pair_group_cap(ray_session):
     import ray.data
 
-    t = pa.table({"k": ["a"] * 5, "v": [1, 2, 3, 4, 5]})
+    # multi-atom DCs take the O(n²) path and enforce the group cap
+    # (single-atom DCs use the O(n) extreme-value fast path — no cap)
+    t = pa.table({"k": ["a"] * 5, "v": [1, 2, 3, 4, 5], "w": [5, 4, 3, 2, 1]})
     dc = DenialConstraint("dc.cap", eq_keys=["k"],
-                          pair_atoms=[Atom("v", "<", "v")], max_group=3)
+                          pair_atoms=[Atom("v", "<", "v"), Atom("w", "<", "w")],
+                          max_group=3)
     with pytest.raises(Exception):
         dc.apply_shuffle(ray.data.from_arrow(t)).materialize()
 
@@ -118,3 +121,32 @@ def test_step_registry(ray_session):
     assert step.name == "prepare"
     wrap = MapBatchesStep("noop", lambda t: t)
     assert wrap.name == "noop"
+
+
+def test_dc_single_atom_fast_path_matches_bruteforce(ray_session):
+    """O(n) extreme-value evaluation ≡ O(n²) pairwise for 1-atom DCs."""
+    import random
+
+    import numpy as np
+    import ray.data
+
+    rng = random.Random(7)
+    for op in ("<", "<=", ">", ">=", "!="):
+        for trial in range(6):
+            n = rng.randint(2, 30)
+            vals = [rng.randint(0, 5) for _ in range(n)]
+            t = pa.table({"k": ["g"] * n, "v": vals, "i": list(range(n))})
+            dc_fast = DenialConstraint(f"f.{op}.{trial}", eq_keys=["k"],
+                                       pair_atoms=[Atom("v", op, "v")])
+            out = dc_fast.apply_shuffle(ray.data.from_arrow(t)).to_pandas()
+            out = out.sort_values("i")
+            got = list(out[f"__viol_f.{op}.{trial}"])
+            # brute force
+            import numpy as _np
+            a = _np.array(vals)
+            conj = {"<": _np.less, "<=": _np.less_equal, ">": _np.greater,
+                    ">=": _np.greater_equal, "!=": _np.not_equal}[op](
+                a[:, None], a[None, :])
+            _np.fill_diagonal(conj, False)
+            want = list(conj.any(axis=1) | conj.any(axis=0))
+            assert got == want, (op, vals, got, want)
