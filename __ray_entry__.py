@@ -567,6 +567,31 @@ _SQL_BPE_TOKENS = (
 )
 
 
+def _q_token_histogram(sf_dir: str):
+    """Quality-score distribution: doc count per 50-token bucket."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.textstats import WORD_RE2
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b.column("text"), WORD_RE2), pa.int64())
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(n, pa.float64()), 50.0)), pa.int64()
+        )
+        return pa.table({"bucket": bucket, "doc_id": b.column("doc_id")})
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["bucket"], [("doc_id", "count", "n_docs")])
+
+
+_SQL_TOKEN_HIST = r"""
+SELECT CAST(FLOOR(len(regexp_extract_all(text, '\w+'))/50.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY bucket
+"""
+
+
 def _q_hash_sample(sf_dir: str):
     """T3: deterministic hash-based sampling (parallelism-invariant —
     NOT ds.random_sample); md5-prefix mod 1000 < 200 → ~20% of docs."""
@@ -760,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_doc_fingerprints,
         "hash_sample": _q_hash_sample,
+        "token_histogram": _q_token_histogram,
         "sessionize_events": _q_sessionize_events,
         "bpe_token_counts": _q_bpe_token_counts,
         "knn_embeddings": _q_knn_embeddings,
@@ -804,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "doc_fingerprints": _SQL_FINGERPRINT,
         "hash_sample": _SQL_HASH_SAMPLE,
+        "token_histogram": _SQL_TOKEN_HIST,
         "sessionize_events": _SQL_SESSIONIZE,
         "bpe_token_counts": _SQL_BPE_TOKENS,
         "knn_embeddings": _SQL_KNN,
