@@ -238,3 +238,47 @@ def ngram_jaccard(a: str, b: str, k: int = SHINGLE_K) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def near_dedup_filter(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> Dataset:
+    """D3 end-to-end: drop MinHash-LSH near-duplicate losers.
+
+    Candidate pairs → union-find connected components on the driver
+    (candidate sets are collision-sized; SURVEY §2.7 D3 notes the
+    groupby-round label-propagation alternative for huge components) →
+    winner per component = min id → losers filtered out vectorized."""
+    pairs = minhash_near_dup_pairs(ds, text_col=text_col, id_col=id_col,
+                                   threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    if not losers:
+        return ds
+    import ray
+
+    from .steps.dedup import get_broadcast
+
+    ref = ray.put(losers)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ls = get_broadcast(ref)
+        mask = [i not in ls for i in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -263,3 +263,19 @@ def test_prepare_handles_nulls():
     out = prepare_batch(t)
     assert out.column("valid").to_pylist() == [True, False, False]
     assert out.column("text_clean").to_pylist()[2] == ""
+
+
+def test_near_dedup_filter():
+    import ray.data
+
+    from dataguards_ray.neardup import near_dedup_filter
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " tail one"},
+        {"doc_id": 3, "text": base + " tail two"},
+        {"doc_id": 4, "text": "entirely different content here " * 20},
+    ]
+    out = near_dedup_filter(ray.data.from_items(rows), threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 4]
