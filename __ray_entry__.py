@@ -723,6 +723,26 @@ def _q_scrub_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact char-13-gram Jaccard verification of MinHash candidates
+    (near-dup stack: LSH candidates → exact verify; rows-only)."""
+    from dataguards_ray.neardup import minhash_near_dup_pairs, ngram_jaccard
+
+    ds = _mutated_documents(sf_dir)
+    cand = minhash_near_dup_pairs(ds, threshold=0.3)
+    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    a = cand.column("id_a").to_pylist()
+    b = cand.column("id_b").to_pylist()
+    jac = [round(ngram_jaccard(texts[x], texts[y]), 3) for x, y in zip(a, b)]
+    return pa.table(
+        {
+            "id_a": pa.array(a, type=pa.int64()),
+            "id_b": pa.array(b, type=pa.int64()),
+            "jaccard_3dp": pa.array(jac, type=pa.float64()),
+        }
+    )
+
+
 def _q_flagship(sf_dir: str):
     from dataguards_ray.adapters import documents_as_pages
     from dataguards_ray.pipeline import FilterPipeline
@@ -794,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "lang_guess": _q_lang_guess,
         "scrub_documents": _q_scrub_documents,
         "flagship_pipeline": _q_flagship,
