@@ -154,3 +154,71 @@ def latest_by_key(
         return batch.filter(pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    right_suffix: str = "_r",
+) -> Dataset:
+    """J4 as-of join: for each left row, the LATEST right row of the same
+    key with right.ts ≤ left.ts (backward, inclusive — DuckDB ASOF JOIN
+    semantics).  Left rows with no match keep nulls.
+
+    Implementation (ray_guide as-of pattern): tag sides, union, one
+    hash-partitioned ``groupby(key)``, and a sorted ``pd.merge_asof``
+    per group.  The groupby is the unavoidable co-location shuffle; group
+    size = one key's rows (skewed keys: salt by time range)."""
+    import pandas as pd
+
+    l_tag = left.map_batches(
+        lambda b: b.append_column("__side", pa.array([0] * b.num_rows, type=pa.int8())),
+        batch_format="pyarrow",
+    )
+    r_tag = right.map_batches(
+        lambda b: b.append_column("__side", pa.array([1] * b.num_rows, type=pa.int8())),
+        batch_format="pyarrow",
+    )
+    l_cols = [f.name for f in pa.schema(left.schema().base_schema)]
+    r_cols = [f.name for f in pa.schema(right.schema().base_schema)]
+
+    out_r_cols = {c: (c + right_suffix if c in l_cols else c) for c in r_cols}
+    expected = l_cols + [out_r_cols[c] for c in r_cols]
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == 0][l_cols].sort_values(ts_col, kind="stable")
+        rg = group[group["__side"] == 1][r_cols].sort_values(ts_col, kind="stable")
+        rg = rg.rename(columns=out_r_cols)
+        if lg.empty:
+            return pd.DataFrame({c: pd.Series(dtype=group[0:0].dtypes.get(c.removesuffix(right_suffix), object)) for c in expected})
+        if rg.empty:
+            for c in expected:
+                if c not in lg.columns:
+                    lg[c] = pd.NA
+            return lg[expected]
+        out = pd.merge_asof(
+            lg, rg,
+            left_on=ts_col, right_on=ts_col + right_suffix,
+            direction="backward", allow_exact_matches=True,
+        )
+        return out[expected]
+
+    # union requires identical schemas → outer-join the tag columns first
+    def widen(b: pa.Table, all_cols: list[tuple[str, pa.DataType]]) -> pa.Table:
+        for name, typ in all_cols:
+            if name not in b.schema.names:
+                b = b.append_column(name, pa.nulls(b.num_rows, type=typ))
+        return b.select([n for n, _ in all_cols])
+
+    ls = pa.schema(l_tag.schema().base_schema)
+    rs = pa.schema(r_tag.schema().base_schema)
+    all_cols = [(f.name, f.type) for f in ls] + [
+        (f.name, f.type) for f in rs if f.name not in ls.names
+    ]
+    both = l_tag.map_batches(
+        lambda b: widen(b, all_cols), batch_format="pyarrow"
+    ).union(r_tag.map_batches(lambda b: widen(b, all_cols), batch_format="pyarrow"))
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")
