@@ -774,6 +774,36 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def _q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing over a deterministic synthetic image column
+    (doc_id-seeded FAKEIMG blobs): decode + resize actor stages
+    (rows-only; real codecs are stubbed — see dataguards_ray/multimodal)."""
+    import ray.data
+
+    from dataguards_ray.multimodal import decode_images, encode_fake_image, resize_images
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_images(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        blobs = [encode_fake_image(24, 16, seed=int(i)) for i in ids]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "image": pa.array(blobs, type=pa.binary())}
+        )
+
+    imgs = ds.map_batches(make_images, batch_format="pyarrow")
+    dec = decode_images(resize_images(imgs, 8, 8, concurrency=(1, 4)), concurrency=(1, 4))
+
+    def proj(b: pa.Table) -> pa.Table:
+        mean100 = pc.cast(pc.floor(pc.add(pc.multiply(b.column("mean_px"), 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "width": b.column("width"),
+             "height": b.column("height"), "mean_px_c": mean100}
+        )
+
+    return dec.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_flagship(sf_dir: str):
     from dataguards_ray.adapters import documents_as_pages
     from dataguards_ray.pipeline import FilterPipeline
@@ -847,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "multimodal_decode": _q_multimodal_decode,
         "lang_guess": _q_lang_guess,
         "scrub_documents": _q_scrub_documents,
         "flagship_pipeline": _q_flagship,

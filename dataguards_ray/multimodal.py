@@ -98,3 +98,122 @@ def resize_images(ds: Dataset, tw: int, th: int, *, concurrency=(1, 4), batch_si
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: b"FAKEAUD|<rate>|" + int16 LE samples
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FAKEAUD|"
+
+
+def encode_fake_audio(rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = (rng.standard_normal(n_samples) * 8000).astype(np.int16)
+    return AUDIO_MAGIC + f"{rate}|".encode() + samples.tobytes()
+
+
+def _decode_audio_one(blob: bytes) -> tuple[int, np.ndarray]:
+    if blob is None or not blob.startswith(AUDIO_MAGIC):
+        raise NotImplementedError(
+            "real audio codecs (libav/soundfile) are not available in this "
+            "container; only the FAKEAUD fixture format is decodable"
+        )
+    head = blob[len(AUDIO_MAGIC):]
+    rate_s, rest = head.split(b"|", 1)
+    return int(rate_s), np.frombuffer(rest, dtype=np.int16)
+
+
+class AudioFeatureStage:
+    """Actor stage: binary → (sample_rate, duration_s, rms, zero_crossings).
+    Small batches — audio payloads are wide rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, durs, rms, zc = [], [], [], []
+        for blob in batch.column("audio").to_pylist():
+            rate, s = _decode_audio_one(blob)
+            rates.append(rate)
+            durs.append(len(s) / rate)
+            f = s.astype(np.float64)
+            rms.append(float(np.sqrt(np.mean(f * f))) if len(s) else 0.0)
+            zc.append(int((np.signbit(f[1:]) != np.signbit(f[:-1])).sum()))
+        return (
+            batch.drop_columns(["audio"])
+            .append_column("sample_rate", pa.array(rates, type=pa.int32()))
+            .append_column("duration_s", pa.array(durs, type=pa.float64()))
+            .append_column("rms", pa.array(rms, type=pa.float64()))
+            .append_column("zero_crossings", pa.array(zc, type=pa.int64()))
+        )
+
+
+# ---------------------------------------------------------------------------
+# Video: a sequence of FAKEIMG frames, length-prefixed
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"FAKEVID|"
+
+
+def encode_fake_video(w: int, h: int, n_frames: int, seed: int) -> bytes:
+    frames = [encode_fake_image(w, h, seed * 1000 + i) for i in range(n_frames)]
+    out = [VIDEO_MAGIC + f"{n_frames}|".encode()]
+    for f in frames:
+        out.append(len(f).to_bytes(4, "little"))
+        out.append(f)
+    return b"".join(out)
+
+
+def _iter_video_frames(blob: bytes):
+    if blob is None or not blob.startswith(VIDEO_MAGIC):
+        raise NotImplementedError(
+            "real video demuxers are not available in this container; only "
+            "the FAKEVID fixture format is decodable"
+        )
+    head = blob[len(VIDEO_MAGIC):]
+    n_s, rest = head.split(b"|", 1)
+    off = 0
+    for _ in range(int(n_s)):
+        ln = int.from_bytes(rest[off : off + 4], "little")
+        off += 4
+        yield rest[off : off + ln]
+        off += ln
+
+
+class FrameSampleStage:
+    """Actor stage: video binary → every k-th frame exploded to rows
+    (vid_id, frame_idx, image).  flat_map-shaped: one input row → many."""
+
+    def __init__(self, every_k: int = 2):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, frames = [], [], []
+        for vid, blob in zip(
+            batch.column("vid_id").to_pylist(), batch.column("video").to_pylist()
+        ):
+            for i, frame in enumerate(_iter_video_frames(blob)):
+                if i % self.k == 0:
+                    vids.append(vid)
+                    idxs.append(i)
+                    frames.append(frame)
+        return pa.table(
+            {
+                "vid_id": pa.array(vids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "image": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def audio_features(ds: Dataset, *, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds: Dataset, every_k: int = 2, *, concurrency=(1, 4),
+                  batch_size: int = 16) -> Dataset:
+    return ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

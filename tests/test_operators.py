@@ -279,3 +279,29 @@ def test_near_dedup_filter():
     ]
     out = near_dedup_filter(ray.data.from_items(rows), threshold=0.5)
     assert sorted(r["doc_id"] for r in out.take_all()) == [1, 4]
+
+
+def test_multimodal_audio_and_video():
+    import ray.data
+
+    from dataguards_ray.multimodal import (
+        audio_features,
+        decode_images,
+        encode_fake_audio,
+        encode_fake_video,
+        sample_frames,
+    )
+
+    auds = [{"aud_id": i, "audio": encode_fake_audio(16000, 16000 * 2, seed=i)}
+            for i in range(8)]
+    feats = audio_features(ray.data.from_items(auds), concurrency=(1, 2)).to_pandas()
+    assert set(feats["sample_rate"]) == {16000}
+    assert all(abs(d - 2.0) < 1e-9 for d in feats["duration_s"])
+    assert (feats["rms"] > 0).all()
+
+    vids = [{"vid_id": i, "video": encode_fake_video(16, 8, 10, seed=i)} for i in range(4)]
+    frames = sample_frames(ray.data.from_items(vids), every_k=3, concurrency=(1, 2))
+    df = frames.to_pandas()
+    assert len(df) == 4 * 4  # frames 0,3,6,9
+    decoded = decode_images(frames, concurrency=(1, 2)).to_pandas()
+    assert set(decoded["width"]) == {16} and set(decoded["height"]) == {8}
