@@ -1,0 +1,39 @@
+"""`dg` CLI: python -m dataguards_ray <filter|resume|stats> ...
+
+Thin dispatcher over jobs/ (which own the Ray session); keeps the
+"user of the reference could run every pipeline" surface in one place.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(
+            "usage: python -m dataguards_ray filter INPUT OUT_DIR [--num-parts N] [--num-cpus N]\n"
+            "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
+            "       python -m dataguards_ray stats OUT_DIR [--top-domains K]"
+        )
+        return 0
+    cmd, rest = sys.argv[1], sys.argv[2:]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    if cmd in ("filter", "resume"):
+        from jobs.filter_job import main as job_main
+
+        sys.argv = ["filter_job.py", *rest] + (["--resume"] if cmd == "resume" else [])
+        return job_main()
+    if cmd == "stats":
+        from jobs.stats_job import main as stats_main
+
+        sys.argv = ["stats_job.py", *rest]
+        return stats_main()
+    print(f"unknown command {cmd!r}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
