@@ -127,3 +127,23 @@ def test_correctness_tier_2000_docs():
     golden = pq.read_table(golden_path(2000)).to_pandas()
     ann = _run_annotate(corpus_path(2000))
     _assert_matches_golden(ann, golden)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alternate_seed_and_num_parts(tmp_path):
+    """Parity holds for a different generator seed and partition count
+    (catches seed- or P-dependent assumptions)."""
+    import pyarrow.parquet as pq
+
+    from dataguards_ray import io as dg_io
+    from dataguards_ray.pipeline import FilterPipeline
+    from oracle.oracle import oracle_run
+
+    path = corpus_path(300, seed=7)
+    out = str(tmp_path / "out")
+    recs = FilterPipeline(num_parts=17).run(path, out)
+    res = oracle_run(pq.read_table(path))
+    surv = sorted(dg_io.read_filtered(out).to_pandas()["url"])
+    assert surv == res["survivor_urls"]
+    assert len({r["part_id"] for r in recs}) <= 17
+    assert sum(r["input_rows"] for r in recs) == res["golden"].num_rows
