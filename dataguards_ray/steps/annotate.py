@@ -1,11 +1,13 @@
-"""Stateful annotation stages (SURVEY §2.4 A1–A4): actor-pool classes for
-``ds.map_batches(Cls, concurrency=N, batch_format="pyarrow")``.
+"""Stateful annotation stages (SURVEY §2.4 A1–A4).
 
-Model weights / LM tables / compiled regexes load ONCE per actor in
-``__init__``; ``__call__`` does per-batch work.  Scoring kernels are the
-same functions the scalar oracle calls (langid.score_batch /
-perplexity.ppl_batch) so annotations are bit-identical at any
-parallelism or batch composition.
+Each stage is a callable CLASS (model weights / LM tables / compiled
+regexes load once in ``__init__``, per-batch work in ``__call__``) usable
+as an explicit actor pool — and the default flagship chain runs the
+fused composite as an elastic TASK pool with a per-worker-process
+singleton cache (same init amortization, better scheduling; see
+``fused_annotate_batch``).  Scoring kernels are the same functions the
+scalar oracle calls (langid.score_batch / perplexity.ppl_batch) so
+annotations are bit-identical at any parallelism or batch composition.
 """
 
 from __future__ import annotations

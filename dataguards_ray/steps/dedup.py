@@ -1,19 +1,6 @@
-"""Exact dedup (SURVEY §2.7 D1/D2, §2.6 J4) — thin-pass winners, no
-full-corpus shuffle, no DAG branching.
-
-A naive ``groupby(key).map_groups(pick_winner)`` shuffles the ENTIRE
-corpus to resolve a few-percent collision set, and branching the main
-Dataset DAG re-executes the upstream chain once per branch.  Instead:
-
-  pass 1 (thin): a separate pipeline over ONLY the key + order columns
-    (column-pruned parquet read, or a projection of an already-
-    materialized dataset) computes, per key, (count, max rank) via
-    vectorized per-batch partial aggregation + one tiny global groupby.
-    Keys with count > 1 and their winning rank are collected to the
-    driver and broadcast via ``ray.put``.
-  pass 2: the main chain applies a vectorized membership filter /
-    flag — a row survives iff its key is not contested or its rank
-    equals the winner.  No all-to-all on the corpus.
+"""Exact dedup primitives (SURVEY §2.7 D1/D2, §2.6 J4) — winner metadata
++ broadcast flags, never a second full-corpus shuffle, never a branched
+Dataset DAG (a branch re-executes the upstream chain per consumer).
 
 Frozen winner semantics:
   url-dedup (J4):  winner = max warc_ts.  Input contract: (url,
@@ -23,11 +10,24 @@ Frozen winner semantics:
     f"{warc_ts:020d}|{url}" (max ts, tie → max url; urls are unique
     after url-dedup so ranks are unique).
 
+Where each runs in the flagship (pipeline.py):
+  - url-dedup needs NO extra pass at all in run(): part_id =
+    fnv1a64(url) % P co-locates every row of a url, so the partition
+    writer resolves newest-wins in place.  annotate() (the in-memory
+    test path) instead computes winners from the materialized scored
+    metadata via ``url_max_ts`` + ``url_dedup_filter``.
+  - text-dedup winners: the partition writer emits per-partition
+    (digest, max rank, count) partials; a tiny ``groupby('digest')`` in
+    the same execution yields contested winners (``contested_winners``
+    is the standalone variant used on resume / in annotate()).  Losers
+    are dropped by a vectorized broadcast flag (``flag_dedup_keep`` /
+    finalize).
+
 Scale note (10^12 docs): the driver-side winner dict covers only
 *contested* keys.  If that set outgrows driver memory, swap the exact
-dict for a Bloom filter of contested keys (false positives only send
-extra rows through a secondary exact check) or fall back to a full
-hash-partitioned groupby; semantics are unchanged.
+dict for a Bloom filter (dataguards_ray.bloom) of contested keys —
+false positives only send extra rows through a secondary exact check —
+or fall back to a full hash-partitioned groupby; semantics unchanged.
 """
 
 from __future__ import annotations
