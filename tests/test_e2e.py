@@ -147,3 +147,24 @@ def test_alternate_seed_and_num_parts(tmp_path):
     assert surv == res["survivor_urls"]
     assert len({r["part_id"] for r in recs}) <= 17
     assert sum(r["input_rows"] for r in recs) == res["golden"].num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_ignores_stray_tmp_files(tmp_path):
+    """Atomic-write protocol: leftover .tmp files from a crash are inert."""
+    import os
+
+    from dataguards_ray import io as dg_io
+    from dataguards_ray.pipeline import FilterPipeline
+
+    path = corpus_path(500)
+    out = str(tmp_path / "out")
+    FilterPipeline().run(path, out)
+    # simulate crash debris
+    open(os.path.join(out, ".tmp-part-00001.parquet-deadbeef"), "wb").close()
+    open(os.path.join(out, "_lineage", ".tmp-00002-deadbeef"), "w").close()
+    stages = dg_io.partitions_by_stage(out)
+    n_final = len(stages["final"])
+    recs = FilterPipeline().run(path, out, resume=True)
+    assert len(dg_io.partitions_by_stage(out)["final"]) == n_final
+    assert sum(r["kept_rows"] for r in recs) == 195
