@@ -15,7 +15,6 @@ rounding cannot flap whole result sets).
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Callable
 from datetime import datetime
 from typing import Any
@@ -385,7 +384,7 @@ FROM lineitem WHERE NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)
 
 
 def _q_rule_predicate_violations(sf_dir: str):
-    from dataguards_ray.rules import Predicate, PredicateRule, RangeRule, RegexRule, RuleSet
+    from dataguards_ray.rules import RangeRule, RegexRule, RuleSet
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
     rules = RuleSet([
@@ -736,7 +735,6 @@ def _q_lang_guess(sf_dir: str):
 
 
 def _q_scrub_documents(sf_dir: str):
-    from dataguards_ray.steps.annotate import ScoreStage  # noqa: F401 (doc pointer)
     from dataguards_ray import spec
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

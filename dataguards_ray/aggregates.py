@@ -14,7 +14,6 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 

@@ -89,8 +89,6 @@ def decode_images(ds: Dataset, *, concurrency=(1, 4), batch_size: int = 64) -> D
 
 
 def resize_images(ds: Dataset, tw: int, th: int, *, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
-    import functools  # noqa: F401  (kept minimal; class carries the params)
-
     return ds.map_batches(
         ResizeStage,
         fn_constructor_kwargs={"tw": tw, "th": th},

@@ -127,7 +127,6 @@ def test_dc_single_atom_fast_path_matches_bruteforce(ray_session):
     """O(n) extreme-value evaluation ≡ O(n²) pairwise for 1-atom DCs."""
     import random
 
-    import numpy as np
     import ray.data
 
     rng = random.Random(7)
