@@ -197,27 +197,10 @@ def run_scaling() -> dict:
         "bench_docs": lo["bench_docs"],
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH — measured scaling (same job, same input, fresh "
-            "processes; in-sandbox substitute for the N→4N-node criterion)\n\n"
-            f"| metric | value |\n|---|---|\n"
-            f"| docs/sec @ 8 CPUs | {lo['docs_per_sec']} |\n"
-            f"| docs/sec @ 32 CPUs | {hi['docs_per_sec']} |\n"
-            f"| flagship sec @ 8 CPUs | {lo['value']} |\n"
-            f"| flagship sec @ 32 CPUs | {hi['value']} |\n"
-            f"| raw scaling efficiency T₈/(4·T₃₂) | {result['scaling_efficiency']} |\n"
-            f"| HARDWARE ceiling (pure-CPU matmul farm, same 8→32 procs) | {result['hw_ceiling_8_to_32']} |\n"
-            f"| efficiency normalized by hardware ceiling | {result['normalized_efficiency']} |\n"
-            f"| corpus docs | {lo['bench_docs']} |\n\n"
-            "The 32 local vCPUs are SMT threads over ~16 physical cores with\n"
-            "~10% hypervisor steal: a zero-coordination pure-CPU workload\n"
-            "scales only ~2.3x from 8 to 32 processes here (measured each\n"
-            "run, row 'HARDWARE ceiling').  The pipeline's raw efficiency is\n"
-            "therefore bounded by the box, not the engine; the normalized\n"
-            "row is the cluster-relevant number (on a real N->4N cluster\n"
-            "every added node brings full cores, no SMT-sharing penalty).\n"
-        )
+    # machine-readable record of the latest run; BENCH/BASELINE.md is the
+    # curated multi-run summary (append runs there manually)
+    with open("BENCH/scaling_run.json", "w") as f:
+        json.dump(result, f)
     return result
 
 
