@@ -15,6 +15,7 @@ SUBSET = [
     "tpch_q1", "join_customer_orders", "topk_orders", "latest_event_per_user",
     "cfd_violations", "dc_pair_violations", "dedup_docs_exact", "knn_embeddings",
     "hash_sample", "token_counts", "sessionize_events", "bpe_token_counts",
+    "asof_click_purchase", "token_histogram",
 ]
 
 
