@@ -526,14 +526,16 @@ def _q_sessionize_events(sf_dir: str):
 
 _SQL_SESSIONIZE = """
 WITH marked AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts_us, cents,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+         -- (ts_us, event_id) = the same total order the pipeline uses;
+         -- ordering by ts_us alone is nondeterministic on duplicate ts
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )

@@ -69,7 +69,10 @@ def _key_set(ds: Dataset, key: str) -> set:
     dedup (one row per key per batch) + a tiny groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([key]).group_by(key).aggregate([(key, "count")])
+        # drop null keys here: they never equi-match, and an (all-)null
+        # key column breaks Ray's sort-based groupby boundary sampling
+        t = batch.select([key]).filter(pc.is_valid(batch.column(key)))
+        t = t.group_by(key).aggregate([(key, "count")])
         return t.rename_columns([key, "n"])
 
     agg = (
@@ -80,30 +83,44 @@ def _key_set(ds: Dataset, key: str) -> set:
     return {r[key] for r in agg.take_all()}
 
 
+def _key_value_set(right: Dataset, key: str) -> pa.Array | None:
+    """Distinct non-null right keys as ONE prebuilt pa.Array (built once
+    on the driver, broadcast as-is — never rebuilt per batch).  Returns
+    None when the right side has no non-null keys (callers short-circuit:
+    semi → empty, anti → pass-through; a null-typed value_set would make
+    pc.is_in raise on typed left columns)."""
+    ks = [k for k in _key_set(right, key) if k is not None]
+    if not ks:
+        return None
+    return pa.array(ks)
+
+
 def semi_join(left: Dataset, right: Dataset, key: str, *, right_key: str | None = None) -> Dataset:
     """J3: rows of `left` WITH a match in `right` — broadcast key-set
     membership filter, no shuffle of `left`.  Scale path for a huge right
-    side: Bloom filter of its keys (false positives re-checked) — SURVEY §2.6."""
-    keys = _key_set(right, right_key or key)
-    ref = ray.put(keys)
+    side: ``semi_join_bloom`` (Bloom prefilter + exact join re-check)."""
+    vs = _key_value_set(right, right_key or key)
+    if vs is None:  # empty right side → no row can match
+        return left.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+    ref = ray.put(vs)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        ks = get_broadcast(ref)
-        vs = pa.array(list(ks))
-        return batch.filter(pc.is_in(batch.column(key), value_set=vs))
+        return batch.filter(pc.is_in(batch.column(key), value_set=get_broadcast(ref)))
 
     return left.map_batches(_filter, batch_format="pyarrow")
 
 
 def anti_join(left: Dataset, right: Dataset, key: str, *, right_key: str | None = None) -> Dataset:
-    """J3: rows of `left` WITHOUT a match in `right`."""
-    keys = _key_set(right, right_key or key)
-    ref = ray.put(keys)
+    """J3: rows of `left` WITHOUT a match in `right` (null left keys kept:
+    null never equals any right key)."""
+    vs = _key_value_set(right, right_key or key)
+    if vs is None:  # empty right side → every left row survives
+        return left
+    ref = ray.put(vs)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        ks = get_broadcast(ref)
-        vs = pa.array(list(ks))
-        return batch.filter(pc.invert(pc.is_in(batch.column(key), value_set=vs)))
+        hit = pc.fill_null(pc.is_in(batch.column(key), value_set=get_broadcast(ref)), False)
+        return batch.filter(pc.invert(hit))
 
     return left.map_batches(_filter, batch_format="pyarrow")
 
@@ -123,14 +140,17 @@ def latest_by_key(
     dict holds one entry per distinct key — for very high-cardinality
     keys use groupby(key).map_groups instead (documented trade-off)."""
 
+    def _biased(col) -> pa.Array:
+        # order-preserving int64 → uint64 bias (x + 2^63 mod 2^64): negative
+        # values (pre-1970 timestamps, negative ids) sort correctly after
+        # zero-padding — uint64 max is exactly 20 decimal digits.
+        u = pc.cast(pc.cast(col, pa.int64()), pa.uint64(), safe=False)
+        return pc.add(u, pa.scalar(1 << 63, type=pa.uint64()))
+
     def rank_of(batch: pa.Table) -> pa.Array:
-        ts = pc.utf8_lpad(
-            pc.cast(pc.cast(batch.column(ts_col), pa.int64()), pa.string()), 20, padding="0"
-        )
+        ts = pc.utf8_lpad(pc.cast(_biased(batch.column(ts_col)), pa.string()), 20, padding="0")
         tb = pc.utf8_lpad(
-            pc.cast(pc.cast(batch.column(tiebreak_col), pa.int64()), pa.string()),
-            20,
-            padding="0",
+            pc.cast(_biased(batch.column(tiebreak_col)), pa.string()), 20, padding="0"
         )
         return pc.binary_join_element_wise(ts, tb, "|")
 

@@ -283,6 +283,21 @@ class FilterPipeline:
         import os
 
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+        if not resume:
+            # fail fast on a dirty out_dir: phase 2 globs manifests/parquet
+            # parts, so debris from an earlier run in the same directory
+            # would be silently merged into this run's output.
+            debris = dg_io.partitions_by_stage(out_dir)
+            stray = [
+                n for n in os.listdir(out_dir)
+                if (n.startswith("kept-") or n.startswith("part-")) and n.endswith(".parquet")
+            ]
+            if debris["annotated"] or debris["final"] or stray:
+                raise ValueError(
+                    f"out_dir {out_dir!r} already contains run artifacts "
+                    f"({len(debris['annotated'])} manifest(s), {len(stray)} parquet part(s)); "
+                    "pass resume=True to continue that run or use a clean directory"
+                )
         stages = dg_io.partitions_by_stage(out_dir) if resume else {"annotated": set(), "final": set()}
 
         # phase 1 — annotate + write kept rows per partition (url-dedup

@@ -52,9 +52,13 @@ def get_broadcast(ref: ray.ObjectRef):
 
 
 def rank_expr(ts: pa.ChunkedArray | pa.Array, url: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """rank = f"{ts:020d}|{url}" — lexicographic max == (max ts, max url)."""
-    ts_int = pc.cast(ts, pa.int64())
-    ts_str = pc.utf8_lpad(pc.cast(ts_int, pa.string()), 20, padding="0")
+    """rank = f"{biased_ts:020d}|{url}" — lexicographic max == (max ts,
+    max url).  ts is biased int64→uint64 (x + 2^63 mod 2^64, order-
+    preserving) so pre-1970 timestamps still zero-pad into sortable
+    decimal; uint64 max is exactly 20 digits."""
+    ts_u = pc.cast(pc.cast(ts, pa.int64()), pa.uint64(), safe=False)
+    ts_b = pc.add(ts_u, pa.scalar(1 << 63, type=pa.uint64()))
+    ts_str = pc.utf8_lpad(pc.cast(ts_b, pa.string()), 20, padding="0")
     return pc.binary_join_element_wise(ts_str, url, "|")
 
 

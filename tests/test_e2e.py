@@ -150,6 +150,20 @@ def test_alternate_seed_and_num_parts(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_fresh_run_refuses_dirty_out_dir(tmp_path):
+    """ADVICE fix: run(resume=False) must fail fast when out_dir holds a
+    previous run's manifests/parts instead of silently merging them."""
+    import pytest
+
+    from dataguards_ray.pipeline import FilterPipeline
+
+    path = corpus_path(500)
+    out = str(tmp_path / "out")
+    FilterPipeline().run(path, out)
+    with pytest.raises(ValueError, match="already contains run artifacts"):
+        FilterPipeline().run(path, out)
+
+
 def test_resume_ignores_stray_tmp_files(tmp_path):
     """Atomic-write protocol: leftover .tmp files from a crash are inert."""
     import os

@@ -55,6 +55,40 @@ def test_latest_by_key():
     assert out["a"]["id"] == 3 and out["b"]["id"] == 4
 
 
+def test_semi_anti_join_empty_right():
+    """ADVICE fix: an empty right side must yield no rows (semi) / all
+    rows (anti) instead of raising ArrowTypeError on a null-typed set."""
+    import ray.data
+
+    from dataguards_ray.joins import anti_join, semi_join
+
+    left = ray.data.from_items([{"k": "a"}, {"k": "b"}])
+    right = ray.data.from_items([{"k": "zzz"}]).filter(lambda r: False)
+    assert semi_join(left, right, "k").take_all() == []
+    assert sorted(r["k"] for r in anti_join(left, right, "k").take_all()) == ["a", "b"]
+    # null right keys never equi-match (and must not break the groupby)
+    nulls = ray.data.from_items([{"k": None}, {"k": None}])
+    assert semi_join(left, nulls, "k").take_all() == []
+    assert sorted(r["k"] for r in anti_join(left, nulls, "k").take_all()) == ["a", "b"]
+
+
+def test_latest_by_key_negative_values():
+    """ADVICE fix: negative timestamps / tiebreaks (pre-1970) must rank
+    correctly (biased uint64 zero-padding, not raw negative decimals)."""
+    import ray.data
+
+    from dataguards_ray.joins import latest_by_key
+
+    rows = [
+        {"k": "a", "ts": -50, "id": -7, "v": "old"},
+        {"k": "a", "ts": -2, "id": -9, "v": "new"},
+        {"k": "b", "ts": -2, "id": -3, "v": "lo"},
+        {"k": "b", "ts": -2, "id": -1, "v": "hi"},  # ts tie → higher id wins
+    ]
+    out = {r["k"]: r for r in latest_by_key(ray.data.from_items(rows), "k", "ts", "id").take_all()}
+    assert out["a"]["v"] == "new" and out["b"]["v"] == "hi"
+
+
 def test_salted_vs_plain_groupby():
     from dataguards_ray.aggregates import grouped_agg, salted_groupby
     from dataguards_ray.io import read_table
