@@ -755,23 +755,27 @@ def _q_scrub_documents(sf_dir: str):
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
-    """Exact char-13-gram Jaccard verification of MinHash candidates
-    (near-dup stack: LSH candidates → exact verify; rows-only)."""
-    from dataguards_ray.neardup import minhash_near_dup_pairs, ngram_jaccard
+    """Exact char-13-gram Jaccard verification of MinHash candidates via
+    the distributed join-back verify (LSH candidates → hash-join texts
+    back on → per-batch exact kernel; the corpus never reaches the
+    driver — round-2 rework; rows-only)."""
+    from dataguards_ray.neardup import minhash_pair_candidates, verify_pairs_jaccard
 
     ds = _mutated_documents(sf_dir)
-    cand = minhash_near_dup_pairs(ds, threshold=0.3)
-    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
-    a = cand.column("id_a").to_pylist()
-    b = cand.column("id_b").to_pylist()
-    jac = [round(ngram_jaccard(texts[x], texts[y]), 3) for x, y in zip(a, b)]
-    return pa.table(
-        {
-            "id_a": pa.array(a, type=pa.int64()),
-            "id_b": pa.array(b, type=pa.int64()),
-            "jaccard_3dp": pa.array(jac, type=pa.float64()),
-        }
-    )
+    cand = minhash_pair_candidates(ds, threshold=0.3)
+    verified = verify_pairs_jaccard(ds, cand)
+
+    def proj(b: pa.Table) -> pa.Table:
+        jac = [round(x, 3) for x in b.column("jaccard").to_pylist()]
+        return pa.table(
+            {
+                "id_a": b.column("id_a"),
+                "id_b": b.column("id_b"),
+                "jaccard_3dp": pa.array(jac, type=pa.float64()),
+            }
+        )
+
+    return verified.map_batches(proj, batch_format="pyarrow").sort(["id_a", "id_b"])
 
 
 def _q_multimodal_decode(sf_dir: str):

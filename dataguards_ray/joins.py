@@ -40,6 +40,16 @@ def broadcast_lookup(
     return ds.map_batches(_lookup, batch_format="pyarrow")
 
 
+def scrub_empty_blocks(ds: Dataset, num_blocks: int = 8) -> Dataset:
+    """Work around a Ray Data 2.49 quirk: hash aggregates can emit 0-row
+    blocks with an EMPTY schema.  Those blocks BYPASS map_batches (so no
+    UDF can normalize them) and poison a downstream ``Dataset.join``
+    ("No match ... for key field reference" at shuffle finalize).
+    ``repartition`` coalesces blocks and drops the schemaless empties —
+    apply to any aggregate output that feeds a join."""
+    return ds.repartition(num_blocks)
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

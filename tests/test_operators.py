@@ -313,6 +313,64 @@ def test_near_dedup_filter():
     ]
     out = near_dedup_filter(ray.data.from_items(rows), threshold=0.5)
     assert sorted(r["doc_id"] for r in out.take_all()) == [1, 4]
+    # the distributed (label-propagation) component path must agree
+    out_d = near_dedup_filter(ray.data.from_items(rows), threshold=0.5, distributed=True)
+    assert sorted(r["doc_id"] for r in out_d.take_all()) == [1, 4]
+
+
+def test_minhash_pathological_bucket():
+    """Round-2 verdict item #1: one hot LSH bucket (identical docs) must
+    cost O(n) star edges, not an O(n²) clique — 5k identical docs finish
+    fast and dedup to a single survivor."""
+    import time
+
+    import ray.data
+
+    from dataguards_ray.neardup import minhash_near_dup_pairs, near_dedup_filter
+
+    text = "boilerplate terms of service apply to every page " * 10
+    ds = ray.data.from_items([{"doc_id": i, "text": text} for i in range(5000)])
+    t0 = time.time()
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8)
+    took = time.time() - t0
+    # star from min id: 4999 edges, all est 1.0
+    assert pairs.num_rows == 4999
+    assert pairs.column("id_a").to_pylist()[:3] == [0, 0, 0]
+    assert set(pairs.column("est_jaccard").to_pylist()) == {1.0}
+    assert took < 120, f"pathological bucket took {took:.1f}s"
+    survivors = near_dedup_filter(ds, threshold=0.8).take_all()
+    assert [r["doc_id"] for r in survivors] == [0]
+
+
+def test_connected_components_label_propagation():
+    import ray.data
+
+    from dataguards_ray.neardup import connected_components
+
+    # chain 0-1-2-3-4 (diameter forces multiple rounds) + pair 10-11
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    pairs = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    comp = {r["node"]: r["root"] for r in connected_components(pairs).take_all()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+
+def test_verify_pairs_jaccard_joinback():
+    import ray.data
+
+    from dataguards_ray.neardup import (minhash_pair_candidates, ngram_jaccard,
+                                        verify_pairs_jaccard)
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " tail one"},
+        {"doc_id": 3, "text": "entirely different content here " * 20},
+    ]
+    ds = ray.data.from_items(rows)
+    cand = minhash_pair_candidates(ds, threshold=0.5)
+    got = verify_pairs_jaccard(ds, cand).take_all()
+    assert len(got) == 1 and got[0]["id_a"] == 1 and got[0]["id_b"] == 2
+    assert got[0]["jaccard"] == ngram_jaccard(rows[0]["text"], rows[1]["text"])
 
 
 def test_multimodal_audio_and_video():
