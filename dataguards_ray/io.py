@@ -167,10 +167,19 @@ def finalize_partition(pid: int, out_dir: str, winners: dict[str, str]) -> dict:
     if manifest["kept_file"]:
         t = pq.read_table(os.path.join(out_dir, manifest["kept_file"]))
         if winners:
-            ranks = rank_expr(t.column("warc_ts"), t.column("url")).to_pylist()
-            digests = t.column("digest").to_pylist()
-            mask = [d not in winners or winners[d] == r for d, r in zip(digests, ranks)]
-            t = t.filter(pa.array(mask, type=pa.bool_()))
+            import pyarrow.compute as pc
+
+            contested = pa.array(sorted(winners), type=pa.string())
+            winner_keys = pa.array(
+                sorted(f"{d}\x1f{r}" for d, r in winners.items()), type=pa.string()
+            )
+            ranks = rank_expr(t.column("warc_ts"), t.column("url"))
+            key = pc.binary_join_element_wise(t.column("digest"), ranks, "\x1f")
+            mask = pc.or_(
+                pc.invert(pc.is_in(t.column("digest"), value_set=contested)),
+                pc.is_in(key, value_set=winner_keys),
+            )
+            t = t.filter(mask)
         n_final = t.num_rows
         if n_final:
             out_f = f"part-{pid:05d}.parquet"

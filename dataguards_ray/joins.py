@@ -173,15 +173,21 @@ def latest_by_key(
         .groupby(key)
         .aggregate(Max("r", alias_name="r"))
     )
-    winners = {row[key]: row["r"] for row in agg.take_all()}
-    ref = ray.put(winners)
+    rows = agg.take_all()
+    if not rows:
+        return ds
+    # one "key\x1frank" value_set built on the driver; the filter is a
+    # single vectorized pc.is_in probe (no per-row dict lookups)
+    key_vals = pc.fill_null(pc.cast(pa.array([r[key] for r in rows]), pa.string()), "<null>")
+    rank_vals = pa.array([r["r"] for r in rows], type=pa.string())
+    winner_keys = pc.binary_join_element_wise(key_vals, rank_vals, "\x1f")
+    ref = ray.put(winner_keys)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        w = get_broadcast(ref)
-        ranks = rank_of(batch).to_pylist()
-        keys = batch.column(key).to_pylist()
-        mask = [w.get(k) == r for k, r in zip(keys, ranks)]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        wk = get_broadcast(ref)
+        k = pc.fill_null(pc.cast(batch.column(key), pa.string()), "<null>")
+        keyed = pc.binary_join_element_wise(k, rank_of(batch), "\x1f")
+        return batch.filter(pc.is_in(keyed, value_set=wk))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

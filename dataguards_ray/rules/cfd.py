@@ -102,14 +102,15 @@ class CFD(Rule):
             bad_keys = self._violating_keys(ds, trow)
             if not bad_keys:
                 continue
-            ref = ray.put(bad_keys)
+            # build the value_set pa.Array ONCE on the driver (round-1
+            # verdict: rebuilding it per batch was pure waste)
+            ref = ray.put(pa.array(sorted(bad_keys), type=pa.string()))
 
             def mark(batch: pa.Table, trow=trow, ref=ref) -> pa.Table:
                 from ..steps.dedup import get_broadcast
 
-                keys = get_broadcast(ref)
                 kcol = _sep_join(batch, self.lhs)
-                inset = pc.is_in(kcol, value_set=pa.array(sorted(keys), type=pa.string()))
+                inset = pc.is_in(kcol, value_set=get_broadcast(ref))
                 m = self._match_mask(batch, trow)
                 bad = inset if m is None else pc.and_(m, inset)
                 new = pc.or_(batch.column(flag_col), bad)

@@ -107,17 +107,27 @@ def url_max_ts(meta: Dataset) -> dict[str, int]:
 
 
 def url_dedup_filter(ds: Dataset, winners: dict[str, int]) -> Dataset:
-    """Drop url-dup losers (row survives iff url uncontested or ts == max)."""
+    """Drop url-dup losers (row survives iff url uncontested or ts == max).
+    Fully vectorized: two ``pc.is_in`` probes against value_sets built
+    once on the driver (contested urls; winning "url|ts" keys)."""
     if not winners:
         return ds
-    ref = ray.put(winners)
+    contested = pa.array(sorted(winners), type=pa.string())
+    winner_keys = pa.array(
+        sorted(f"{u}|{t}" for u, t in winners.items()), type=pa.string()
+    )
+    ref = ray.put((contested, winner_keys))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        w: dict[str, int] = get_broadcast(ref)
-        urls = batch.column("url").to_pylist()
-        tss = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
-        mask = [u not in w or t == w[u] for u, t in zip(urls, tss)]
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        c, wk = get_broadcast(ref)
+        urls = batch.column("url")
+        key = pc.binary_join_element_wise(
+            urls, pc.cast(pc.cast(batch.column("warc_ts"), pa.int64()), pa.string()), "|"
+        )
+        mask = pc.or_(
+            pc.invert(pc.is_in(urls, value_set=c)), pc.is_in(key, value_set=wk)
+        )
+        return batch.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
@@ -141,21 +151,29 @@ def digest_winners(kept_meta: Dataset) -> dict[str, str]:
 
 def flag_dedup_keep(ds: Dataset, winners: dict[str, str]) -> Dataset:
     """Append ``dedup_keep`` = keep AND (digest uncontested or row is the
-    winner).  Vectorized; no shuffle."""
-    ref = ray.put(winners)
+    winner).  Fully vectorized (two ``pc.is_in`` probes against driver-
+    built value_sets); no shuffle."""
+    contested = pa.array(sorted(winners), type=pa.string())
+    winner_keys = pa.array(
+        sorted(f"{d}\x1f{r}" for d, r in winners.items()), type=pa.string()
+    )
+    ref = ray.put((contested, winner_keys))
 
     def _flag(batch: pa.Table) -> pa.Table:
-        w: dict[str, str] = get_broadcast(ref)
-        keep = batch.column("keep").to_pylist()
-        if w:
-            digests = batch.column("digest").to_pylist()
-            ranks = rank_expr(batch.column("warc_ts"), batch.column("url")).to_pylist()
-            out = [
-                bool(k) and (d not in w or w[d] == r)
-                for k, d, r in zip(keep, digests, ranks)
-            ]
+        c, wk = get_broadcast(ref)
+        keep = pc.fill_null(pc.cast(batch.column("keep"), pa.bool_()), False)
+        if len(c):
+            digests = batch.column("digest")
+            ranks = rank_expr(batch.column("warc_ts"), batch.column("url"))
+            key = pc.binary_join_element_wise(digests, ranks, "\x1f")
+            ok = pc.or_(
+                pc.invert(pc.is_in(digests, value_set=c)), pc.is_in(key, value_set=wk)
+            )
+            out = pc.and_(keep, ok)
         else:
-            out = [bool(k) for k in keep]
-        return batch.append_column("dedup_keep", pa.array(out, type=pa.bool_()))
+            out = keep
+        return batch.append_column(
+            "dedup_keep", out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+        )
 
     return ds.map_batches(_flag, batch_format="pyarrow")
