@@ -39,20 +39,56 @@ class BloomFilter:
     def add(self, key) -> None:
         h1, h2 = self._h(key)
         for i in range(self.k):
-            b = (h1 + i * h2) % self.m
+            # wrap to 64 bits BEFORE % m so the scalar path computes the
+            # same probe positions as the numpy (mod-2^64) batch path
+            b = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % self.m
             self.bits[b >> 6] |= np.uint64(1 << (b & 63))
 
+    def _hash_many(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h1 = np.fromiter(
+            (self._h(k)[0] for k in keys), dtype=np.uint64, count=len(keys)
+        )
+        h2 = np.fromiter(
+            (self._h(k)[1] for k in keys), dtype=np.uint64, count=len(keys)
+        )
+        return h1, h2
+
     def update(self, keys) -> None:
-        for key in keys:
-            self.add(key)
+        """Batch insert (bit probes vectorized in numpy)."""
+        keys = list(keys)
+        if not keys:
+            return
+        h1, h2 = self._hash_many(keys)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                b = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+                np.bitwise_or.at(
+                    self.bits, (b >> np.uint64(6)), np.uint64(1) << (b & np.uint64(63))
+                )
 
     def __contains__(self, key) -> bool:
         h1, h2 = self._h(key)
         for i in range(self.k):
-            b = (h1 + i * h2) % self.m
+            b = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % self.m
             if not (int(self.bits[b >> 6]) >> (b & 63)) & 1:
                 return False
         return True
+
+    def contains_many(self, keys) -> np.ndarray:
+        """Vectorized membership for a batch of keys (bool[n]) — the hot
+        path for Bloom-prefiltered joins (per-key work is just the two
+        FNV hashes; the k bit probes are numpy)."""
+        keys = list(keys)
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = self._hash_many(keys)
+        out = np.ones(len(keys), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                b = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+                word = self.bits[(b >> np.uint64(6))]
+                out &= ((word >> (b & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return out
 
     @property
     def nbytes(self) -> int:

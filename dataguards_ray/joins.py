@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -74,65 +75,162 @@ def hash_join(
     )
 
 
-def _key_set(ds: Dataset, key: str) -> set:
-    """Distinct key values, collected to the driver via per-batch partial
-    dedup (one row per key per batch) + a tiny groupby."""
+def _distinct_keys(ds: Dataset, key: str) -> Dataset:
+    """Distinct non-null key values as a (key, n) Dataset: per-batch
+    partial dedup (one row per key per batch) + a global groupby.  Null
+    keys are dropped here — they never equi-match, and an (all-)null key
+    column breaks Ray's sort-based groupby boundary sampling."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        # drop null keys here: they never equi-match, and an (all-)null
-        # key column breaks Ray's sort-based groupby boundary sampling
         t = batch.select([key]).filter(pc.is_valid(batch.column(key)))
         t = t.group_by(key).aggregate([(key, "count")])
         return t.rename_columns([key, "n"])
 
-    agg = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key)
         .aggregate(Sum("n", alias_name="n"))
     )
-    return {r[key] for r in agg.take_all()}
 
 
-def _key_value_set(right: Dataset, key: str) -> pa.Array | None:
-    """Distinct non-null right keys as ONE prebuilt pa.Array (built once
-    on the driver, broadcast as-is — never rebuilt per batch).  Returns
-    None when the right side has no non-null keys (callers short-circuit:
-    semi → empty, anti → pass-through; a null-typed value_set would make
-    pc.is_in raise on typed left columns)."""
-    ks = [k for k in _key_set(right, key) if k is not None]
-    if not ks:
-        return None
-    return pa.array(ks)
+def _key_set(ds: Dataset, key: str) -> set:
+    """Driver-side distinct keys (small sides only)."""
+    return {r[key] for r in _distinct_keys(ds, key).take_all()}
 
 
-def semi_join(left: Dataset, right: Dataset, key: str, *, right_key: str | None = None) -> Dataset:
-    """J3: rows of `left` WITH a match in `right` — broadcast key-set
-    membership filter, no shuffle of `left`.  Scale path for a huge right
-    side: ``semi_join_bloom`` (Bloom prefilter + exact join re-check)."""
-    vs = _key_value_set(right, right_key or key)
-    if vs is None:  # empty right side → no row can match
+def _bloom_of(keys_ds: Dataset, key: str, n: int, fp_rate: float):
+    """Build a Bloom filter by STREAMING the distinct-key Dataset through
+    the driver (O(bloom) memory, never an exact key set)."""
+    from .bloom import BloomFilter
+
+    bf = BloomFilter(n, fp_rate)
+    for b in keys_ds.iter_batches(batch_format="pyarrow"):
+        bf.update(b.column(key).to_pylist())
+    return bf
+
+
+def semi_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    *,
+    right_key: str | None = None,
+    max_broadcast_keys: int = 1_000_000,
+    bloom_fp_rate: float = 0.001,
+    num_partitions: int = 16,
+) -> Dataset:
+    """J3: rows of `left` WITH a match in `right`.
+
+    Small right side (≤ max_broadcast_keys distinct keys): broadcast
+    key-set membership filter — no shuffle of `left` at all.  Large
+    right side (the SURVEY §2.6 scale path, wired in round 2): Bloom
+    prefilter map-side (drops ~all non-matching rows for the cost of a
+    broadcast bit array), then an exact ``left_semi`` join against the
+    distinct-key Dataset re-checks the ~fp_rate false positives —
+    results are identical to the exact path, only the shuffled volume
+    changes."""
+    rk = right_key or key
+    keys_ds = scrub_empty_blocks(_distinct_keys(right, rk)).materialize()
+    n = keys_ds.count()
+    if n == 0:  # empty right side → no row can match
         return left.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
-    ref = ray.put(vs)
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column(key), value_set=get_broadcast(ref)))
+    if n <= max_broadcast_keys:
+        vs = pa.array([r[rk] for r in keys_ds.take_all()])
+        ref = ray.put(vs)
 
-    return left.map_batches(_filter, batch_format="pyarrow")
+        def _filter(batch: pa.Table) -> pa.Table:
+            hit = pc.fill_null(
+                pc.is_in(batch.column(key), value_set=get_broadcast(ref)), False
+            )
+            return batch.filter(hit)
+
+        return left.map_batches(_filter, batch_format="pyarrow")
+
+    bref = ray.put(_bloom_of(keys_ds, rk, n, bloom_fp_rate))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bf = get_broadcast(bref)
+        col = batch.column(key)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        mask = bf.contains_many(
+            ["" if v is None else v for v in col.to_pylist()]
+        ) & valid
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    pref = left.map_batches(prefilter, batch_format="pyarrow")
+    return pref.join(
+        keys_ds.select_columns([rk]),
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(rk,),
+    )
 
 
-def anti_join(left: Dataset, right: Dataset, key: str, *, right_key: str | None = None) -> Dataset:
-    """J3: rows of `left` WITHOUT a match in `right` (null left keys kept:
-    null never equals any right key)."""
-    vs = _key_value_set(right, right_key or key)
-    if vs is None:  # empty right side → every left row survives
+def anti_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    *,
+    right_key: str | None = None,
+    max_broadcast_keys: int = 1_000_000,
+    bloom_fp_rate: float = 0.001,
+    num_partitions: int = 16,
+) -> Dataset:
+    """J3: rows of `left` WITHOUT a match in `right` (null left keys
+    kept: null never equals any right key).
+
+    Large right side: Bloom-negative rows are definite keeps and skip
+    the shuffle entirely; only Bloom-positive rows (matches + ~fp_rate
+    false positives) go through an exact ``left_anti`` join.  NOTE: the
+    Bloom path consumes `left` twice (negatives + positives), which
+    re-executes its upstream chain per branch — hand it a read or a
+    materialized Dataset, not an expensive lazy pipeline."""
+    rk = right_key or key
+    keys_ds = scrub_empty_blocks(_distinct_keys(right, rk)).materialize()
+    n = keys_ds.count()
+    if n == 0:  # empty right side → every left row survives
         return left
-    ref = ray.put(vs)
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        hit = pc.fill_null(pc.is_in(batch.column(key), value_set=get_broadcast(ref)), False)
-        return batch.filter(pc.invert(hit))
+    if n <= max_broadcast_keys:
+        vs = pa.array([r[rk] for r in keys_ds.take_all()])
+        ref = ray.put(vs)
 
-    return left.map_batches(_filter, batch_format="pyarrow")
+        def _filter(batch: pa.Table) -> pa.Table:
+            hit = pc.fill_null(
+                pc.is_in(batch.column(key), value_set=get_broadcast(ref)), False
+            )
+            return batch.filter(pc.invert(hit))
+
+        return left.map_batches(_filter, batch_format="pyarrow")
+
+    bref = ray.put(_bloom_of(keys_ds, rk, n, bloom_fp_rate))
+
+    def _bloom_mask(batch: pa.Table) -> np.ndarray:
+        bf = get_broadcast(bref)
+        col = batch.column(key)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return bf.contains_many(
+            ["" if v is None else v for v in col.to_pylist()]
+        ) & valid
+
+    def keep_negatives(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~_bloom_mask(batch), type=pa.bool_()))
+
+    def keep_positives(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_bloom_mask(batch), type=pa.bool_()))
+
+    negatives = left.map_batches(keep_negatives, batch_format="pyarrow")
+    positives = left.map_batches(keep_positives, batch_format="pyarrow")
+    false_pos = positives.join(
+        keys_ds.select_columns([rk]),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(rk,),
+    )
+    return negatives.union(false_pos)
 
 
 def latest_by_key(

@@ -84,6 +84,24 @@ def contested_winners(
     return out
 
 
+def contested_winners_dataset(meta: Dataset, key: str, rank_col: str) -> Dataset:
+    """Distributed variant of ``contested_winners``: the (key, r) winner
+    table for contested keys stays a Dataset (consumed by the Bloom
+    broadcast path when the contested set outgrows a driver dict)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(key).aggregate([(rank_col, "max"), (rank_col, "count")])
+        return g.rename_columns([key, "r", "n"])
+
+    return (
+        meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"), Max("r", alias_name="r"))
+        .filter(expr="n > 1")
+        .select_columns([key, "r"])
+    )
+
+
 def url_max_ts(meta: Dataset) -> dict[str, int]:
     """{url: max warc_ts (µs int)} for urls appearing more than once.
     `meta` needs columns (url, warc_ts) only — read them pruned."""
@@ -177,3 +195,67 @@ def flag_dedup_keep(ds: Dataset, winners: dict[str, str]) -> Dataset:
         )
 
     return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+def flag_dedup_keep_bloom(
+    ds: Dataset,
+    winners: Dataset,
+    *,
+    fp_rate: float = 0.001,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Scale path for ``flag_dedup_keep`` (the steps/dedup docstring's
+    Bloom fallback, wired in round 2): when the contested-winner set
+    outgrows a driver dict, broadcast a Bloom of contested digests
+    instead.  Bloom-negative rows (the vast majority) are flagged
+    locally; Bloom-positive rows (contested + ~fp_rate false positives)
+    resolve their winner rank through a ``left_outer`` hash join against
+    the winner Dataset.  Output is identical to the exact path.
+
+    NOTE: consumes `ds` twice (negative + positive branches) — hand it a
+    read or a materialized Dataset, not an expensive lazy chain."""
+    from ..joins import _bloom_of, scrub_empty_blocks
+
+    w = scrub_empty_blocks(winners.select_columns(["digest", "r"])).materialize()
+    n = w.count()
+    if n == 0:
+        return flag_dedup_keep(ds, {})
+    bref = ray.put(_bloom_of(w, "digest", n, fp_rate))
+
+    out_cols = [f.name for f in pa.schema(ds.schema().base_schema)] + ["dedup_keep"]
+
+    def _bloom_mask(batch: pa.Table):
+        import numpy as np
+
+        bf = get_broadcast(bref)
+        return np.asarray(bf.contains_many(batch.column("digest").to_pylist()))
+
+    def flag_negatives(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.array(~_bloom_mask(batch), type=pa.bool_()))
+        keep = pc.fill_null(pc.cast(batch.column("keep"), pa.bool_()), False)
+        keep = keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        return batch.append_column("dedup_keep", keep).select(out_cols)
+
+    def keep_positives(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_bloom_mask(batch), type=pa.bool_()))
+
+    negatives = ds.map_batches(flag_negatives, batch_format="pyarrow")
+    positives = ds.map_batches(keep_positives, batch_format="pyarrow")
+    joined = positives.join(
+        w,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("digest",),
+        right_on=("digest",),
+    )
+
+    def flag_positives(batch: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.cast(batch.column("keep"), pa.bool_()), False)
+        rank = rank_expr(batch.column("warc_ts"), batch.column("url"))
+        winner_r = batch.column("r")
+        ok = pc.or_(pc.is_null(winner_r), pc.equal(rank, winner_r))
+        out = pc.and_(keep, pc.fill_null(ok, True))
+        out = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+        return batch.append_column("dedup_keep", out).select(out_cols)
+
+    return negatives.union(joined.map_batches(flag_positives, batch_format="pyarrow"))

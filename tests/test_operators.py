@@ -89,6 +89,72 @@ def test_latest_by_key_negative_values():
     assert out["a"]["v"] == "new" and out["b"]["v"] == "hi"
 
 
+def test_bloom_semi_anti_matches_exact():
+    """Round-2 verdict item #4: the Bloom scale path (prefilter + exact
+    join re-check) must produce output identical to the exact broadcast
+    path when the right side exceeds the broadcast threshold."""
+    import ray.data
+
+    from dataguards_ray.joins import anti_join, semi_join
+
+    left = ray.data.from_items([{"k": i} for i in range(4000)]).materialize()
+    right = ray.data.from_items([{"k": i * 2} for i in range(1500)])  # evens < 3000
+
+    exact_semi = sorted(r["k"] for r in semi_join(left, right, "k").take_all())
+    bloom_semi = sorted(
+        r["k"] for r in semi_join(left, right, "k", max_broadcast_keys=100).take_all()
+    )
+    assert bloom_semi == exact_semi and len(exact_semi) == 1500
+
+    exact_anti = sorted(r["k"] for r in anti_join(left, right, "k").take_all())
+    bloom_anti = sorted(
+        r["k"] for r in anti_join(left, right, "k", max_broadcast_keys=100).take_all()
+    )
+    assert bloom_anti == exact_anti and len(exact_anti) == 2500
+
+
+def test_flag_dedup_keep_bloom_matches_exact():
+    import ray.data
+
+    from dataguards_ray.steps.dedup import (contested_winners_dataset, digest_winners,
+                                            flag_dedup_keep, flag_dedup_keep_bloom,
+                                            rank_expr)
+
+    rows = []
+    for i in range(300):
+        digest = f"d{i % 90}"  # digests d0..d89, most contested
+        rows.append(
+            {"url": f"u{i}", "warc_ts": 1000 + i, "digest": digest, "keep": i % 7 != 0}
+        )
+    ds = ray.data.from_items(rows).materialize()
+
+    kept_meta = ds.map_batches(
+        lambda b: b.filter(b.column("keep")).select(["digest", "warc_ts", "url"]),
+        batch_format="pyarrow",
+    )
+    exact = {
+        r["url"]: r["dedup_keep"]
+        for r in flag_dedup_keep(ds, digest_winners(kept_meta)).take_all()
+    }
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"digest": b.column("digest"),
+             "rank": rank_expr(b.column("warc_ts"), b.column("url"))}
+        )
+
+    winners_ds = contested_winners_dataset(
+        kept_meta.map_batches(add_rank, batch_format="pyarrow"), "digest", "rank"
+    )
+    bloom = {
+        r["url"]: r["dedup_keep"]
+        for r in flag_dedup_keep_bloom(ds, winners_ds).take_all()
+    }
+    assert bloom == exact
+    # exactly one winner per digest among kept rows
+    assert sum(bloom.values()) == len({r["digest"] for r in rows if r["keep"]})
+
+
 def test_salted_vs_plain_groupby():
     from dataguards_ray.aggregates import grouped_agg, salted_groupby
     from dataguards_ray.io import read_table
