@@ -455,6 +455,36 @@ WHERE EXISTS (SELECT 1 FROM part q WHERE q.p_brand = p.p_brand AND q.p_type = p.
 """
 
 
+def _q_dc_pair_ineq(sf_dir: str):
+    """Two-inequality-atom pairwise DC via the O(n log n) dominance sweep
+    (rules/dc.two_atom_flags): ¬∃ t,t′ same brand with t.price >
+    t′.price ∧ t.size < t′.size — flags every row in a witness pair."""
+    from dataguards_ray.rules import Atom, DenialConstraint
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice", "p_size"])
+    dc = DenialConstraint(
+        "dc.price_size_dominance",
+        eq_keys=["p_brand"],
+        pair_atoms=[Atom("p_retailprice", ">", "p_retailprice"),
+                    Atom("p_size", "<", "p_size")],
+    )
+    out = dc.apply_shuffle(ds)
+    return out.map_batches(
+        lambda b: b.filter(b.column("__viol_dc.price_size_dominance")).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_DC_PAIR_INEQ = """
+SELECT p_partkey FROM part p
+WHERE EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand AND q.p_partkey <> p.p_partkey
+    AND ((p.p_retailprice > q.p_retailprice AND p.p_size < q.p_size)
+      OR (q.p_retailprice > p.p_retailprice AND q.p_size < p.p_size)))
+"""
+
+
 def _q_dedup_docs_exact(sf_dir: str):
     from dataguards_ray.aggregates import grouped_agg
     from dataguards_ray.textstats import add_fingerprint
@@ -865,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cfd_violations": _q_cfd_violations,
         "dc_single_violations": _q_dc_single_violations,
         "dc_pair_violations": _q_dc_pair_violations,
+        "dc_pair_ineq": _q_dc_pair_ineq,
         "dedup_docs_exact": _q_dedup_docs_exact,
         "top_sources": _q_top_sources,
         "token_counts": _q_token_counts,
@@ -913,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "cfd_violations": _SQL_CFD,
         "dc_single_violations": _SQL_DC_SINGLE,
         "dc_pair_violations": _SQL_DC_PAIR,
+        "dc_pair_ineq": _SQL_DC_PAIR_INEQ,
         "dedup_docs_exact": _SQL_DEDUP_DOCS,
         "top_sources": _SQL_TOP_SOURCES,
         "token_counts": _SQL_TOKENS,

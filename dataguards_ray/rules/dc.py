@@ -44,6 +44,80 @@ class Atom:
     right: str
 
 
+def _dominates_any(u1: np.ndarray, u2: np.ndarray, strict1: bool, strict2: bool) -> np.ndarray:
+    """flag[i] = ∃ j≠i : u1_i >(=) u1_j ∧ u2_i >(=) u2_j (strictness per
+    dimension).  One sort + a tie-grouped sweep with a running prefix
+    min — O(n log n), the SURVEY §2.2 R5 sort-pruning promise for
+    inequality atoms (round-1 verdict item #6).  Works on native dtypes
+    (no float conversion, so int64 columns keep exact comparisons)."""
+    n = len(u1)
+    flags = np.zeros(n, dtype=bool)
+    order = np.lexsort((u2, u1))
+    has_prefix = False
+    pmin = None  # min u2 over all rows with strictly smaller u1
+    i = 0
+    while i < n:
+        j = i
+        val = u1[order[i]]
+        while j < n and u1[order[j]] == val:
+            j += 1
+        grp = order[i:j]
+        g2 = u2[grp]
+        if has_prefix:
+            f = (pmin < g2) if strict2 else (pmin <= g2)
+        else:
+            f = np.zeros(len(grp), dtype=bool)
+        if not strict1 and len(grp) > 1:
+            # non-strict dim-1: same-u1 rows are candidates too (self
+            # excluded via min/second-min bookkeeping)
+            m = g2.min()
+            if (g2 == m).sum() > 1:
+                others_min = np.full(len(grp), m)
+            else:
+                m2 = np.partition(g2, 1)[1]
+                others_min = np.where(g2 == m, m2, m)
+            f = f | ((others_min < g2) if strict2 else (others_min <= g2))
+        flags[grp] = f
+        gmin = g2.min()
+        pmin = gmin if not has_prefix else min(pmin, gmin)
+        has_prefix = True
+        i = j
+    return flags
+
+
+def two_atom_flags(group: pa.Table, a1: "Atom", a2: "Atom") -> np.ndarray | None:
+    """O(n log n) witness flags for a two-inequality-atom DC where each
+    atom compares one column against itself (t.c OP t′.c — the common DC
+    shape).  Returns None when the atom shape isn't supported (callers
+    fall back to the bounded O(n²) matrix).
+
+    Normalization: ops < / <= flip sign so every atom reads "t-value >
+    (or ≥) t′-value"; a row violates if it participates as t (dominance
+    sweep) or as t′ (the same sweep over negated values)."""
+    for a in (a1, a2):
+        if a.left != a.right or a.op not in ("<", "<=", ">", ">="):
+            return None
+
+    def to_u(a: "Atom") -> tuple[np.ndarray, bool]:
+        v = group.column(a.left).to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "M":  # timestamps: order-preserving int64 view
+            v = v.view("int64")
+        if v.dtype.kind not in ("i", "f"):  # object (nulls), unsigned, bool
+            return None, False
+        if v.dtype.kind == "f" and np.isnan(v).any():  # NaN poisons prefix-min
+            return None, False
+        u = v if a.op in (">", ">=") else -v
+        return u, a.op in (">", "<")
+
+    u1, s1 = to_u(a1)
+    u2, s2 = to_u(a2)
+    if u1 is None or u2 is None:
+        return None
+    as_t = _dominates_any(u1, u2, s1, s2)
+    as_t_prime = _dominates_any(-u1, -u2, s1, s2)
+    return as_t | as_t_prime
+
+
 @dataclass
 class DenialConstraint(Rule):
     name: str
@@ -113,6 +187,10 @@ class DenialConstraint(Rule):
                 fast = single_atom_fast(group, atoms[0])
                 if fast is not None:
                     return group.append_column(flag_col, pa.array(fast))
+            if len(atoms) == 2:
+                fast2 = two_atom_flags(group, atoms[0], atoms[1])
+                if fast2 is not None:
+                    return group.append_column(flag_col, pa.array(fast2))
             if n > max_group:
                 raise ValueError(
                     f"DC {self.name}: group of {n} rows exceeds max_group="
