@@ -420,6 +420,81 @@ HAVING COUNT(DISTINCT l_returnflag) > 1
 """
 
 
+def _q_cfd_mixed_tableau(sf_dir: str):
+    """Multi-attribute-LHS CFD with MIXED tableau rows (round-2 verdict
+    item #9): one wildcard-Y row (true FD on the BUILDING subset:
+    nationkey → acctbal) plus one all-constant row (FURNITURE/3
+    customers must have acctbal 1000.0)."""
+    from dataguards_ray.rules.cfd import CFD
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"])
+    cfd = CFD(
+        "cfd.seg_nation_bal",
+        ["c_mktsegment", "c_nationkey"],
+        "c_acctbal",
+        [
+            {"c_mktsegment": "BUILDING", "c_nationkey": "_", "c_acctbal": "_"},
+            {"c_mktsegment": "FURNITURE", "c_nationkey": 3, "c_acctbal": 1000.0},
+        ],
+    )
+    out = cfd.apply_shuffle(ds)
+    return out.map_batches(
+        lambda b: b.filter(b.column("__viol_cfd.seg_nation_bal")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_CFD_MIXED = """
+SELECT c_custkey FROM customer c
+WHERE (c.c_mktsegment = 'BUILDING' AND c.c_nationkey IN (
+         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         GROUP BY c_nationkey HAVING COUNT(DISTINCT c_acctbal) > 1))
+   OR (c.c_mktsegment = 'FURNITURE' AND c.c_nationkey = 3 AND c.c_acctbal <> 1000.0)
+"""
+
+
+def _q_rule_not_matches(sf_dir: str):
+    """R1 `not_matches` regex shape: parts whose type starts with
+    PROMO/ECONOMY violate the rule (must_match=False)."""
+    from dataguards_ray.rules import RegexRule, RuleSet
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    rules = RuleSet(
+        [RegexRule("type.no_promo", "p_type", "^(PROMO|ECONOMY)", must_match=False)]
+    )
+    out = rules.evaluate(ds).filter(expr="keep == False")
+    return out.select_columns(["p_partkey", "drop_rule"])
+
+
+_SQL_RULE_NOT_MATCHES = """
+SELECT p_partkey, 'type.no_promo' AS drop_rule
+FROM part WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)')
+"""
+
+
+def _q_rule_in_between(sf_dir: str):
+    """R1 `in` + `between` predicate atoms fused in one PredicateRule."""
+    from dataguards_ray.rules import Predicate, PredicateRule, RuleSet
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    rule = PredicateRule(
+        "ord.priority_price",
+        [Predicate("o_orderpriority", "in", ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+         Predicate("o_totalprice", "between", (1000.0, 200000.0))],
+    )
+    out = RuleSet([rule]).evaluate(ds).filter(expr="keep == False")
+    return out.select_columns(["o_orderkey", "drop_rule"])
+
+
+_SQL_RULE_IN_BETWEEN = """
+SELECT o_orderkey, 'ord.priority_price' AS drop_rule
+FROM orders
+WHERE NOT (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+           AND o_totalprice BETWEEN 1000.0 AND 200000.0)
+"""
+
+
 def _q_dc_single_violations(sf_dir: str):
     from dataguards_ray.rules import DenialConstraint, Predicate, RuleSet
 
@@ -893,6 +968,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_range_violations": _q_rule_range_violations,
         "rule_predicate_violations": _q_rule_predicate_violations,
         "cfd_violations": _q_cfd_violations,
+        "cfd_mixed_tableau": _q_cfd_mixed_tableau,
+        "rule_not_matches": _q_rule_not_matches,
+        "rule_in_between": _q_rule_in_between,
         "dc_single_violations": _q_dc_single_violations,
         "dc_pair_violations": _q_dc_pair_violations,
         "dc_pair_ineq": _q_dc_pair_ineq,
@@ -942,6 +1020,9 @@ def oracle_sql() -> dict[str, str]:
         "rule_range_violations": _SQL_RULE_RANGE,
         "rule_predicate_violations": _SQL_RULE_PRED,
         "cfd_violations": _SQL_CFD,
+        "cfd_mixed_tableau": _SQL_CFD_MIXED,
+        "rule_not_matches": _SQL_RULE_NOT_MATCHES,
+        "rule_in_between": _SQL_RULE_IN_BETWEEN,
         "dc_single_violations": _SQL_DC_SINGLE,
         "dc_pair_violations": _SQL_DC_PAIR,
         "dc_pair_ineq": _SQL_DC_PAIR_INEQ,

@@ -16,6 +16,7 @@ SUBSET = [
     "cfd_violations", "dc_pair_violations", "dedup_docs_exact", "knn_embeddings",
     "hash_sample", "token_counts", "sessionize_events", "bpe_token_counts",
     "asof_click_purchase", "token_histogram",
+    "dc_pair_ineq", "cfd_mixed_tableau", "rule_not_matches", "rule_in_between",
 ]
 
 
