@@ -193,8 +193,12 @@ class FusedAnnotateStep:
     problems; see steps/annotate.py).  Set ``use_actors=True`` for an
     explicit pool (required if the stage ever pins accelerators)."""
 
+    # batch_size 512 (round 2, measured): the fused stage runs ~1s/batch,
+    # so ~4 batches per CPU per 100k docs pack into full waves — 2048
+    # quantized the stage into 2 ragged waves (45 tasks × 3.9s on 32
+    # CPUs = 10.4s wall where 512 gives 6.4s; 8-CPU wall unchanged)
     concurrency: tuple[int, int] | int | None = None
-    batch_size: int = 2048
+    batch_size: int = 512
     slim_dropped: bool = False
     use_actors: bool = False
 
@@ -313,6 +317,20 @@ class FilterPipeline:
         pipe = FilterPipeline(num_parts=self.num_parts,
                               concurrency=self.concurrency, steps=steps)
         scored = pipe._score_chain(ds, skip_parts=stages["annotated"])
+        # pre-shuffle coalesce (round 2, measured): the sort groupby's
+        # overhead scales with its input block count (annotate emits one
+        # small block per 512-row batch → hundreds of tiny sort
+        # partitions; 300k docs: 21-27s → 16-19s wall at 32 CPUs).
+        # Target = one block per CPU, floored at 128 MB blocks from the
+        # parquet metadata estimate so a 100 TB corpus never coalesces
+        # below a sane block size.
+        try:
+            est_bytes = ds.size_bytes() or 0
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_blocks = max(cpus, est_bytes // (128 << 20))
+            scored = scored.repartition(n_blocks)
+        except Exception:
+            pass  # estimation is best-effort; the shuffle is correct either way
         partials = scored.groupby("part_id").map_groups(
             lambda g: dg_io.write_annotated_partition(g, out_dir),
             batch_format="pyarrow",
