@@ -357,6 +357,102 @@ FROM events GROUP BY event_type, win
 """
 
 
+def _q_window_hopping(sf_dir: str):
+    """Hopping windows (1 h size / 15 min hop): vectorized 4-way explode
+    + pre-aggregated groupby (events.hopping_window)."""
+    from dataguards_ray.events import hopping_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return hopping_window(ds, ["event_type"])
+
+
+_SQL_WINDOW_HOP = f"""
+SELECT event_type,
+       CAST(FLOOR(epoch_us(ts)/900000000.0) - s.k AS BIGINT) AS win,
+       COUNT(*) AS n,
+       CAST(SUM({_CENTS_SQL.format(x='value')}) AS BIGINT) AS sum_value_cents
+FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) s
+GROUP BY event_type, win
+"""
+
+
+def _q_median_price_by_priority(sf_dir: str):
+    """Exact per-group discrete median (aggregates.grouped_median) —
+    order statistics need co-located groups, so this is the one
+    map_groups shuffle among the aggregate queries."""
+    from dataguards_ray.aggregates import grouped_median
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b.column("o_orderpriority"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    return grouped_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"], "price_c", "median_price_cents",
+    )
+
+
+_SQL_MEDIAN = f"""
+SELECT o_orderpriority,
+       quantile_disc({_CENTS_SQL.format(x='o_totalprice')}, 0.5) AS median_price_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sample: first 3 docs per source ordered
+    by (md5 fingerprint, doc_id) — row_number() semantics."""
+    from dataguards_ray.aggregates import stratified_sample
+    from dataguards_ray.textstats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    withfp = add_fingerprint(ds, "text", "fp")
+    out = stratified_sample(withfp, "source", 3, [("fp", False), ("doc_id", False)])
+    return out.select_columns(["source", "doc_id"])
+
+
+_SQL_STRATIFIED = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
+def _q_rollup_counts(sf_dir: str):
+    """GROUPING SETS ((flag,status),(flag),()) via aggregates.grouping_sets
+    — one pre-aggregated pass per set, union with null rolled-up keys."""
+    from dataguards_ray.aggregates import grouping_sets
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": b.column("l_returnflag"),
+             "l_linestatus": b.column("l_linestatus"),
+             "qty_c": _cents(b.column("l_quantity"))}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return grouping_sets(
+        prepped,
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        [("qty_c", "count", "n"), ("qty_c", "sum", "sum_qty_cents")],
+    )
+
+
+_SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM({_CENTS_SQL.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def _q_salted_source_counts(sf_dir: str):
     from dataguards_ray.aggregates import salted_groupby
 
@@ -964,6 +1060,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": _q_asof_click_purchase,
         "json_props_stats": _q_json_props_stats,
         "window_tumbling_events": _q_window_tumbling,
+        "window_hopping_events": _q_window_hopping,
+        "median_price_by_priority": _q_median_price_by_priority,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "rollup_counts": _q_rollup_counts,
         "salted_source_counts": _q_salted_source_counts,
         "rule_range_violations": _q_rule_range_violations,
         "rule_predicate_violations": _q_rule_predicate_violations,
@@ -1016,6 +1116,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_purchase": _SQL_ASOF,
         "json_props_stats": _SQL_JSON,
         "window_tumbling_events": _SQL_WINDOW,
+        "window_hopping_events": _SQL_WINDOW_HOP,
+        "median_price_by_priority": _SQL_MEDIAN,
+        "stratified_sample_docs": _SQL_STRATIFIED,
+        "rollup_counts": _SQL_ROLLUP,
         "salted_source_counts": _SQL_SALTED,
         "rule_range_violations": _SQL_RULE_RANGE,
         "rule_predicate_violations": _SQL_RULE_PRED,

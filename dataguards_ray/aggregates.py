@@ -111,6 +111,104 @@ def topk(ds: Dataset, sort_cols: list[tuple[str, bool]], k: int) -> Dataset:
     )
 
 
+def grouped_median(
+    ds: Dataset, keys: list[str], col: str, out: str, *, max_group: int = 50_000_000
+) -> Dataset:
+    """Exact per-group discrete median (lower median — DuckDB
+    ``quantile_disc(col, 0.5)`` semantics: sorted[(n-1)//2]).
+
+    Exact quantiles are order statistics — they need each group's values
+    co-located, so this is a ``groupby(keys).map_groups`` shuffle of the
+    (keys, col) projection only (prune before calling).  ``max_group``
+    guards pathological groups; for sketchy-but-bounded memory use a
+    t-digest style approximation instead (not needed by the spec)."""
+
+    def per_group(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n > max_group:
+            raise ValueError(f"median group of {n} rows exceeds max_group={max_group}")
+        v = np.sort(group.column(col).to_numpy(zero_copy_only=False))
+        med = v[(n - 1) // 2]
+        cols = {k: group.column(k).slice(0, 1) for k in keys}
+        cols[out] = pa.array([med], type=group.schema.field(col).type)
+        return pa.table(cols)
+
+    return ds.select_columns(keys + [col]).groupby(
+        keys if len(keys) > 1 else keys[0]
+    ).map_groups(per_group, batch_format="pyarrow")
+
+
+def grouping_sets(
+    ds: Dataset,
+    sets: list[list[str]],
+    aggs: list[tuple[str, str, str]],
+    *,
+    all_keys: list[str] | None = None,
+) -> Dataset:
+    """SQL GROUPING SETS / ROLLUP: one pre-aggregated groupby per set,
+    results unioned with nulls in the rolled-up key columns.
+
+    NOTE: consumes `ds` once per grouping set (branches the DAG) — hand
+    it a read or materialized Dataset.  Each pass moves partials only."""
+    if all_keys is None:
+        all_keys = []
+        for s in sets:
+            for k in s:
+                if k not in all_keys:
+                    all_keys.append(k)
+    key_types: dict[str, pa.DataType] = {}
+    schema = pa.schema(ds.schema().base_schema)
+    for k in all_keys:
+        key_types[k] = schema.field(k).type
+
+    parts = []
+    for s in sets:
+        if s:
+            g = grouped_agg(ds, s, aggs)
+        else:  # grand total: constant key then drop
+            def add_const(batch: pa.Table, aggs=aggs) -> pa.Table:
+                return batch.append_column("__all", pa.array([0] * batch.num_rows, type=pa.int8()))
+
+            g = grouped_agg(ds.map_batches(add_const, batch_format="pyarrow"), ["__all"], aggs)
+            g = g.drop_columns(["__all"])
+
+        def widen(batch: pa.Table, s=tuple(s)) -> pa.Table:
+            cols = {}
+            for k in all_keys:
+                cols[k] = (
+                    batch.column(k) if k in s
+                    else pa.nulls(batch.num_rows, type=key_types[k])
+                )
+            for _, _, out in aggs:
+                cols[out] = batch.column(out)
+            return pa.table(cols)
+
+        parts.append(g.map_batches(widen, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def stratified_sample(
+    ds: Dataset,
+    key: str,
+    n_per_group: int,
+    order_cols: list[tuple[str, bool]],
+) -> Dataset:
+    """Deterministic per-group sample: the first ``n_per_group`` rows of
+    each key group under ``order_cols`` (col, descending) — SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n``.
+    Parallelism-invariant because the order is total (include a unique
+    tiebreak column)."""
+    pa_keys = [(c, "descending" if d else "ascending") for c, d in order_cols]
+
+    def per_group(group: pa.Table) -> pa.Table:
+        return group.sort_by(pa_keys).slice(0, n_per_group)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+
 def approx_top_k(ds: Dataset, col: str, k: int, *, per_batch: int = 256) -> list[tuple[str, int]]:
     """G5: heavy hitters — per-batch exact counts truncated to the top
     ``per_batch`` (a space-saving sketch: mergeable, may undercount keys

@@ -56,3 +56,61 @@ def sessionize(
         )
 
     return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def hopping_window(
+    ds: Dataset,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    size_us: int = 3_600_000_000,  # 1 h
+    hop_us: int = 900_000_000,  # 15 min
+    value_col: str = "value",
+) -> Dataset:
+    """Hopping (sliding) windows: windows of ``size_us`` starting every
+    ``hop_us``; an event at slot s = floor(ts/hop) belongs to the
+    size/hop consecutive windows starting at slots s-(size/hop-1) .. s.
+
+    Vectorized explode: per batch, concat size/hop shifted copies (no
+    per-row Python), then the usual pre-aggregated groupby.  Window id
+    ``win`` = start-slot index (win × hop_us = window start µs).
+    Returns (keys..., win, n, sum_value_cents)."""
+    import pyarrow.compute as pc
+
+    if size_us % hop_us != 0:
+        raise ValueError("size_us must be a multiple of hop_us")
+    fan = size_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        slot = pc.cast(
+            pc.floor(
+                pc.divide(pc.cast(pc.cast(batch.column(ts_col), pa.int64()), pa.float64()),
+                          float(hop_us))
+            ),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(pc.cast(batch.column(value_col), pa.float64()), 100.0), 0.5)),
+            pa.int64(),
+        )
+        base = pa.table(
+            {**{k: batch.column(k) for k in keys}, "slot": slot, "cents": cents}
+        )
+        shifted = []
+        for k in range(fan):
+            t = base.set_column(
+                base.schema.get_field_index("slot"), "win",
+                pc.subtract(base.column("slot"), pa.scalar(k, type=pa.int64())),
+            )
+            shifted.append(t)
+        exploded = pa.concat_tables(shifted)
+        g = exploded.group_by(keys + ["win"]).aggregate([("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(keys + ["win", "n", "sum_value_cents"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(keys + ["win"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents"))
+    )

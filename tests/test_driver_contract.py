@@ -17,6 +17,8 @@ SUBSET = [
     "hash_sample", "token_counts", "sessionize_events", "bpe_token_counts",
     "asof_click_purchase", "token_histogram",
     "dc_pair_ineq", "cfd_mixed_tableau", "rule_not_matches", "rule_in_between",
+    "window_hopping_events", "median_price_by_priority", "stratified_sample_docs",
+    "rollup_counts",
 ]
 
 

@@ -219,6 +219,48 @@ def test_topk_and_approx_topk():
     assert heavy[0] == ("k1", 15) and heavy[1] == ("k0", 15)
 
 
+def test_hopping_window_explode():
+    import ray.data
+
+    from dataguards_ray.events import hopping_window
+
+    # one event at slot 7 (ts = 7 * hop) must appear in windows 4..7
+    rows = [{"ts": 7 * 900_000_000, "event_type": "click", "value": 1.0}]
+    out = hopping_window(ray.data.from_items(rows), ["event_type"])
+    got = sorted((r["win"], r["n"], r["sum_value_cents"]) for r in out.take_all())
+    assert got == [(4, 1, 100), (5, 1, 100), (6, 1, 100), (7, 1, 100)]
+
+
+def test_grouped_median_and_grouping_sets():
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_median, grouping_sets
+
+    rows = [{"g": "a", "v": x} for x in [5, 1, 3, 9]] + [
+        {"g": "b", "v": x} for x in [10, 20, 30]
+    ]
+    ds = ray.data.from_items(rows).materialize()
+    med = {r["g"]: r["m"] for r in grouped_median(ds, ["g"], "v", "m").take_all()}
+    assert med == {"a": 3, "b": 20}  # lower median for even-sized group
+
+    gs = grouping_sets(ds, [["g"], []], [("v", "sum", "s"), ("v", "count", "n")])
+    got = sorted([(r["g"], r["s"], r["n"]) for r in gs.take_all()],
+                 key=lambda t: (t[0] is None, t))
+    assert got == [("a", 18, 4), ("b", 60, 3), (None, 78, 7)]
+
+
+def test_stratified_sample_deterministic():
+    import ray.data
+
+    from dataguards_ray.aggregates import stratified_sample
+
+    rows = [{"g": f"g{i % 3}", "i": i} for i in range(30)]
+    ds = ray.data.from_items(rows)
+    out = stratified_sample(ds, "g", 2, [("i", True)])  # top-2 by i desc
+    got = sorted((r["g"], r["i"]) for r in out.take_all())
+    assert got == [("g0", 24), ("g0", 27), ("g1", 25), ("g1", 28), ("g2", 26), ("g2", 29)]
+
+
 def test_minhash_finds_near_dups():
     import ray.data
 
