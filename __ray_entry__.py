@@ -930,6 +930,27 @@ def _q_lsh_ann_pairs(sf_dir: str):
     return lsh_bucket_pairs(ds, 0.4)
 
 
+def _q_ivf_knn(sf_dir: str):
+    """IVF ANN (deterministic spherical k-means cells, nprobe=3) — the
+    second scale path alongside hyperplane LSH (rows-only: recall < 1)."""
+    from dataguards_ray.similarity import ivf_knn, ivf_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ivf_train(ds, 8)
+    qrows = sorted(
+        (r for r in ds.take_all() if r["vec_id"] < 5), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    t = ivf_knn(ds, cents, queries, 6, nprobe=3)
+    return pa.table(
+        {
+            "query_id": pc.cast(t.column("query_id"), pa.int64()),
+            "vec_id": t.column("vec_id"),
+            "rank": pc.cast(t.column("rank"), pa.int64()),
+        }
+    )
+
+
 def _q_lang_guess(sf_dir: str):
     from dataguards_ray.textstats import add_lang_guess
 
@@ -1089,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
+        "ivf_knn_embeddings": _q_ivf_knn,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "multimodal_decode": _q_multimodal_decode,
         "lang_guess": _q_lang_guess,

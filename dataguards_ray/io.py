@@ -291,6 +291,12 @@ def read_jsonl(path: str) -> Dataset:
     return ray.data.read_json(path)
 
 
+def read_csv(path: str, **kwargs) -> Dataset:
+    """S5b: CSV reader (interchange format; schema inferred — chain
+    ``cast_schema`` for a declared schema)."""
+    return ray.data.read_csv(path, **kwargs)
+
+
 def cast_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
     """M8: explicit cast to a declared schema (fail-fast on impossible
     casts; column order follows the target schema)."""

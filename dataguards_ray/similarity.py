@@ -135,6 +135,137 @@ def near_dup_cosine(
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
+def ivf_train(
+    ds: Dataset,
+    n_centroids: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 1,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids for an IVF index.
+
+    Training sample = vectors with ``vec_id % sample_mod == 0`` (hash-free
+    deterministic downsample, parallelism-invariant) pulled through a
+    column-pruned read; Lloyd iterations run in driver numpy (centroid
+    count × dim is tiny).  No runtime RNG: init = the ``n_centroids``
+    sample vectors with the smallest ids."""
+    rows = (
+        ds.select_columns([id_col, vec_col])
+        .filter(expr=f"{id_col} % {sample_mod} == 0" if sample_mod > 1 else f"{id_col} >= 0")
+        .take_all()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    X = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_assign(
+    ds: Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> Dataset:
+    """Append each vector's nearest-centroid id (one batch matmul against
+    the broadcast centroid matrix).  At corpus scale, follow with a
+    partitioned write keyed on ``out_col`` so probes read only their
+    clusters' files."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        C = get_broadcast(ref)
+        e = _normalize(_to_matrix(batch.column(vec_col)))
+        a = np.argmax(e @ C.T, axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(a, type=pa.int32()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ivf_knn(
+    ds: Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    *,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF ANN top-k: each query probes its ``nprobe`` nearest centroid
+    cells; per batch ONE matmul computes all query scores and a boolean
+    (cell ∈ query's probe set) mask zeroes the unprobed pairs — so the
+    scan work is identical to brute force per batch but the index
+    decides which (vector, query) pairs count, and at corpus scale the
+    cluster-partitioned layout (``ivf_assign`` + partitioned write)
+    prunes the read itself to the probed cells.  Recall < 1 by design;
+    same (query_id, vec_id, rank) contract as ``knn_cosine``."""
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # probe sets: (n_centroids, n_queries) membership matrix
+    probes = np.argsort(-(C @ qn.T), axis=0, kind="stable")[:nprobe]  # (nprobe, nq)
+    member = np.zeros((len(C), qn.shape[0]), dtype=bool)
+    for j in range(qn.shape[0]):
+        member[probes[:, j], j] = True
+    ref = ray.put((qn, C, member))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, cents, memb = get_broadcast(ref)
+        e = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cell = np.argmax(e @ cents.T, axis=1)
+        sims = e @ q.T  # (b, nq)
+        sims = np.where(memb[cell], sims, -np.inf)
+        nq = q.shape[0]
+        take = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            idx = np.argsort(-col, kind="stable")[:take]
+            idx = idx[np.isfinite(col[idx])]
+            out_q.extend([j] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int32()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    heaps: dict[int, list] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        h = heaps.setdefault(row["query_id"], [])
+        heapq.heappush(h, (row["score"], -row["vec_id"]))
+        if len(h) > k:
+            heapq.heappop(h)
+    qs, vs, rks = [], [], []
+    for qid in sorted(heaps):
+        best = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
+        for r, (s, nid) in enumerate(best[:k], start=1):
+            qs.append(qid)
+            vs.append(-nid)
+            rks.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int32()),
+            "vec_id": pa.array(vs, type=pa.int64()),
+            "rank": pa.array(rks, type=pa.int32()),
+        }
+    )
+
+
 def lsh_ann_candidates(
     ds: Dataset,
     threshold: float,

@@ -324,6 +324,52 @@ def test_knn_matches_bruteforce():
         assert got == want
 
 
+def test_ivf_knn_recall_and_exact_duplicates():
+    import ray.data
+
+    from dataguards_ray.similarity import ivf_assign, ivf_knn, ivf_train, knn_cosine
+
+    rng = np.random.RandomState(1)
+    # 4 well-separated clusters in 8-d
+    centers = rng.standard_normal((4, 8)) * 5
+    V = np.vstack([c + rng.standard_normal((100, 8)) * 0.3 for c in centers])
+    tbl = pa.table(
+        {"vec_id": np.arange(len(V), dtype=np.int64),
+         "embedding": pa.array(V.tolist(), type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4).materialize()
+    cents = ivf_train(ds, 4)
+    # assignment: every vector lands in some cell, cells are non-trivial
+    cells = [r["cluster"] for r in ivf_assign(ds, cents).take_all()]
+    assert len(set(cells)) == 4
+
+    queries = V[[0, 100, 200, 300]]
+    exact = knn_cosine(ds, queries, 5)
+    approx = ivf_knn(ds, cents, queries, 5, nprobe=1)
+    exact_set = set(zip(exact.column("query_id").to_pylist(), exact.column("vec_id").to_pylist()))
+    approx_set = set(zip(approx.column("query_id").to_pylist(), approx.column("vec_id").to_pylist()))
+    # clusters are well separated → even nprobe=1 recalls everything
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.95
+    # rank-1 hit for each query is the query vector itself
+    r1 = {(q, v) for q, v, r in zip(approx.column("query_id").to_pylist(),
+                                    approx.column("vec_id").to_pylist(),
+                                    approx.column("rank").to_pylist()) if r == 1}
+    assert r1 == {(0, 0), (1, 100), (2, 200), (3, 300)}
+
+
+def test_read_csv_roundtrip(tmp_path):
+    import ray.data
+
+    from dataguards_ray.io import cast_schema, read_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    ds = read_csv(str(p))
+    out = cast_schema(ds, pa.schema([("a", pa.int32()), ("b", pa.string())]))
+    assert [r for r in out.take_all()] == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+
+
 def test_lsh_ann_in_group_verify_100k():
     """Round-2 verdict item #2: the LSH-ANN scale path must verify
     inside bucket groups — 100k vectors, planted exact duplicates, no
