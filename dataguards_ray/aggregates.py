@@ -111,6 +111,37 @@ def topk(ds: Dataset, sort_cols: list[tuple[str, bool]], k: int) -> Dataset:
     )
 
 
+def driver_merge_or_none(
+    partials: Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    *,
+    max_driver_rows: int = 2_000_000,
+):
+    """Adaptive final merge for PRE-AGGREGATED partials (round 2,
+    measured): Ray's sort-based groupby costs ~10 s on 580k thin partial
+    rows where a single pyarrow ``Table.group_by`` on the driver costs
+    0.2 s — at thin-partial scale the all-to-all machinery is pure
+    overhead.  Materializes `partials`; when its row count fits
+    ``max_driver_rows`` the merge runs on the driver in Arrow C++ and a
+    ``pa.Table`` is returned, else ``None`` — the caller then runs the
+    distributed groupby on the returned materialized Dataset (no
+    recompute).  Returns ``(table_or_none, materialized_partials)``."""
+    import ray as _ray
+
+    mat = partials.materialize()
+    if mat.count() > max_driver_rows:
+        return None, mat
+    tables = [
+        t for t in _ray.get(mat.to_arrow_refs()) if t.num_rows and t.schema.names
+    ]
+    if not tables:
+        return pa.table({k: pa.array([]) for k in keys + [o for _, _, o in aggs]}), mat
+    big = pa.concat_tables(tables, promote_options="default")
+    g = big.group_by(keys).aggregate([(c, f) for c, f, _ in aggs])
+    return g.rename_columns(keys + [out for _, _, out in aggs]), mat
+
+
 def grouped_median(
     ds: Dataset, keys: list[str], col: str, out: str, *, max_group: int = 50_000_000
 ) -> Dataset:

@@ -335,16 +335,29 @@ class FilterPipeline:
             lambda g: dg_io.write_annotated_partition(g, out_dir),
             batch_format="pyarrow",
         )
-        # the writer emits per-partition digest partials → merge them in
-        # the SAME execution to find contested text-dedup winners
+        # the writer emits per-partition digest partials → merging them
+        # consumes the same execution (the partition writes happen inside
+        # the map_groups); the merge itself is adaptive (driver Arrow
+        # C++ under the row cap, distributed groupby above — round 2)
         from ray.data.aggregate import Max, Sum
 
-        agg = partials.groupby("digest").aggregate(
-            Sum("n", alias_name="n"), Max("r", alias_name="r")
+        from .aggregates import driver_merge_or_none
+
+        merged, mat = driver_merge_or_none(
+            partials, ["digest"], [("n", "sum", "n"), ("r", "max", "r")]
         )
-        dwinners = {
-            row["digest"]: row["r"] for row in agg.filter(expr="n > 1").take_all()
-        }
+        if merged is not None:
+            bad = merged.filter(pc.greater(merged.column("n"), 1))
+            dwinners = dict(
+                zip(bad.column("digest").to_pylist(), bad.column("r").to_pylist())
+            )
+        else:
+            agg = mat.groupby("digest").aggregate(
+                Sum("n", alias_name="n"), Max("r", alias_name="r")
+            )
+            dwinners = {
+                row["digest"]: row["r"] for row in agg.filter(expr="n > 1").take_all()
+            }
 
         all_parts = dg_io.partitions_by_stage(out_dir)["annotated"]
         if resume and stages["annotated"]:

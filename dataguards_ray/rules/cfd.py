@@ -147,9 +147,19 @@ class CFD(Rule):
 
         from ray.data.aggregate import Max, Min
 
+        from ..aggregates import driver_merge_or_none
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        merged, mat = driver_merge_or_none(
+            partials, ["k"], [("y_min", "min", "y_min"), ("y_max", "max", "y_max")]
+        )
+        if merged is not None:  # thin partials → Arrow C++ merge on driver
+            bad = merged.filter(
+                pc.invert(pc.equal(merged.column("y_min"), merged.column("y_max")))
+            )
+            return set(bad.column("k").to_pylist())
         agg = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("k")
+            mat.groupby("k")
             .aggregate(Min("y_min", alias_name="y_min"), Max("y_max", alias_name="y_max"))
         )
         return {

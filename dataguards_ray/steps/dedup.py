@@ -73,11 +73,18 @@ def contested_winners(
         g = batch.group_by(key).aggregate([(rank_col, "max"), (rank_col, "count")])
         return g.rename_columns([key, "r", "n"])
 
-    agg = (
-        meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
-        .groupby(key)
-        .aggregate(Sum("n", alias_name="n"), Max("r", alias_name="r"))
+    from ..aggregates import driver_merge_or_none
+
+    partials = meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    merged, mat = driver_merge_or_none(
+        partials, [key], [("n", "sum", "n"), ("r", "max", "r")]
     )
+    if merged is not None:  # thin partials → Arrow C++ merge on driver
+        import pyarrow.compute as _pc
+
+        bad = merged.filter(_pc.greater(merged.column("n"), 1))
+        return dict(zip(bad.column(key).to_pylist(), bad.column("r").to_pylist()))
+    agg = mat.groupby(key).aggregate(Sum("n", alias_name="n"), Max("r", alias_name="r"))
     out: dict[str, str] = {}
     for row in agg.filter(expr="n > 1").take_all():
         out[row[key]] = row["r"]
@@ -116,11 +123,18 @@ def url_max_ts(meta: Dataset) -> dict[str, int]:
         g = t.group_by("url").aggregate([("ts", "max"), ("ts", "count")])
         return g.rename_columns(["url", "ts", "n"])
 
-    agg = (
-        meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
-        .groupby("url")
-        .aggregate(Sum("n", alias_name="n"), Max("ts", alias_name="ts"))
+    from ..aggregates import driver_merge_or_none
+
+    partials = meta.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    merged, mat = driver_merge_or_none(
+        partials, ["url"], [("n", "sum", "n"), ("ts", "max", "ts")]
     )
+    if merged is not None:
+        import pyarrow.compute as _pc
+
+        bad = merged.filter(_pc.greater(merged.column("n"), 1))
+        return dict(zip(bad.column("url").to_pylist(), bad.column("ts").to_pylist()))
+    agg = mat.groupby("url").aggregate(Sum("n", alias_name="n"), Max("ts", alias_name="ts"))
     return {row["url"]: row["ts"] for row in agg.filter(expr="n > 1").take_all()}
 
 
