@@ -1030,6 +1030,66 @@ def _q_multimodal_decode(sf_dir: str):
     return dec.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_multimodal_audio(sf_dir: str):
+    """Audio plumbing: doc_id-seeded FAKEAUD blobs → actor-pool feature
+    extraction (rate, n_samples, rms scaled to int; rows-only)."""
+    from dataguards_ray.multimodal import audio_features, encode_fake_audio
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(200)
+
+    def make(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        blobs = [encode_fake_audio(16000, 800, seed=int(i)) for i in ids]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "audio": pa.array(blobs, type=pa.binary())}
+        )
+
+    feats = audio_features(ds.map_batches(make, batch_format="pyarrow"), concurrency=(1, 4))
+
+    def proj(b: pa.Table) -> pa.Table:
+        rms1000 = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("rms"), 1000.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "sample_rate": b.column("sample_rate"),
+             "zero_crossings": b.column("zero_crossings"), "rms_m": rms1000}
+        )
+
+    return feats.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_multimodal_frames(sf_dir: str):
+    """Video plumbing: doc_id-seeded FAKEVID blobs → actor-pool frame
+    sampling (flat explode: one row per kept frame; rows-only)."""
+    from dataguards_ray.multimodal import encode_fake_video, sample_frames
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).limit(100)
+
+    def make(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        blobs = [encode_fake_video(8, 6, 6, seed=int(i)) for i in ids]
+        return pa.table(
+            {"vid_id": pc.cast(b.column("doc_id"), pa.int64()),
+             "video": pa.array(blobs, type=pa.binary())}
+        )
+
+    from dataguards_ray.multimodal import decode_images
+
+    frames = sample_frames(ds.map_batches(make, batch_format="pyarrow"), every_k=2)
+    dec = decode_images(frames, concurrency=(1, 4))
+
+    def proj(b: pa.Table) -> pa.Table:
+        mean100 = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("mean_px"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {"vid_id": b.column("vid_id"), "frame_idx": b.column("frame_idx"),
+             "mean_px_c": mean100}
+        )
+
+    return dec.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_flagship(sf_dir: str):
     from dataguards_ray.adapters import documents_as_pages
     from dataguards_ray.pipeline import FilterPipeline
@@ -1113,6 +1173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_embeddings": _q_ivf_knn,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio_features": _q_multimodal_audio,
+        "multimodal_video_frames": _q_multimodal_frames,
         "lang_guess": _q_lang_guess,
         "scrub_documents": _q_scrub_documents,
         "flagship_pipeline": _q_flagship,

@@ -261,6 +261,43 @@ def test_stratified_sample_deterministic():
     assert got == [("g0", 24), ("g0", 27), ("g1", 25), ("g1", 28), ("g2", 26), ("g2", 29)]
 
 
+def test_new_ops_partition_invariance():
+    """§5.4 guardrail extended to round-2 operators: identical results
+    at 1 vs 7 blocks (hopping window, median, stratified sample,
+    minhash pairs)."""
+    import random
+
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_median, stratified_sample
+    from dataguards_ray.events import hopping_window
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    rng = random.Random(11)
+    ev = [{"ts": rng.randrange(0, 10**10), "event_type": f"t{i % 3}", "value": i / 7}
+          for i in range(500)]
+    docs = [{"g": f"g{i % 5}", "v": rng.randrange(100), "i": i} for i in range(400)]
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    texts = [{"doc_id": i, "text": base + f" tail {i % 4}"} for i in range(40)]
+
+    def at(blocks, rows):
+        return ray.data.from_items(rows).repartition(blocks)
+
+    for blocks_a, blocks_b in [(1, 7)]:
+        ha = sorted(map(tuple, (r.values() for r in hopping_window(at(blocks_a, ev), ["event_type"]).take_all())))
+        hb = sorted(map(tuple, (r.values() for r in hopping_window(at(blocks_b, ev), ["event_type"]).take_all())))
+        assert ha == hb
+        ma = sorted((r["g"], r["m"]) for r in grouped_median(at(blocks_a, docs), ["g"], "v", "m").take_all())
+        mb = sorted((r["g"], r["m"]) for r in grouped_median(at(blocks_b, docs), ["g"], "v", "m").take_all())
+        assert ma == mb
+        sa = sorted((r["g"], r["i"]) for r in stratified_sample(at(blocks_a, docs), "g", 3, [("v", True), ("i", False)]).take_all())
+        sb = sorted((r["g"], r["i"]) for r in stratified_sample(at(blocks_b, docs), "g", 3, [("v", True), ("i", False)]).take_all())
+        assert sa == sb
+        pa_t = minhash_near_dup_pairs(at(blocks_a, texts), threshold=0.5)
+        pb_t = minhash_near_dup_pairs(at(blocks_b, texts), threshold=0.5)
+        assert pa_t.to_pylist() == pb_t.to_pylist()
+
+
 def test_minhash_finds_near_dups():
     import ray.data
 
