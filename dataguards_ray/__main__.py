@@ -15,7 +15,8 @@ def main() -> int:
         print(
             "usage: python -m dataguards_ray filter INPUT OUT_DIR [--num-parts N] [--num-cpus N]\n"
             "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
-            "       python -m dataguards_ray stats OUT_DIR [--top-domains K]"
+            "       python -m dataguards_ray stats OUT_DIR [--top-domains K]\n"
+            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash] [...]"
         )
         return 0
     cmd, rest = sys.argv[1], sys.argv[2:]
@@ -31,6 +32,11 @@ def main() -> int:
 
         sys.argv = ["stats_job.py", *rest]
         return stats_main()
+    if cmd == "dedup":
+        from jobs.dedup_job import main as dedup_main
+
+        sys.argv = ["dedup_job.py", *rest]
+        return dedup_main()
     print(f"unknown command {cmd!r}", file=sys.stderr)
     return 2
 

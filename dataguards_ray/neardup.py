@@ -507,6 +507,32 @@ def connected_components(pairs: Dataset, *, max_rounds: int = 30) -> Dataset:
     )
 
 
+def exact_dedup_filter(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Generic exact dedup (hash-partition + per-group winner): one row
+    per distinct ``text_col`` fingerprint, winner = min ``id_col``.
+    One digest-keyed all-to-all; deterministic and parallelism-
+    invariant.  (The flagship uses the specialized thin-winner variant
+    in steps/dedup.py that rides the partition-write shuffle.)"""
+    from .textstats import add_fingerprint
+
+    withfp = add_fingerprint(ds, text_col, "__fp")
+
+    def pick(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        return group.take(pa.array([int(np.argmin(ids))], type=pa.int64()))
+
+    return (
+        withfp.groupby("__fp")
+        .map_groups(pick, batch_format="pyarrow")
+        .drop_columns(["__fp"])
+    )
+
+
 def near_dedup_filter(
     ds: Dataset,
     *,

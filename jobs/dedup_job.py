@@ -1,0 +1,96 @@
+"""`dg dedup` job: standalone document-dedup pipeline over parquet
+(task brief: dedup as a first-class runnable component, not just a
+queries() entry).
+
+  python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash]
+      [--threshold 0.8] [--text-col text] [--id-col doc_id]
+      [--num-cpus N]
+  ray job submit --working-dir . -- python jobs/dedup_job.py IN OUT ...
+
+exact   : hash-partition exact dedup (min-id winner per text fingerprint)
+minhash : MinHash+LSH near-dedup (distributed pair discovery + connected
+          components; see dataguards_ray/neardup.py)
+
+Writes survivor parquet shards to OUT_DIR and prints ONE JSON summary
+line.  This script owns the Ray session (library code never calls
+ray.init); ``run_dedup_job`` is the importable core for callers that
+already hold a session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_dedup_job(
+    input_path: str,
+    out_dir: str,
+    *,
+    mode: str = "exact",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    import ray
+    import ray.data
+
+    from dataguards_ray.neardup import exact_dedup_filter, near_dedup_filter
+
+    assert ray.is_initialized(), "caller owns the Ray session"
+    ds = ray.data.read_parquet(input_path)
+    n_in = ds.count()
+    if mode == "exact":
+        out = exact_dedup_filter(ds, text_col=text_col, id_col=id_col)
+    elif mode == "minhash":
+        out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
+                                threshold=threshold)
+    else:
+        raise ValueError(f"unknown dedup mode {mode!r}")
+    out.write_parquet(out_dir)
+    n_out = ray.data.read_parquet(out_dir).count()
+    return {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
+            "dropped_rows": n_in - n_out}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("out_dir")
+    ap.add_argument("--mode", choices=("exact", "minhash"), default="exact")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+
+    t0 = time.time()
+    res = run_dedup_job(args.input, args.out_dir, mode=args.mode,
+                        threshold=args.threshold, text_col=args.text_col,
+                        id_col=args.id_col)
+    res["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -559,6 +559,30 @@ def test_near_dedup_filter():
     assert sorted(r["doc_id"] for r in out_d.take_all()) == [1, 4]
 
 
+def test_exact_dedup_filter_and_dedup_job(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataguards_ray.neardup import exact_dedup_filter
+    from jobs.dedup_job import run_dedup_job
+
+    rows = [
+        {"doc_id": 5, "text": "aaa"}, {"doc_id": 2, "text": "aaa"},
+        {"doc_id": 3, "text": "bbb"}, {"doc_id": 9, "text": "aaa"},
+        {"doc_id": 7, "text": "ccc"},
+    ]
+    got = sorted(r["doc_id"] for r in exact_dedup_filter(ray.data.from_items(rows)).take_all())
+    assert got == [2, 3, 7]  # min id wins per distinct text
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "part0.parquet"))
+    res = run_dedup_job(str(src), str(tmp_path / "out"), mode="exact")
+    assert res == {"mode": "exact", "input_rows": 5, "kept_rows": 3, "dropped_rows": 2}
+    back = sorted(r["doc_id"] for r in ray.data.read_parquet(str(tmp_path / "out")).take_all())
+    assert back == [2, 3, 7]
+
+
 def test_minhash_pathological_bucket():
     """Round-2 verdict item #1: one hot LSH bucket (identical docs) must
     cost O(n) star edges, not an O(n²) clique — 5k identical docs finish
