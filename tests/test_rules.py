@@ -108,6 +108,29 @@ def test_dc_pair_group_cap(ray_session):
         dc.apply_shuffle(ray.data.from_arrow(t)).materialize()
 
 
+def test_cfd_join_mark_matches_broadcast(ray_session):
+    """Round-2 scale path: with max_broadcast_keys forced to 0 the CFD
+    mark runs as a left_outer join — flags must equal the broadcast
+    path's."""
+    import ray.data
+
+    from dataguards_ray.rules.cfd import CFD
+
+    rows = []
+    for i in range(200):
+        rows.append({"x": f"k{i % 40}", "y": f"v{i % 40}" if i % 40 >= 10 else f"v{i}", "i": i})
+    ds = ray.data.from_items(rows).materialize()
+    flag = "__viol_fd.xy"
+
+    def flags(cfd):
+        out = cfd.apply_shuffle(ds).to_pandas().sort_values("i")
+        return list(out[flag])
+
+    base = flags(CFD("fd.xy", ["x"], "y", [{"x": "_", "y": "_"}]))
+    joined = flags(CFD("fd.xy", ["x"], "y", [{"x": "_", "y": "_"}], max_broadcast_keys=0))
+    assert joined == base and sum(base) > 0
+
+
 def test_dc_two_atom_sweep_matches_bruteforce():
     """Round-2 verdict item #6: the O(n log n) dominance sweep for
     two-inequality-atom DCs ≡ the O(n²) matrix, including heavy ties."""
