@@ -22,6 +22,9 @@ from . import spec
 _MERGE = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
 
 
+_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
 def grouped_agg(
     ds: Dataset,
     keys: list[str],
@@ -29,18 +32,28 @@ def grouped_agg(
 ) -> Dataset:
     """Pre-aggregated groupby.  ``aggs`` = [(col, fn, out_name)] with fn in
     sum/count/min/max.  count counts non-null values of col (SQL COUNT(col));
-    use count with a never-null col for COUNT(*)."""
+    use count with a never-null col for COUNT(*).
+
+    Final merge is adaptive (round 2): thin partials under the
+    ``driver_merge_or_none`` row cap merge on the driver in Arrow C++
+    (wrapped back into a Dataset — callers see no difference); larger
+    partial sets take the distributed groupby."""
+    import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys).aggregate([(c, f) for c, f, _ in aggs])
         return g.rename_columns(keys + [out for _, _, out in aggs])
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys if len(keys) > 1 else keys[0])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    table, mat = driver_merge_or_none(
+        partials, keys, [(out, _MERGE_FN[f], out) for _, f, out in aggs]
+    )
+    if table is not None:
+        return rd.from_arrow(table)
+    return (
+        mat.groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(*[_MERGE[f](out, alias_name=out) for _, f, out in aggs])
     )
-    return merged
 
 
 def salted_groupby(
@@ -83,13 +96,18 @@ def salted_groupby(
 
 
 def distinct(ds: Dataset, cols: list[str]) -> Dataset:
-    """G4: exact distinct via pre-aggregated groupby (no raw-row shuffle)."""
+    """G4: exact distinct via pre-aggregated groupby (no raw-row shuffle;
+    adaptive final merge like ``grouped_agg``)."""
+    import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(cols).aggregate([(cols[0], "count")]).select(cols)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-    out = part.groupby(cols if len(cols) > 1 else cols[0]).aggregate(
+    table, mat = driver_merge_or_none(part, cols, [])
+    if table is not None:
+        return rd.from_arrow(table)
+    out = mat.groupby(cols if len(cols) > 1 else cols[0]).aggregate(
         Count(alias_name="__n")
     )
     return out.drop_columns(["__n"])
@@ -135,11 +153,16 @@ def driver_merge_or_none(
     tables = [
         t for t in _ray.get(mat.to_arrow_refs()) if t.num_rows and t.schema.names
     ]
+    out_names = keys + [o for _, _, o in aggs]
     if not tables:
-        return pa.table({k: pa.array([]) for k in keys + [o for _, _, o in aggs]}), mat
+        try:  # preserve the partial schema's types for an empty result
+            sch = pa.schema(mat.schema(fetch_if_missing=False).base_schema)
+            return sch.empty_table().select(out_names), mat
+        except Exception:
+            return pa.table({k: pa.array([]) for k in out_names}), mat
     big = pa.concat_tables(tables, promote_options="default")
     g = big.group_by(keys).aggregate([(c, f) for c, f, _ in aggs])
-    return g.rename_columns(keys + [out for _, _, out in aggs]), mat
+    return g.rename_columns(out_names), mat
 
 
 def grouped_median(

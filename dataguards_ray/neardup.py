@@ -218,6 +218,37 @@ def _bucket_pairs(
     )
 
 
+def _minhash_bucket_pairs(
+    group: pa.Table, id_col: str, threshold: float, caps: dict
+) -> pa.Table:
+    """Degenerate-safe pairing inside one (band, band_hash) group."""
+    sig_col = group.column("sig").to_pylist()
+
+    def key_of(row_idx: np.ndarray) -> list[bytes]:
+        return [sig_col[i] for i in row_idx]
+
+    def rep_matrix(reps: list[int], row_idx: np.ndarray) -> np.ndarray:
+        S = np.stack(
+            [np.frombuffer(sig_col[row_idx[i]], dtype=np.uint64) for i in reps]
+        )
+        r = len(reps)
+        out = np.empty((r, r), dtype=np.float64)
+        block = max(1, int(64_000_000 // (max(r, 1) * N_PERM)))
+        for s in range(0, r, block):
+            e = min(s + block, r)
+            out[s:e] = (S[s:e, None, :] == S[None, :, :]).mean(axis=2)
+        return out
+
+    return _bucket_pairs(
+        group, id_col, key_of, rep_matrix,
+        passes=lambda v: v >= threshold, self_value=1.0, empty=_EMPTY_MINHASH_PAIRS,
+        out_value_field=("est_jaccard", pa.float64()),
+        max_clique=caps.get("max_clique", MAX_CLIQUE),
+        max_expand=caps.get("max_expand", MAX_EXPAND),
+        max_bucket=caps.get("max_bucket", MAX_BUCKET),
+    )
+
+
 def minhash_pair_candidates(
     ds: Dataset,
     *,
@@ -233,37 +264,33 @@ def minhash_pair_candidates(
     ``groupby(["id_a","id_b"])`` — nothing corpus-sized ever reaches the
     driver.  est_jaccard = fraction of agreeing minhash components."""
     cand = minhash_candidates(ds, text_col=text_col, id_col=id_col)
+    caps = {"max_clique": max_clique, "max_expand": max_expand, "max_bucket": max_bucket}
 
     def pairs(group: pa.Table) -> pa.Table:
-        sig_col = group.column("sig").to_pylist()
-
-        def key_of(row_idx: np.ndarray) -> list[bytes]:
-            return [sig_col[i] for i in row_idx]
-
-        def rep_matrix(reps: list[int], row_idx: np.ndarray) -> np.ndarray:
-            S = np.stack(
-                [np.frombuffer(sig_col[row_idx[i]], dtype=np.uint64) for i in reps]
-            )
-            r = len(reps)
-            out = np.empty((r, r), dtype=np.float64)
-            block = max(1, int(64_000_000 // (max(r, 1) * N_PERM)))
-            for s in range(0, r, block):
-                e = min(s + block, r)
-                out[s:e] = (S[s:e, None, :] == S[None, :, :]).mean(axis=2)
-            return out
-
-        return _bucket_pairs(
-            group, id_col, key_of, rep_matrix,
-            passes=lambda v: v >= threshold, self_value=1.0, empty=_EMPTY_MINHASH_PAIRS,
-            out_value_field=("est_jaccard", pa.float64()),
-            max_clique=max_clique, max_expand=max_expand, max_bucket=max_bucket,
-        )
+        return _minhash_bucket_pairs(group, id_col, threshold, caps)
 
     raw = cand.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
     # distributed cross-band dedup (est is identical in every band)
     return raw.groupby(["id_a", "id_b"]).aggregate(
         Max("est_jaccard", alias_name="est_jaccard")
     )
+
+
+def _dedup_pairs_adaptive(raw: Dataset, value_col: str, merge_fn: str,
+                          schema: pa.Schema) -> pa.Table:
+    """Cross-bucket pair dedup with the adaptive final merge: driver
+    Arrow C++ under the row cap, distributed groupby above it; returns
+    the sorted result-sized pair table."""
+    from .aggregates import driver_merge_or_none
+
+    table, mat = driver_merge_or_none(
+        raw, ["id_a", "id_b"], [(value_col, merge_fn, value_col)]
+    )
+    if table is not None:
+        return table.sort_by([("id_a", "ascending"), ("id_b", "ascending")]).cast(schema)
+    merge = Max if merge_fn == "max" else Min
+    agg = mat.groupby(["id_a", "id_b"]).aggregate(merge(value_col, alias_name=value_col))
+    return pa.Table.from_pylist(agg.sort(["id_a", "id_b"]).take_all(), schema=schema)
 
 
 def minhash_near_dup_pairs(
@@ -276,14 +303,16 @@ def minhash_near_dup_pairs(
 ) -> pa.Table:
     """Driver-side convenience: the deduped pair set, sorted.  The pair
     set is result-sized (collision candidates only) — the only
-    materialization in the whole path."""
-    agg = minhash_pair_candidates(
-        ds, text_col=text_col, id_col=id_col, threshold=threshold, **caps
-    )
-    t = pa.Table.from_pylist(
-        agg.sort(["id_a", "id_b"]).take_all(), schema=_EMPTY_MINHASH_PAIRS.schema
-    )
-    return t
+    materialization in the whole path.  Uses the adaptive pair dedup
+    (driver Arrow merge under the cap); ``minhash_pair_candidates`` is
+    the always-distributed composition API."""
+    cand = minhash_candidates(ds, text_col=text_col, id_col=id_col)
+
+    def pairs_fn(group: pa.Table) -> pa.Table:
+        return _minhash_bucket_pairs(group, id_col, threshold, caps)
+
+    raw = cand.groupby(["band", "band_hash"]).map_groups(pairs_fn, batch_format="pyarrow")
+    return _dedup_pairs_adaptive(raw, "est_jaccard", "max", _EMPTY_MINHASH_PAIRS.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +360,20 @@ def simhash_pair_candidates(
     16-bit blocks) → groupby block value → degenerate-safe exact verify
     → distributed cross-bucket dedup."""
     with_h = add_simhash(ds, text_col=text_col, out="__sh")
+    explode = _simhash_explode(id_col)
+    caps = {"max_clique": max_clique, "max_expand": max_expand, "max_bucket": max_bucket}
+
+    def pairs(group: pa.Table) -> pa.Table:
+        return _simhash_bucket_pairs(group, id_col, max_hamming, caps)
+
+    raw = with_h.map_batches(explode, batch_format="pyarrow").groupby(
+        ["blk", "val"]
+    ).map_groups(pairs, batch_format="pyarrow")
+    return raw.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def _simhash_explode(id_col: str):
+    """(blk, val, id, h) rows — one per 16-bit block per doc."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -349,29 +392,31 @@ def simhash_pair_candidates(
              "h": pa.array(full, type=pa.uint64())}
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        h_col = group.column("h").to_pylist()
+    return explode
 
-        def key_of(row_idx: np.ndarray) -> list[bytes]:
-            return [int(h_col[i]).to_bytes(8, "little") for i in row_idx]
 
-        def rep_matrix(reps: list[int], row_idx: np.ndarray) -> np.ndarray:
-            H = np.array([h_col[row_idx[i]] for i in reps], dtype=np.uint64)
-            x = H[:, None] ^ H[None, :]
-            bytes_view = x[..., None].view(np.uint8)  # (r, r, 8)
-            return _POPCOUNT8[bytes_view].sum(axis=-1).astype(np.int32)
+def _simhash_bucket_pairs(
+    group: pa.Table, id_col: str, max_hamming: int, caps: dict
+) -> pa.Table:
+    h_col = group.column("h").to_pylist()
 
-        return _bucket_pairs(
-            group, id_col, key_of, rep_matrix,
-            passes=lambda v: v <= max_hamming, self_value=0, empty=_EMPTY_SIMHASH_PAIRS,
-            out_value_field=("hamming", pa.int32()),
-            max_clique=max_clique, max_expand=max_expand, max_bucket=max_bucket,
-        )
+    def key_of(row_idx: np.ndarray) -> list[bytes]:
+        return [int(h_col[i]).to_bytes(8, "little") for i in row_idx]
 
-    raw = with_h.map_batches(explode, batch_format="pyarrow").groupby(
-        ["blk", "val"]
-    ).map_groups(pairs, batch_format="pyarrow")
-    return raw.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def rep_matrix(reps: list[int], row_idx: np.ndarray) -> np.ndarray:
+        H = np.array([h_col[row_idx[i]] for i in reps], dtype=np.uint64)
+        x = H[:, None] ^ H[None, :]
+        bytes_view = x[..., None].view(np.uint8)  # (r, r, 8)
+        return _POPCOUNT8[bytes_view].sum(axis=-1).astype(np.int32)
+
+    return _bucket_pairs(
+        group, id_col, key_of, rep_matrix,
+        passes=lambda v: v <= max_hamming, self_value=0, empty=_EMPTY_SIMHASH_PAIRS,
+        out_value_field=("hamming", pa.int32()),
+        max_clique=caps.get("max_clique", MAX_CLIQUE),
+        max_expand=caps.get("max_expand", MAX_EXPAND),
+        max_bucket=caps.get("max_bucket", MAX_BUCKET),
+    )
 
 
 def simhash_near_dup_pairs(
@@ -382,13 +427,18 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     **caps,
 ) -> pa.Table:
-    """Driver-side convenience over ``simhash_pair_candidates``."""
-    agg = simhash_pair_candidates(
-        ds, text_col=text_col, id_col=id_col, max_hamming=max_hamming, **caps
-    )
-    return pa.Table.from_pylist(
-        agg.sort(["id_a", "id_b"]).take_all(), schema=_EMPTY_SIMHASH_PAIRS.schema
-    )
+    """Driver-side convenience: sorted deduped pair set via the adaptive
+    merge; ``simhash_pair_candidates`` is the always-distributed API."""
+    with_h = add_simhash(ds, text_col=text_col, out="__sh")
+    explode = _simhash_explode(id_col)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        return _simhash_bucket_pairs(group, id_col, max_hamming, caps)
+
+    raw = with_h.map_batches(explode, batch_format="pyarrow").groupby(
+        ["blk", "val"]
+    ).map_groups(pairs, batch_format="pyarrow")
+    return _dedup_pairs_adaptive(raw, "hamming", "min", _EMPTY_SIMHASH_PAIRS.schema)
 
 
 def ngram_jaccard(a: str, b: str, k: int = SHINGLE_K) -> float:
