@@ -150,6 +150,26 @@ def test_alternate_seed_and_num_parts(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_degenerate_corpora(tmp_path):
+    """Empty corpus and all-dropped corpus both finish cleanly."""
+    import pyarrow.parquet as pq2
+
+    from dataguards_ray.pipeline import FilterPipeline
+    from dataguards_ray.schema import PAGES_SCHEMA
+
+    empty = tmp_path / "empty.parquet"
+    pq2.write_table(PAGES_SCHEMA.empty_table(), str(empty))
+    assert FilterPipeline().run(str(empty), str(tmp_path / "out_empty")) == []
+
+    rows = [{"url": f"http://x/{i}", "warc_ts": 1000 + i, "html": None,
+             "text": "zz", "lang": "en"} for i in range(20)]
+    alldrop = tmp_path / "alldrop.parquet"
+    pq2.write_table(pa.Table.from_pylist(rows).cast(PAGES_SCHEMA), str(alldrop))
+    recs = FilterPipeline().run(str(alldrop), str(tmp_path / "out_drop"))
+    assert sum(r["input_rows"] for r in recs) == 20
+    assert sum(r.get("kept_rows", 0) for r in recs) == 0
+
+
 def test_fresh_run_refuses_dirty_out_dir(tmp_path):
     """ADVICE fix: run(resume=False) must fail fast when out_dir holds a
     previous run's manifests/parts instead of silently merging them."""
