@@ -152,6 +152,7 @@ def test_alternate_seed_and_num_parts(tmp_path):
 @pytest.mark.usefixtures("ray_session")
 def test_degenerate_corpora(tmp_path):
     """Empty corpus and all-dropped corpus both finish cleanly."""
+    import pyarrow as pa
     import pyarrow.parquet as pq2
 
     from dataguards_ray.pipeline import FilterPipeline
