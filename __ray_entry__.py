@@ -403,6 +403,46 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def _q_p90_price_by_priority(sf_dir: str):
+    """Exact per-group discrete p90 (aggregates.grouped_quantile)."""
+    from dataguards_ray.aggregates import grouped_quantile
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b.column("o_orderpriority"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    return grouped_quantile(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"], "price_c", "p90_price_cents", 0.9,
+    )
+
+
+_SQL_P90 = f"""
+SELECT o_orderpriority,
+       quantile_disc({_CENTS_SQL.format(x='o_totalprice')}, 0.9) AS p90_price_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_distinct_customers_by_priority(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group via the two-level pre-aggregated
+    pipeline (aggregates.grouped_count_distinct)."""
+    from dataguards_ray.aggregates import grouped_count_distinct
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    return grouped_count_distinct(ds, ["o_orderpriority"], "o_custkey", "n_customers")
+
+
+_SQL_COUNT_DISTINCT = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Deterministic stratified sample: first 3 docs per source ordered
     by (md5 fingerprint, doc_id) — row_number() semantics."""
@@ -1143,6 +1183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": _q_window_tumbling,
         "window_hopping_events": _q_window_hopping,
         "median_price_by_priority": _q_median_price_by_priority,
+        "p90_price_by_priority": _q_p90_price_by_priority,
+        "distinct_customers_by_priority": _q_distinct_customers_by_priority,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "rollup_counts": _q_rollup_counts,
         "salted_source_counts": _q_salted_source_counts,
@@ -1202,6 +1244,8 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling_events": _SQL_WINDOW,
         "window_hopping_events": _SQL_WINDOW_HOP,
         "median_price_by_priority": _SQL_MEDIAN,
+        "p90_price_by_priority": _SQL_P90,
+        "distinct_customers_by_priority": _SQL_COUNT_DISTINCT,
         "stratified_sample_docs": _SQL_STRATIFIED,
         "rollup_counts": _SQL_ROLLUP,
         "salted_source_counts": _SQL_SALTED,

@@ -165,31 +165,58 @@ def driver_merge_or_none(
     return g.rename_columns(out_names), mat
 
 
-def grouped_median(
-    ds: Dataset, keys: list[str], col: str, out: str, *, max_group: int = 50_000_000
+def grouped_quantile(
+    ds: Dataset,
+    keys: list[str],
+    col: str,
+    out: str,
+    q: float = 0.5,
+    *,
+    max_group: int = 50_000_000,
 ) -> Dataset:
-    """Exact per-group discrete median (lower median — DuckDB
-    ``quantile_disc(col, 0.5)`` semantics: sorted[(n-1)//2]).
+    """Exact per-group discrete quantile (DuckDB ``quantile_disc(col, q)``
+    semantics: sorted[ceil(q·n)−1]; q=0.5 is the lower median).
 
     Exact quantiles are order statistics — they need each group's values
     co-located, so this is a ``groupby(keys).map_groups`` shuffle of the
     (keys, col) projection only (prune before calling).  ``max_group``
     guards pathological groups; for sketchy-but-bounded memory use a
     t-digest style approximation instead (not needed by the spec)."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
 
     def per_group(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n > max_group:
-            raise ValueError(f"median group of {n} rows exceeds max_group={max_group}")
+            raise ValueError(f"quantile group of {n} rows exceeds max_group={max_group}")
         v = np.sort(group.column(col).to_numpy(zero_copy_only=False))
-        med = v[(n - 1) // 2]
+        idx = max(0, int(np.ceil(q * n)) - 1)
         cols = {k: group.column(k).slice(0, 1) for k in keys}
-        cols[out] = pa.array([med], type=group.schema.field(col).type)
+        cols[out] = pa.array([v[idx]], type=group.schema.field(col).type)
         return pa.table(cols)
 
     return ds.select_columns(keys + [col]).groupby(
         keys if len(keys) > 1 else keys[0]
     ).map_groups(per_group, batch_format="pyarrow")
+
+
+def grouped_median(
+    ds: Dataset, keys: list[str], col: str, out: str, *, max_group: int = 50_000_000
+) -> Dataset:
+    """Exact per-group discrete (lower) median — ``grouped_quantile`` at
+    q=0.5."""
+    return grouped_quantile(ds, keys, col, out, 0.5, max_group=max_group)
+
+
+def grouped_count_distinct(
+    ds: Dataset, keys: list[str], col: str, out: str
+) -> Dataset:
+    """Exact COUNT(DISTINCT col) per key group: two-level pre-aggregated
+    pipeline — distinct (keys, col) pairs first (partials only shuffle),
+    then a count per key.  No raw-row shuffle, no driver state beyond
+    the adaptive merges."""
+    pairs = distinct(ds.select_columns(keys + [col]), keys + [col])
+    return grouped_agg(pairs, keys, [(col, "count", out)])
 
 
 def grouping_sets(

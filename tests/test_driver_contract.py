@@ -18,7 +18,7 @@ SUBSET = [
     "asof_click_purchase", "token_histogram",
     "dc_pair_ineq", "cfd_mixed_tableau", "rule_not_matches", "rule_in_between",
     "window_hopping_events", "median_price_by_priority", "stratified_sample_docs",
-    "rollup_counts",
+    "rollup_counts", "p90_price_by_priority", "distinct_customers_by_priority",
 ]
 
 

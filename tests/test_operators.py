@@ -243,6 +243,13 @@ def test_grouped_median_and_grouping_sets():
     med = {r["g"]: r["m"] for r in grouped_median(ds, ["g"], "v", "m").take_all()}
     assert med == {"a": 3, "b": 20}  # lower median for even-sized group
 
+    from dataguards_ray.aggregates import grouped_count_distinct, grouped_quantile
+
+    p90 = {r["g"]: r["q"] for r in grouped_quantile(ds, ["g"], "v", "q", 0.9).take_all()}
+    assert p90 == {"a": 9, "b": 30}  # ceil(0.9*4)-1=3 -> 9; ceil(0.9*3)-1=2 -> 30
+    cd = {r["g"]: r["n"] for r in grouped_count_distinct(ds, ["g"], "v", "n").take_all()}
+    assert cd == {"a": 4, "b": 3}
+
     gs = grouping_sets(ds, [["g"], []], [("v", "sum", "s"), ("v", "count", "n")])
     got = sorted([(r["g"], r["s"], r["n"]) for r in gs.take_all()],
                  key=lambda t: (t[0] is None, t))
