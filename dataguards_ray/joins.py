@@ -329,18 +329,30 @@ def asof_join(
     key: str,
     ts_col: str,
     right_suffix: str = "_r",
+    bucket_us: int | None = None,
+    max_summaries: int = 2_000_000,
 ) -> Dataset:
     """J4 as-of join: for each left row, the LATEST right row of the same
     key with right.ts ≤ left.ts (backward, inclusive — DuckDB ASOF JOIN
     semantics).  Left rows with no match keep nulls.
 
     Implementation (ray_guide as-of pattern): tag sides, union, one
-    hash-partitioned ``groupby(key)``; inside each group a numpy
+    hash-partitioned ``groupby``; inside each group a numpy
     ``searchsorted`` over the sorted right timestamps picks the match —
     Arrow-native end to end (the round-1 pandas ``merge_asof`` kernel is
-    gone, round-2 verdict item #8).  The groupby is the unavoidable
-    co-location shuffle; group size = one key's rows (skewed keys: salt
-    by time range)."""
+    gone, round-2 verdict item #8).
+
+    ``bucket_us`` = the time-range SALT for skewed keys (round 2): rows
+    co-locate by (key, floor(ts/bucket_us)) so one hot key's timeline
+    spreads over many groups.  Exactness across bucket boundaries comes
+    from CARRY-IN rows: a thin pre-pass keeps the latest right row per
+    (key, bucket) (bounded groups), those summaries are broadcast, and
+    each bucket group prepends its predecessor bucket's latest right row
+    before the searchsorted — only the latest earlier row can ever win a
+    backward join, so this is exact.  Summary count = hot keys ×
+    buckets; capped by ``max_summaries`` (the salt targets few-hot-key
+    skew).  Tie caveat (both paths): duplicate right (key, ts) rows make
+    the matched row ambiguous — keep right (key, ts) unique."""
     l_tag = left.map_batches(
         lambda b: b.append_column("__side", pa.array([0] * b.num_rows, type=pa.int8())),
         batch_format="pyarrow",
@@ -354,7 +366,7 @@ def asof_join(
 
     out_r_cols = {c: (c + right_suffix if c in l_cols else c) for c in r_cols}
 
-    def per_key(group: pa.Table) -> pa.Table:
+    def kernel(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
         ts = pc.cast(group.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
         l_idx = np.nonzero(side == 0)[0]
@@ -393,4 +405,69 @@ def asof_join(
     both = l_tag.map_batches(
         lambda b: widen(b, all_cols), batch_format="pyarrow"
     ).union(r_tag.map_batches(lambda b: widen(b, all_cols), batch_format="pyarrow"))
-    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+    if bucket_us is None:
+        return both.groupby(key).map_groups(kernel, batch_format="pyarrow")
+
+    # --- time-range-salted path -------------------------------------------
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__b", pa.array(ts // np.int64(bucket_us), type=pa.int64())
+        )
+
+    bucketed = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    # thin pre-pass: latest right row per (key, bucket) — bounded groups
+    def bucket_summary(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.equal(group.column("__side"), 1))
+        if g.num_rows == 0:
+            return group.slice(0, 0)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return g.take(pa.array([int(np.argmax(ts))], type=pa.int64()))
+
+    summaries_ds = bucketed.groupby([key, "__b"]).map_groups(
+        bucket_summary, batch_format="pyarrow"
+    ).materialize()
+    n_sum = summaries_ds.count()
+    if n_sum > max_summaries:
+        raise ValueError(
+            f"asof_join bucket summaries ({n_sum}) exceed max_summaries="
+            f"{max_summaries}; widen bucket_us or drop the salt"
+        )
+    # carry structure: key → (sorted buckets, summary row per bucket)
+    carry: dict = {}
+    for row in summaries_ds.take_all():
+        carry.setdefault(row[key], []).append((row["__b"], row))
+    for k in carry:
+        carry[k].sort(key=lambda t: t[0])
+    cref = ray.put(carry)
+    schema_by_name = {n: t for n, t in all_cols}
+
+    def kernel_with_carry(group: pa.Table) -> pa.Table:
+        import bisect
+
+        cmap = get_broadcast(cref)
+        kval = group.column(key)[0].as_py()
+        bval = group.column("__b")[0].as_py()
+        entry = cmap.get(kval)
+        if entry is not None:
+            bks = [t[0] for t in entry]
+            i = bisect.bisect_left(bks, bval) - 1
+            if i >= 0:  # prepend the latest earlier right row (carry-in)
+                row = entry[i][1]
+                extra = pa.table(
+                    {
+                        n: pa.array([row.get(n)], type=schema_by_name[n])
+                        for n in group.schema.names
+                        if n != "__b"
+                    } | {"__b": pa.array([bval], type=pa.int64())}
+                )
+                group = pa.concat_tables(
+                    [group, extra.select(group.schema.names)], promote_options="default"
+                )
+        return kernel(group.drop_columns(["__b"]))
+
+    return bucketed.groupby([key, "__b"]).map_groups(
+        kernel_with_carry, batch_format="pyarrow"
+    )

@@ -113,7 +113,39 @@ def test_latest_by_key_shuffle_strategy_matches_broadcast():
     assert got_shuffle == want and got_auto == want and len(want) == 200
 
 
-def test_bloom_semi_anti_matches_exact():
+def test_asof_time_bucket_salt_matches_unsalted():
+    """Round-2: time-range-salted asof (carry-in rows across bucket
+    boundaries) must equal the unsalted join, including buckets with no
+    in-bucket right rows."""
+    import random
+
+    import ray.data
+
+    from dataguards_ray.joins import asof_join
+
+    rng = random.Random(13)
+    lefts, rights = [], []
+    used = set()
+    for i in range(600):
+        k = f"u{i % 3}"  # few hot keys — the salt's target shape
+        ts = rng.randrange(0, 10_000)
+        lefts.append({"lid": i, "ts": ts, "k": k})
+        rts = rng.randrange(0, 10_000)
+        if (k, rts) not in used:  # unique right (key, ts) per docstring
+            used.add((k, rts))
+            rights.append({"rid": i, "ts": rts, "k": k})
+    # starve some buckets of right rows: drop all right rows in [2000, 4000)
+    rights = [r for r in rights if not (2000 <= r["ts"] < 4000)]
+    lds = ray.data.from_items(lefts).repartition(4)
+    rds = ray.data.from_items(rights).repartition(4)
+
+    def res(bucket_us):
+        out = asof_join(lds, rds, key="k", ts_col="ts", bucket_us=bucket_us)
+        return sorted((r["lid"], r["rid"]) for r in out.take_all())
+
+    base = res(None)
+    assert res(500) == base
+    assert res(3000) == base
     """Round-2 verdict item #4: the Bloom scale path (prefilter + exact
     join re-check) must produce output identical to the exact broadcast
     path when the right side exceeds the broadcast threshold."""
