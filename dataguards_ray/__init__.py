@@ -15,4 +15,18 @@ are owned by ``bench.py``, CLI entry points and the test fixture only.
 
 from __future__ import annotations
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Curated top-level surface (heavy submodules stay lazy — import the
+# module for the full API; nothing here triggers model loads or Ray).
+from .rules import (  # noqa: F401
+    CFD,
+    Atom,
+    DenialConstraint,
+    Predicate,
+    PredicateRule,
+    RangeRule,
+    RegexRule,
+    RuleSet,
+    violation_report,
+)
