@@ -463,6 +463,38 @@ SELECT source, doc_id FROM (
 """
 
 
+def _q_top2_orders_per_priority(sf_dir: str):
+    """Per-group top-k (top-2 orders by price per priority) — the
+    stratified-sample kernel under a value ordering."""
+    from dataguards_ray.aggregates import stratified_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b.column("o_orderpriority"),
+             "o_orderkey": b.column("o_orderkey"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    out = stratified_sample(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_orderpriority", 2, [("price_c", True), ("o_orderkey", False)],
+    )
+    return out
+
+
+_SQL_TOP2_PER_GROUP = f"""
+SELECT o_orderpriority, o_orderkey, price_c FROM (
+  SELECT o_orderpriority, o_orderkey,
+         {_CENTS_SQL.format(x='o_totalprice')} AS price_c,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {_CENTS_SQL.format(x='o_totalprice')} DESC,
+                                     o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
 def _q_rollup_counts(sf_dir: str):
     """GROUPING SETS ((flag,status),(flag),()) via aggregates.grouping_sets
     — one pre-aggregated pass per set, union with null rolled-up keys."""
@@ -1186,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p90_price_by_priority": _q_p90_price_by_priority,
         "distinct_customers_by_priority": _q_distinct_customers_by_priority,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "top2_orders_per_priority": _q_top2_orders_per_priority,
         "rollup_counts": _q_rollup_counts,
         "salted_source_counts": _q_salted_source_counts,
         "rule_range_violations": _q_rule_range_violations,
@@ -1247,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "p90_price_by_priority": _SQL_P90,
         "distinct_customers_by_priority": _SQL_COUNT_DISTINCT,
         "stratified_sample_docs": _SQL_STRATIFIED,
+        "top2_orders_per_priority": _SQL_TOP2_PER_GROUP,
         "rollup_counts": _SQL_ROLLUP,
         "salted_source_counts": _SQL_SALTED,
         "rule_range_violations": _SQL_RULE_RANGE,
