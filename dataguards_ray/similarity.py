@@ -266,6 +266,62 @@ def ivf_knn(
     )
 
 
+def ivf_write_index(
+    ds: Dataset,
+    centroids: np.ndarray,
+    out_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index as cluster-partitioned parquet
+    (hive-style ``cluster=N/`` directories).  At corpus scale this is
+    what turns nprobe into an IO bound: a search reads only its probed
+    cells' files."""
+    assigned = ivf_assign(ds, centroids, vec_col=vec_col)
+    assigned.write_parquet(out_dir, partition_cols=["cluster"])
+
+
+def ivf_knn_partitioned(
+    index_dir: str,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    *,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """ANN over a cluster-partitioned IVF index: ONLY the cells probed
+    by at least one query are read from storage (read-level pruning —
+    the ``ivf_knn`` mask then restricts each query to its own probes, so
+    results equal ``ivf_knn`` over the full corpus)."""
+    import os
+
+    import ray.data
+
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(C @ qn.T), axis=0, kind="stable")[:nprobe]
+    cells = sorted({int(c) for c in probes.ravel()})
+    paths = []
+    for c in cells:
+        d = os.path.join(index_dir, f"cluster={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int32()),
+             "vec_id": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int32())}
+        )
+    sub = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return ivf_knn(sub, centroids, queries, k, nprobe=nprobe,
+                   vec_col=vec_col, id_col=id_col)
+
+
 def lsh_ann_candidates(
     ds: Dataset,
     threshold: float,

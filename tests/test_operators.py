@@ -434,6 +434,35 @@ def test_ivf_knn_recall_and_exact_duplicates():
     assert r1 == {(0, 0), (1, 100), (2, 200), (3, 300)}
 
 
+def test_ivf_partitioned_index_prunes_read(tmp_path):
+    """The cluster-partitioned index search must equal full-corpus
+    ivf_knn while reading only the probed cells' files."""
+    import os
+
+    import ray.data
+
+    from dataguards_ray.similarity import (ivf_knn, ivf_knn_partitioned, ivf_train,
+                                           ivf_write_index)
+
+    rng = np.random.RandomState(2)
+    centers = rng.standard_normal((4, 8)) * 5
+    V = np.vstack([c + rng.standard_normal((80, 8)) * 0.3 for c in centers])
+    tbl = pa.table(
+        {"vec_id": np.arange(len(V), dtype=np.int64),
+         "embedding": pa.array(V.tolist(), type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4).materialize()
+    cents = ivf_train(ds, 4)
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(ds, cents, idx)
+    assert len([d for d in os.listdir(idx) if d.startswith("cluster=")]) == 4
+
+    queries = V[[0, 160]]
+    full = ivf_knn(ds, cents, queries, 5, nprobe=1).to_pylist()
+    part = ivf_knn_partitioned(idx, cents, queries, 5, nprobe=1).to_pylist()
+    assert part == full and len(full) == 10
+
+
 def test_read_csv_roundtrip(tmp_path):
     import ray.data
 
