@@ -101,8 +101,10 @@ def run_bench() -> dict:
     queries = {"flagship_filter": round(flagship_sec, 3)}
     if not os.environ.get("DG_SKIP_QUERIES"):
         qs = entrymod.queries()
-        for name in ("tpch_q1", "window_tumbling_events", "dedup_docs_exact",
-                     "knn_embeddings", "cfd_violations", "minhash_near_dups"):
+        for name in ("tpch_q1", "window_tumbling_events", "window_hopping_events",
+                     "dedup_docs_exact", "knn_embeddings", "cfd_violations",
+                     "minhash_near_dups", "asof_click_purchase",
+                     "median_price_by_priority"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):
