@@ -186,13 +186,20 @@ def grouped_quantile(
         raise ValueError("q must be in (0, 1]")
 
     def per_group(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n > max_group:
-            raise ValueError(f"quantile group of {n} rows exceeds max_group={max_group}")
-        v = np.sort(group.column(col).to_numpy(zero_copy_only=False))
-        idx = max(0, int(np.ceil(q * n)) - 1)
+        if group.num_rows > max_group:
+            raise ValueError(
+                f"quantile group of {group.num_rows} rows exceeds max_group={max_group}"
+            )
+        # nulls are ignored (SQL/DuckDB quantile semantics); an all-null
+        # group yields a null quantile
+        vals = group.column(col).combine_chunks().drop_null()
         cols = {k: group.column(k).slice(0, 1) for k in keys}
-        cols[out] = pa.array([v[idx]], type=group.schema.field(col).type)
+        if len(vals) == 0:
+            cols[out] = pa.nulls(1, type=group.schema.field(col).type)
+        else:
+            v = np.sort(vals.to_numpy(zero_copy_only=False))
+            idx = max(0, int(np.ceil(q * len(v))) - 1)
+            cols[out] = pa.array([v[idx]], type=group.schema.field(col).type)
         return pa.table(cols)
 
     return ds.select_columns(keys + [col]).groupby(

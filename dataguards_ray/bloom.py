@@ -45,12 +45,14 @@ class BloomFilter:
             self.bits[b >> 6] |= np.uint64(1 << (b & 63))
 
     def _hash_many(self, keys) -> tuple[np.ndarray, np.ndarray]:
-        h1 = np.fromiter(
-            (self._h(k)[0] for k in keys), dtype=np.uint64, count=len(keys)
-        )
-        h2 = np.fromiter(
-            (self._h(k)[1] for k in keys), dtype=np.uint64, count=len(keys)
-        )
+        n = len(keys)
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        h = self._h
+        for i, k in enumerate(keys):  # one _h call (two FNV hashes) per key
+            a, b = h(k)
+            h1[i] = a
+            h2[i] = b
         return h1, h2
 
     def update(self, keys) -> None:

@@ -47,7 +47,9 @@ def scrub_empty_blocks(ds: Dataset, num_blocks: int = 8) -> Dataset:
     UDF can normalize them) and poison a downstream ``Dataset.join``
     ("No match ... for key field reference" at shuffle finalize).
     ``repartition`` coalesces blocks and drops the schemaless empties —
-    apply to any aggregate output that feeds a join."""
+    apply to any aggregate output that feeds a join.  ``num_blocks``
+    caps downstream parallelism for that dataset, so size it to the
+    data (large key sets: pass the join's num_partitions or more)."""
     return ds.repartition(num_blocks)
 
 
@@ -130,7 +132,9 @@ def semi_join(
     results are identical to the exact path, only the shuffled volume
     changes."""
     rk = right_key or key
-    keys_ds = scrub_empty_blocks(_distinct_keys(right, rk)).materialize()
+    keys_ds = scrub_empty_blocks(
+        _distinct_keys(right, rk), num_blocks=max(num_partitions, 16)
+    ).materialize()
     n = keys_ds.count()
     if n == 0:  # empty right side → no row can match
         return left.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
@@ -188,7 +192,9 @@ def anti_join(
     re-executes its upstream chain per branch — hand it a read or a
     materialized Dataset, not an expensive lazy pipeline."""
     rk = right_key or key
-    keys_ds = scrub_empty_blocks(_distinct_keys(right, rk)).materialize()
+    keys_ds = scrub_empty_blocks(
+        _distinct_keys(right, rk), num_blocks=max(num_partitions, 16)
+    ).materialize()
     n = keys_ds.count()
     if n == 0:  # empty right side → every left row survives
         return left
@@ -261,16 +267,34 @@ def latest_by_key(
     rank = (biased ts, biased tiebreak) must be unique per key (include
     a unique column as tiebreak)."""
 
+    def _enc(col) -> pa.Array:
+        # unambiguous key encoding: "v\x1f<str>" for valid keys, "n" for
+        # null — a literal key value can never collide with the null
+        # sentinel, and every groupby runs over this non-null string
+        # (mixed null/value key columns break Ray's sort-based groupby
+        # boundary sampling)
+        s = pc.cast(col, pa.string())
+        tagged = pc.binary_join_element_wise(pa.scalar("v"), pc.fill_null(s, ""), "\x1f")
+        out = pc.if_else(pc.is_valid(s), tagged, pa.scalar("n"))
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
     def _winner_shuffle() -> Dataset:
+        def add_gk(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__gk", _enc(batch.column(key)))
+
         def pick(group: pa.Table) -> pa.Table:
             ts = pc.cast(group.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
             tb = pc.cast(group.column(tiebreak_col), pa.int64()).to_numpy(
                 zero_copy_only=False
             )
             order = np.lexsort((tb, ts))  # primary ts, then tiebreak
-            return group.take(pa.array([int(order[-1])], type=pa.int64()))
+            return group.take(pa.array([int(order[-1])], type=pa.int64())).drop_columns(
+                ["__gk"]
+            )
 
-        return ds.groupby(key).map_groups(pick, batch_format="pyarrow")
+        return ds.map_batches(add_gk, batch_format="pyarrow").groupby("__gk").map_groups(
+            pick, batch_format="pyarrow"
+        )
 
     if strategy == "shuffle":
         return _winner_shuffle()
@@ -292,12 +316,14 @@ def latest_by_key(
         return pc.binary_join_element_wise(ts, tb, "|")
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({key: batch.column(key), "r": rank_of(batch)})
-        return t.group_by(key).aggregate([("r", "max")]).rename_columns([key, "r"])
+        # group on the ENCODED key so null keys form a group without
+        # breaking the Ray sort groupby downstream
+        t = pa.table({"__gk": _enc(batch.column(key)), "r": rank_of(batch)})
+        return t.group_by("__gk").aggregate([("r", "max")]).rename_columns(["__gk", "r"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
+        .groupby("__gk")
         .aggregate(Max("r", alias_name="r"))
         .materialize()
     )
@@ -306,17 +332,17 @@ def latest_by_key(
     rows = agg.take_all()
     if not rows:
         return ds
-    # one "key\x1frank" value_set built on the driver; the filter is a
-    # single vectorized pc.is_in probe (no per-row dict lookups)
-    key_vals = pc.fill_null(pc.cast(pa.array([r[key] for r in rows]), pa.string()), "<null>")
+
+    # one "enc(key)\x1frank" value_set built on the driver; the filter is
+    # a single vectorized pc.is_in probe (no per-row dict lookups)
+    key_vals = pa.array([r["__gk"] for r in rows], type=pa.string())
     rank_vals = pa.array([r["r"] for r in rows], type=pa.string())
     winner_keys = pc.binary_join_element_wise(key_vals, rank_vals, "\x1f")
     ref = ray.put(winner_keys)
 
     def _filter(batch: pa.Table) -> pa.Table:
         wk = get_broadcast(ref)
-        k = pc.fill_null(pc.cast(batch.column(key), pa.string()), "<null>")
-        keyed = pc.binary_join_element_wise(k, rank_of(batch), "\x1f")
+        keyed = pc.binary_join_element_wise(_enc(batch.column(key)), rank_of(batch), "\x1f")
         return batch.filter(pc.is_in(keyed, value_set=wk))
 
     return ds.map_batches(_filter, batch_format="pyarrow")

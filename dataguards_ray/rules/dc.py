@@ -102,6 +102,10 @@ def two_atom_flags(group: pa.Table, a1: "Atom", a2: "Atom") -> np.ndarray | None
         v = group.column(a.left).to_numpy(zero_copy_only=False)
         if v.dtype.kind == "M":  # timestamps: order-preserving int64 view
             v = v.view("int64")
+            # NaT encodes as INT64_MIN — a false "-infinity" that would
+            # diverge from the matrix path's NULL-is-never-comparable
+            if (v == np.iinfo(np.int64).min).any():
+                return None, False
         if v.dtype.kind not in ("i", "f"):  # object (nulls), unsigned, bool
             return None, False
         if v.dtype.kind == "f" and np.isnan(v).any():  # NaN poisons prefix-min

@@ -152,11 +152,10 @@ def ivf_train(
     column-pruned read; Lloyd iterations run in driver numpy (centroid
     count × dim is tiny).  No runtime RNG: init = the ``n_centroids``
     sample vectors with the smallest ids."""
-    rows = (
-        ds.select_columns([id_col, vec_col])
-        .filter(expr=f"{id_col} % {sample_mod} == 0" if sample_mod > 1 else f"{id_col} >= 0")
-        .take_all()
-    )
+    sampled = ds.select_columns([id_col, vec_col])
+    if sample_mod > 1:
+        sampled = sampled.filter(expr=f"{id_col} % {sample_mod} == 0")
+    rows = sampled.take_all()
     rows.sort(key=lambda r: r[id_col])
     X = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
     C = X[:n_centroids].copy()

@@ -43,6 +43,14 @@ def run_dedup_job(
     from dataguards_ray.neardup import exact_dedup_filter, near_dedup_filter
 
     assert ray.is_initialized(), "caller owns the Ray session"
+    if os.path.isdir(out_dir):
+        debris = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        if debris:
+            raise ValueError(
+                f"out_dir {out_dir!r} already contains {len(debris)} parquet "
+                "file(s); a rerun would merge stale shards into the output "
+                "and the kept_rows count — use a clean directory"
+            )
     ds = ray.data.read_parquet(input_path)
     n_in = ds.count()
     if mode == "exact":

@@ -146,6 +146,9 @@ def test_asof_time_bucket_salt_matches_unsalted():
     base = res(None)
     assert res(500) == base
     assert res(3000) == base
+
+
+def test_bloom_semi_anti_matches_exact():
     """Round-2 verdict item #4: the Bloom scale path (prefilter + exact
     join re-check) must produce output identical to the exact broadcast
     path when the right side exceeds the broadcast threshold."""
@@ -209,6 +212,39 @@ def test_flag_dedup_keep_bloom_matches_exact():
     assert bloom == exact
     # exactly one winner per digest among kept rows
     assert sum(bloom.values()) == len({r["digest"] for r in rows if r["keep"]})
+
+
+def test_latest_by_key_null_and_sentinel_keys():
+    """Code-review fix: null keys form their own group (both strategies)
+    and cannot collide with a literal key value."""
+    import ray.data
+
+    from dataguards_ray.joins import latest_by_key
+
+    rows = [{"k": None, "ts": 5, "id": 1}, {"k": None, "ts": 9, "id": 2},
+            {"k": "<null>", "ts": 9, "id": 2}, {"k": "<null>", "ts": 1, "id": 0}]
+    ds = ray.data.from_items(rows).materialize()
+    for strategy in ("broadcast", "shuffle"):
+        got = sorted(((r["k"], r["id"]) for r in
+                      latest_by_key(ds, "k", "ts", "id", strategy=strategy).take_all()),
+                     key=str)
+        assert got == [("<null>", 2), (None, 2)], (strategy, got)
+
+
+def test_grouped_quantile_ignores_nulls():
+    """Code-review fix: quantile skips nulls (DuckDB semantics); all-null
+    groups yield a null quantile."""
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_quantile
+
+    rows = [{"g": "a", "v": 1}, {"g": "a", "v": 2}, {"g": "a", "v": None},
+            {"g": "b", "v": None}]
+    ds = ray.data.from_items(rows)
+    out = {r["g"]: r["m"] for r in grouped_quantile(ds, ["g"], "v", "m", 0.5).take_all()}
+    assert out == {"a": 1, "b": None}
+    out9 = {r["g"]: r["m"] for r in grouped_quantile(ds, ["g"], "v", "m", 0.9).take_all()}
+    assert out9 == {"a": 2, "b": None}
 
 
 def test_salted_vs_plain_groupby():

@@ -154,6 +154,22 @@ def test_dc_two_atom_sweep_matches_bruteforce():
                 assert np.array_equal(got, want), (op1, op2, x.tolist(), y.tolist())
 
 
+def test_dc_two_atom_sweep_rejects_nat():
+    """Code-review fix: null timestamps (NaT = INT64_MIN) must defer to
+    the matrix path instead of acting as a -infinity value."""
+    from dataguards_ray.rules.dc import two_atom_flags
+
+    t = pa.table({"a": pa.array([1000, 2000, None], type=pa.timestamp("us")),
+                  "b": pa.array([5, 1, 7], type=pa.int64())})
+    assert two_atom_flags(t, Atom("a", ">", "a"), Atom("b", ">", "b")) is None
+    # non-null timestamps still take the sweep
+    t2 = pa.table({"a": pa.array([1000, 2000], type=pa.timestamp("us")),
+                   "b": pa.array([5, 1], type=pa.int64())})
+    got = two_atom_flags(t2, Atom("a", ">", "a"), Atom("b", "<", "b"))
+    # both rows participate in the witness pair (one per role)
+    assert got is not None and list(got) == [True, True]
+
+
 def test_dc_two_atom_sweep_beyond_group_cap(ray_session):
     """A 50k-row group sails past max_group because the sweep never
     builds the pairwise matrix."""
