@@ -93,13 +93,15 @@ def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
     pid = int(group.column("part_id")[0].as_py())
     n_raw = group.num_rows
     urls = group.column("url").to_pylist()
-    if len(set(urls)) != n_raw:  # url-dup losers present (rare)
+    # null urls are schema-invalid rows, never dup losers (NULL ≠ NULL)
+    n_distinct = len({u for u in urls if u is not None}) + sum(u is None for u in urls)
+    if n_distinct != n_raw:  # url-dup losers present (rare)
         ts = pa.compute.cast(group.column("warc_ts"), pa.int64()).to_pylist()
         best: dict[str, int] = {}
         for u, t in zip(urls, ts):
-            if u not in best or t > best[u]:
+            if u is not None and (u not in best or t > best[u]):
                 best[u] = t
-        mask = [best[u] == t for u, t in zip(urls, ts)]
+        mask = [u is None or best[u] == t for u, t in zip(urls, ts)]
         group = group.filter(pa.array(mask, type=pa.bool_()))
     kept = group.filter(group.column("keep"))
     rule_counts: dict[str, int] = {}
@@ -122,6 +124,11 @@ def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
     manifest = {
         "part_id": pid,
         "stage": "annotated",
+        # input_rows counts post-url-dedup rows (the rows the rule stats
+        # describe — frozen round-1 semantics shared with the oracle);
+        # rows_read / url_dup_losers account for everything read.
+        "rows_read": n_raw,
+        "url_dup_losers": n_raw - group.num_rows,
         "input_rows": group.num_rows,
         "kept_pre_dedup": kept.num_rows,
         "rule_counts": rule_counts,

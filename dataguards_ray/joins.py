@@ -383,16 +383,28 @@ def asof_join(
         lambda b: b.append_column("__side", pa.array([0] * b.num_rows, type=pa.int8())),
         batch_format="pyarrow",
     )
-    r_tag = right.map_batches(
-        lambda b: b.append_column("__side", pa.array([1] * b.num_rows, type=pa.int8())),
-        batch_format="pyarrow",
-    )
+    # right rows with a null key can never equi-match — drop them here
+    # (also keeps nulls out of the groupby; left null-key rows survive in
+    # their own encoded group and null-extend, per SQL join semantics)
+    def _tag_right(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(key)))
+        return b.append_column("__side", pa.array([1] * b.num_rows, type=pa.int8()))
+
+    r_tag = right.map_batches(_tag_right, batch_format="pyarrow")
     l_cols = [f.name for f in pa.schema(left.schema().base_schema)]
     r_cols = [f.name for f in pa.schema(right.schema().base_schema)]
 
     out_r_cols = {c: (c + right_suffix if c in l_cols else c) for c in r_cols}
 
+    def _enc_key(b: pa.Table) -> pa.Array:
+        s = pc.cast(b.column(key), pa.string())
+        tagged = pc.binary_join_element_wise(pa.scalar("v"), pc.fill_null(s, ""), "\x1f")
+        out = pc.if_else(pc.is_valid(s), tagged, pa.scalar("n"))
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
     def kernel(group: pa.Table) -> pa.Table:
+        if "__ak" in group.schema.names:
+            group = group.drop_columns(["__ak"])
         side = group.column("__side").to_numpy(zero_copy_only=False)
         ts = pc.cast(group.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
         l_idx = np.nonzero(side == 0)[0]
@@ -401,13 +413,16 @@ def asof_join(
         r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
         # backward inclusive: last right row with rt ≤ lt (ties → last in
         # right sort order, matching merge_asof/ASOF JOIN)
-        pos = np.searchsorted(ts[r_order], ts[l_order], side="right") - 1
-        matched = pos >= 0
-        r_take = pa.array(
-            np.where(matched, r_order[np.clip(pos, 0, None)], 0).astype(np.int64),
-            mask=~matched,  # null index → null row
-            type=pa.int64(),
-        )
+        if len(r_order) == 0:  # no right rows for this key → all unmatched
+            r_take = pa.nulls(len(l_order), type=pa.int64())
+        else:
+            pos = np.searchsorted(ts[r_order], ts[l_order], side="right") - 1
+            matched = pos >= 0
+            r_take = pa.array(
+                np.where(matched, r_order[np.clip(pos, 0, None)], 0).astype(np.int64),
+                mask=~matched,  # null index → null row
+                type=pa.int64(),
+            )
         l_take = pa.array(l_order.astype(np.int64), type=pa.int64())
         cols: dict[str, pa.Array] = {}
         for c in l_cols:
@@ -433,7 +448,10 @@ def asof_join(
     ).union(r_tag.map_batches(lambda b: widen(b, all_cols), batch_format="pyarrow"))
 
     if bucket_us is None:
-        return both.groupby(key).map_groups(kernel, batch_format="pyarrow")
+        both_k = both.map_batches(
+            lambda b: b.append_column("__ak", _enc_key(b)), batch_format="pyarrow"
+        )
+        return both_k.groupby("__ak").map_groups(kernel, batch_format="pyarrow")
 
     # --- time-range-salted path -------------------------------------------
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -452,7 +470,10 @@ def asof_join(
         ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
         return g.take(pa.array([int(np.argmax(ts))], type=pa.int64()))
 
-    summaries_ds = bucketed.groupby([key, "__b"]).map_groups(
+    bucketed = bucketed.map_batches(
+        lambda b: b.append_column("__ak", _enc_key(b)), batch_format="pyarrow"
+    )
+    summaries_ds = bucketed.groupby(["__ak", "__b"]).map_groups(
         bucket_summary, batch_format="pyarrow"
     ).materialize()
     n_sum = summaries_ds.count()
@@ -468,7 +489,6 @@ def asof_join(
     for k in carry:
         carry[k].sort(key=lambda t: t[0])
     cref = ray.put(carry)
-    schema_by_name = {n: t for n, t in all_cols}
 
     def kernel_with_carry(group: pa.Table) -> pa.Table:
         import bisect
@@ -484,16 +504,16 @@ def asof_join(
                 row = entry[i][1]
                 extra = pa.table(
                     {
-                        n: pa.array([row.get(n)], type=schema_by_name[n])
+                        n: (pa.array([bval], type=pa.int64()) if n == "__b"
+                            else pa.array([row.get(n)], type=group.schema.field(n).type))
                         for n in group.schema.names
-                        if n != "__b"
-                    } | {"__b": pa.array([bval], type=pa.int64())}
+                    }
                 )
                 group = pa.concat_tables(
                     [group, extra.select(group.schema.names)], promote_options="default"
                 )
         return kernel(group.drop_columns(["__b"]))
 
-    return bucketed.groupby([key, "__b"]).map_groups(
+    return bucketed.groupby(["__ak", "__b"]).map_groups(
         kernel_with_carry, batch_format="pyarrow"
     )

@@ -289,8 +289,23 @@ def _dedup_pairs_adaptive(raw: Dataset, value_col: str, merge_fn: str,
     if table is not None:
         return table.sort_by([("id_a", "ascending"), ("id_b", "ascending")]).cast(schema)
     merge = Max if merge_fn == "max" else Min
-    agg = mat.groupby(["id_a", "id_b"]).aggregate(merge(value_col, alias_name=value_col))
-    return pa.Table.from_pylist(agg.sort(["id_a", "id_b"]).take_all(), schema=schema)
+    agg = (
+        mat.groupby(["id_a", "id_b"])
+        .aggregate(merge(value_col, alias_name=value_col))
+        .materialize()
+    )
+    # collect deduped pairs as Arrow blocks, not per-row Python dicts
+    import ray as _ray
+
+    tables = [
+        t for t in _ray.get(agg.to_arrow_refs()) if t.num_rows and t.schema.names
+    ]
+    if not tables:
+        return schema.empty_table()
+    big = pa.concat_tables(tables, promote_options="default")
+    return big.select(schema.names).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    ).cast(schema)
 
 
 def minhash_near_dup_pairs(

@@ -309,8 +309,10 @@ class FilterPipeline:
         ds = dg_io.read_pages(input_path)
         # slim_dropped: the write shuffle must not move dropped rows'
         # text (they only feed counters) — annotate() keeps full labels
+        import dataclasses
+
         steps = [
-            FusedAnnotateStep(concurrency=s.concurrency, slim_dropped=True)
+            dataclasses.replace(s, slim_dropped=True)  # keep user batch_size/use_actors
             if isinstance(s, FusedAnnotateStep) else s
             for s in self.steps
         ]
@@ -380,6 +382,9 @@ class FilterPipeline:
 
             (
                 ray.data.from_arrow(pa.table({"pid": pa.array(todo, type=pa.int32())}))
+                # from_arrow yields ONE block; split so finalize really is
+                # one task per partition, not a serial loop in one worker
+                .repartition(len(todo))
                 .map_batches(_finalize, batch_format="pyarrow", batch_size=1)
                 .materialize()
             )

@@ -163,6 +163,18 @@ class DenialConstraint(Rule):
             if a.left != a.right or a.op not in ("<", "<=", ">", ">=", "!="):
                 return None
             v = group.column(a.left).to_numpy(zero_copy_only=False)
+            # same null/dtype guards as two_atom_flags: nulls (object /
+            # NaN / NaT) must defer to the matrix path, where comparisons
+            # against null are False (SQL semantics) — here they would
+            # poison the extreme-value bookkeeping or crash argsort
+            if v.dtype.kind == "M":
+                v = v.view("int64")
+                if (v == np.iinfo(np.int64).min).any():
+                    return None
+            if v.dtype.kind not in ("i", "f"):
+                return None
+            if v.dtype.kind == "f" and np.isnan(v).any():
+                return None
             n = len(v)
             if a.op == "!=":
                 return np.full(n, len(np.unique(v)) > 1)
@@ -184,6 +196,7 @@ class DenialConstraint(Rule):
             return op(v, ext2) | flip(v, ext)
 
         def per_group(group: pa.Table) -> pa.Table:
+            group = group.drop_columns(["__dc_gk"])
             n = group.num_rows
             if n < 2:
                 return group.append_column(flag_col, pa.array([False] * n))
@@ -209,6 +222,42 @@ class DenialConstraint(Rule):
             viol = conj.any(axis=1) | conj.any(axis=0)
             return group.append_column(flag_col, pa.array(viol))
 
-        return ds.groupby(self.eq_keys if len(self.eq_keys) > 1 else self.eq_keys[0]).map_groups(
-            per_group, batch_format="pyarrow"
-        )
+        eq_keys = tuple(self.eq_keys)
+
+        def add_group_key(batch: pa.Table) -> pa.Table:
+            """Composite string group key.  SQL equality semantics: NULL
+            never equals anything, so a row with a null in ANY equality
+            atom can never witness a pair — it gets a UNIQUE key (uuid)
+            and lands in a singleton group (flag False).  This also keeps
+            nulls out of Ray's sort-based groupby boundary sampling,
+            which cannot order mixed null/value keys."""
+            import uuid
+
+            import pyarrow.compute as pc
+
+            parts = []
+            valid = None
+            for c in eq_keys:
+                col = batch.column(c)
+                v = pc.is_valid(col)
+                valid = v if valid is None else pc.and_(valid, v)
+                parts.append(pc.fill_null(pc.cast(col, pa.string()), ""))
+            joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+                *parts, "\x1f"
+            )
+            tagged = pc.binary_join_element_wise(pa.scalar("v"), joined, "\x1f")
+            valid_np = valid.to_numpy(zero_copy_only=False)
+            if valid_np.all():
+                return batch.append_column("__dc_gk", tagged.combine_chunks()
+                                           if isinstance(tagged, pa.ChunkedArray) else tagged)
+            tagged_py = tagged.to_pylist()
+            tag = uuid.uuid4().hex  # one uuid per batch; row offset disambiguates
+            keys = [
+                t if ok else f"n\x1f{tag}:{i}"
+                for i, (t, ok) in enumerate(zip(tagged_py, valid_np))
+            ]
+            return batch.append_column("__dc_gk", pa.array(keys, type=pa.string()))
+
+        return ds.map_batches(add_group_key, batch_format="pyarrow").groupby(
+            "__dc_gk"
+        ).map_groups(per_group, batch_format="pyarrow")

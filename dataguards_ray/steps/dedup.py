@@ -43,10 +43,16 @@ _BCAST_CACHE: dict[str, object] = {}
 
 def get_broadcast(ref: ray.ObjectRef):
     """Worker-local cache for a small broadcast object (ray.get is cheap
-    after first fetch, but we also avoid re-deserialization per batch)."""
+    after first fetch, but we also avoid re-deserialization per batch).
+
+    Bounded FIFO of 8 entries — a fused task chain commonly alternates
+    between two or three broadcasts per batch (e.g. url-dedup winners
+    then digest winners), and a single-slot cache would re-deserialize
+    each of them on every batch."""
     key = ref.hex()
     if key not in _BCAST_CACHE:
-        _BCAST_CACHE.clear()
+        while len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[key] = ray.get(ref)
     return _BCAST_CACHE[key]
 
@@ -114,6 +120,9 @@ def url_max_ts(meta: Dataset) -> dict[str, int]:
     `meta` needs columns (url, warc_ts) only — read them pruned."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null urls are schema-invalid rows, not duplicates of each other
+        # (NULL never equals NULL) — exclude them from dedup entirely
+        batch = batch.filter(pc.is_valid(batch.column("url")))
         t = pa.table(
             {
                 "url": batch.column("url"),

@@ -148,6 +148,40 @@ def test_asof_time_bucket_salt_matches_unsalted():
     assert res(3000) == base
 
 
+def test_asof_null_keys_and_rightless_groups():
+    """Code-review fix: null keys must not crash the groupby; null-key
+    left rows null-extend (SQL: NULL never equi-matches), null-key right
+    rows are ignored, and keys with zero right rows don't crash the
+    kernel."""
+    import ray.data
+
+    from dataguards_ray.joins import asof_join
+
+    lefts = [{"lid": i, "ts": i * 10, "k": (None if i % 5 == 0 else f"u{i % 3}")}
+             for i in range(60)]
+    rights = [{"rid": i, "ts": i * 7, "k": (None if i % 4 == 0 else f"u{i % 2}")}
+              for i in range(40)]  # key u2 exists on the left only
+    lds = ray.data.from_items(lefts).repartition(3)
+    rds = ray.data.from_items(rights).repartition(3)
+    out = asof_join(lds, rds, key="k", ts_col="ts").take_all()
+    assert len(out) == 60
+    assert all(r["rid"] is None for r in out if r["k"] is None)
+    assert all(r["rid"] is None for r in out if r["k"] == "u2")  # rightless key
+    # non-null keys match the brute-force backward join
+    import collections
+
+    rmap = collections.defaultdict(list)
+    for r in rights:
+        if r["k"] is not None:
+            rmap[r["k"]].append(r)
+    for r in out:
+        if r["k"] is None:
+            continue
+        cands = [x for x in rmap[r["k"]] if x["ts"] <= r["ts"]]
+        want = max(cands, key=lambda x: x["ts"])["rid"] if cands else None
+        assert r["rid"] == want
+
+
 def test_bloom_semi_anti_matches_exact():
     """Round-2 verdict item #4: the Bloom scale path (prefilter + exact
     join re-check) must produce output identical to the exact broadcast

@@ -154,6 +154,34 @@ def test_dc_two_atom_sweep_matches_bruteforce():
                 assert np.array_equal(got, want), (op1, op2, x.tolist(), y.tolist())
 
 
+def test_dc_null_eq_keys_never_witness(ray_session):
+    """Code-review fix: rows with a null equality-atom value form
+    singleton groups (SQL: NULL never equals NULL) instead of crashing
+    the groupby or witnessing each other."""
+    import ray.data
+
+    rows = [{"g": None, "v": 1}, {"g": None, "v": 5},
+            {"g": "a", "v": 1}, {"g": "a", "v": 5}, {"g": "b", "v": 2}]
+    dc = DenialConstraint("dc.t", eq_keys=["g"], pair_atoms=[Atom("v", "<", "v")])
+    res = dc.apply_shuffle(ray.data.from_items(rows).repartition(2)).take_all()
+    flags = sorted((str(r["g"]), r["v"], r["__viol_dc.t"]) for r in res)
+    assert flags == [("None", 1, False), ("None", 5, False),
+                     ("a", 1, True), ("a", 5, True), ("b", 2, False)]
+
+
+def test_dc_single_atom_fast_path_rejects_nulls(ray_session):
+    """Code-review fix: the single-atom extreme-value path defers groups
+    with nulls/NaN to the exact matrix (nulls never compare)."""
+    import ray.data
+
+    rows = [{"g": "x", "v": 1}, {"g": "x", "v": 5}, {"g": "x", "v": None}]
+    dc = DenialConstraint("dc.n", eq_keys=["g"], pair_atoms=[Atom("v", ">", "v")])
+    res = dc.apply_shuffle(ray.data.from_items(rows)).take_all()
+    flags = {(r["v"], r["__viol_dc.n"]) for r in res}
+    # 1 and 5 witness each other; the null row never participates
+    assert flags == {(1, True), (5, True), (None, False)}
+
+
 def test_dc_two_atom_sweep_rejects_nat():
     """Code-review fix: null timestamps (NaT = INT64_MIN) must defer to
     the matrix path instead of acting as a -infinity value."""
