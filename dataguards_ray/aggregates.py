@@ -25,6 +25,24 @@ _MERGE = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
 _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def encoded_group_key(batch: pa.Table, keys: list[str]) -> pa.Array:
+    """Composite non-null string group key ("v\\x1f<str>..." per column,
+    "n" marking a null component): Ray's sort-based groupby cannot order
+    mixed null/value keys, so every map_groups operator groups on this
+    encoding and keeps the original key columns for output (SQL GROUP BY
+    semantics: null keys form one group per distinct null pattern)."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in keys:
+        s = pc.cast(batch.column(c), pa.string())
+        tagged = pc.binary_join_element_wise(pa.scalar("v"), pc.fill_null(s, ""), "\x1f")
+        enc = pc.if_else(pc.is_valid(s), tagged, pa.scalar("n"))
+        parts.append(enc)
+    out = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1e")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def grouped_agg(
     ds: Dataset,
     keys: list[str],
@@ -186,6 +204,7 @@ def grouped_quantile(
         raise ValueError("q must be in (0, 1]")
 
     def per_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
         if group.num_rows > max_group:
             raise ValueError(
                 f"quantile group of {group.num_rows} rows exceeds max_group={max_group}"
@@ -202,9 +221,11 @@ def grouped_quantile(
             cols[out] = pa.array([v[idx]], type=group.schema.field(col).type)
         return pa.table(cols)
 
-    return ds.select_columns(keys + [col]).groupby(
-        keys if len(keys) > 1 else keys[0]
-    ).map_groups(per_group, batch_format="pyarrow")
+    pruned = ds.select_columns(keys + [col]).map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return pruned.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
 
 
 def grouped_median(
@@ -292,9 +313,13 @@ def stratified_sample(
     pa_keys = [(c, "descending" if d else "ascending") for c, d in order_cols]
 
     def per_group(group: pa.Table) -> pa.Table:
-        return group.sort_by(pa_keys).slice(0, n_per_group)
+        return group.drop_columns(["__gk"]).sort_by(pa_keys).slice(0, n_per_group)
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    keyed = ds.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, [key])),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
 
 
 def approx_top_k(ds: Dataset, col: str, k: int, *, per_batch: int = 256) -> list[tuple[str, int]]:

@@ -30,6 +30,7 @@ def sessionize(
     """
 
     def per_key(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
         idx = pa.compute.sort_indices(
             group, sort_keys=[(ts_col, "ascending"), ("event_id", "ascending")]
         )
@@ -55,7 +56,13 @@ def sessionize(
             }
         )
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    from .aggregates import encoded_group_key
+
+    keyed = ds.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, [key])),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
 
 
 def hopping_window(
