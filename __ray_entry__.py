@@ -509,7 +509,7 @@ def _q_rollup_counts(sf_dir: str):
              "qty_c": _cents(b.column("l_quantity"))}
         )
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
     return grouping_sets(
         prepped,
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
@@ -547,7 +547,8 @@ def _q_rule_range_violations(sf_dir: str):
 
 _SQL_RULE_RANGE = """
 SELECT l_orderkey, l_linenumber, 'qty.range' AS drop_rule
-FROM lineitem WHERE NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)
+FROM lineitem
+WHERE l_quantity IS NULL OR NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)
 """
 
 
@@ -566,9 +567,10 @@ def _q_rule_predicate_violations(sf_dir: str):
 _SQL_RULE_PRED = """
 SELECT c_custkey,
        CASE WHEN c_acctbal IS NULL OR c_acctbal < 0.0 THEN 'bal.nonneg'
-            WHEN NOT regexp_matches(c_name, '^Customer#') THEN 'name.format' END AS drop_rule
+            WHEN c_name IS NULL OR NOT regexp_matches(c_name, '^Customer#') THEN 'name.format' END AS drop_rule
 FROM customer
-WHERE (c_acctbal IS NULL OR c_acctbal < 0.0) OR NOT regexp_matches(c_name, '^Customer#')
+WHERE (c_acctbal IS NULL OR c_acctbal < 0.0)
+   OR (c_name IS NULL OR NOT regexp_matches(c_name, '^Customer#'))
 """
 
 
@@ -578,7 +580,7 @@ def _q_cfd_violations(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
     cfd = CFD("fd.order_flag", ["l_orderkey"], "l_returnflag",
               [{"l_orderkey": "_", "l_returnflag": "_"}])
-    keys = cfd._violating_keys(ds, cfd._var_rows[0])
+    keys = cfd.violating_keys(ds)
     return pa.table({"l_orderkey": pa.array(sorted(int(k) for k in keys), type=pa.int64())})
 
 
@@ -658,7 +660,8 @@ def _q_rule_in_between(sf_dir: str):
 _SQL_RULE_IN_BETWEEN = """
 SELECT o_orderkey, 'ord.priority_price' AS drop_rule
 FROM orders
-WHERE NOT (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+WHERE o_orderpriority IS NULL OR o_totalprice IS NULL
+   OR NOT (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
            AND o_totalprice BETWEEN 1000.0 AND 200000.0)
 """
 
@@ -928,10 +931,14 @@ def _q_knn_embeddings(sf_dir: str):
         (r for r in ds.take_all() if r["vec_id"] < 5), key=lambda r: r["vec_id"]
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
     t = knn_cosine(ds, queries, 6)
     return pa.table(
         {
-            "query_id": pc.cast(t.column("query_id"), pa.int64()),
+            # map positional query index -> the actual query vec_id so the
+            # SQL mirror holds even if vec_ids aren't contiguous from 0
+            "query_id": pa.array([qids[j] for j in t.column("query_id").to_pylist()],
+                                 type=pa.int64()),
             "vec_id": t.column("vec_id"),
             "rank": pc.cast(t.column("rank"), pa.int64()),
         }
@@ -971,7 +978,7 @@ def _mutated_documents(sf_dir: str):
     import ray.data
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    base = sorted((r for r in ds.take_all() if r["doc_id"] < 10), key=lambda r: r["doc_id"])
+    base = sorted(ds.filter(expr="doc_id < 10").take_all(), key=lambda r: r["doc_id"])
     copies = pa.table(
         {
             "doc_id": pa.array([r["doc_id"] + 1_000_000 for r in base], type=pa.int64()),
@@ -1013,10 +1020,12 @@ def _q_ivf_knn(sf_dir: str):
         (r for r in ds.take_all() if r["vec_id"] < 5), key=lambda r: r["vec_id"]
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
     t = ivf_knn(ds, cents, queries, 6, nprobe=3)
     return pa.table(
         {
-            "query_id": pc.cast(t.column("query_id"), pa.int64()),
+            "query_id": pa.array([qids[j] for j in t.column("query_id").to_pylist()],
+                                 type=pa.int64()),
             "vec_id": t.column("vec_id"),
             "rank": pc.cast(t.column("rank"), pa.int64()),
         }

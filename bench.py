@@ -4,7 +4,8 @@ Plain run:     python bench.py         → ONE JSON line on stdout
 Scaling run:   python bench.py --scaling
                → runs the headline job twice in FRESH processes
                  (num_cpus=8 then 32, same input), reports throughputs +
-                 efficiency, writes BENCH/BASELINE.md.
+                 efficiency, writes BENCH/scaling_run.json (the curated
+                 multi-run summary BENCH/BASELINE.md is updated manually).
 
 Headline = flagship E1 filter pipeline (extract → langid → ppl → rules →
 scrub → dedup → partitioned write) over a deterministic synthetic pages
@@ -39,12 +40,10 @@ def ensure_corpus() -> str:
     import ray.data
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from fixtures.gen import PAGES_ARROW_SCHEMA, gen_row
+    from fixtures.gen import pages_table_for_ids
 
     def gen(batch: pa.Table) -> pa.Table:
-        rows = [gen_row(int(i)) for i in batch.column("id").to_pylist()]
-        cols = {n: [r[n] for r in rows] for n in PAGES_ARROW_SCHEMA.names}
-        return pa.Table.from_pydict(cols, schema=PAGES_ARROW_SCHEMA)
+        return pages_table_for_ids(batch.column("id").to_pylist())
 
     tmp_dir = CORPUS + ".tmpdir"
     shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -81,10 +80,11 @@ def run_bench() -> dict:
     from dataguards_ray.pipeline import FilterPipeline
 
     corpus = ensure_corpus()
-    # warm OS page cache (measure compute+shuffle, not first disk read)
+    # warm OS page cache (measure compute+shuffle, not first disk read);
+    # read ALL columns — text/html dominate the corpus bytes
     import pyarrow.parquet as pq
 
-    pq.read_table(corpus, columns=["url"])
+    pq.read_table(corpus)
 
     out_dir = f"/tmp/dg_bench/out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -157,6 +157,15 @@ class CFD(Rule):
             ds = joined.map_batches(mark_joined, batch_format="pyarrow")
         return ds
 
+    def violating_keys(self, ds: Dataset) -> set[str]:
+        """Public API: composite X-keys (``_sep_join`` encoding) violating
+        any wildcard-Y tableau row — the "which keys break the FD" report
+        shape (driver-sized; use ``apply_shuffle`` for per-row flags)."""
+        out: set[str] = set()
+        for trow in self._var_rows:
+            out |= self._violating_keys(ds, trow)
+        return out
+
     def _key_partials(self, ds: Dataset, trow: dict[str, Any]) -> Dataset:
         """Per-batch partials for violating-key discovery: one
         (key, min_y, max_y) row per key per batch; a key violates iff

@@ -257,10 +257,16 @@ PAGES_ARROW_SCHEMA = pa.schema(
 )
 
 
-def pages_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
-    rows = [gen_row(i, seed) for i in range(start, start + n)]
+def pages_table_for_ids(ids, seed: int = 42) -> pa.Table:
+    """Rows for arbitrary doc indices (shared by fixtures AND bench's
+    sharded corpus generator — one place owns the rows→Arrow assembly)."""
+    rows = [gen_row(int(i), seed) for i in ids]
     cols = {name: [r[name] for r in rows] for name in PAGES_ARROW_SCHEMA.names}
     return pa.Table.from_pydict(cols, schema=PAGES_ARROW_SCHEMA)
+
+
+def pages_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    return pages_table_for_ids(range(start, start + n), seed)
 
 
 def pages_parquet(path: str, n: int, seed: int = 42, row_group_size: int = 4096) -> str:

@@ -80,7 +80,11 @@ def main() -> int:
                  logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # same perf knob as the sibling jobs (see bench.py): the per-operator
+    # reservation allocator starves the dominant stage
+    ctx.op_resource_reservation_enabled = False
     report["top_domains"] = domain_stats(args.out_dir, args.top_domains)
     print(json.dumps(report, indent=2))
     ray.shutdown()

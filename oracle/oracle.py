@@ -47,10 +47,17 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
 
     rows = table.to_pylist()
 
-    # -- 1. url dedup (newest crawl wins; (url, warc_ts) must be unique) ----
+    # -- 1. url dedup (newest crawl wins; (url, warc_ts) must be unique;
+    #       NULL urls are schema-invalid rows and NEVER dedup against
+    #       each other — SQL NULL-equality semantics, matching
+    #       steps/dedup.py / io.write_annotated_partition) ----------------
     seen_ts: set[tuple[str, object]] = set()
     best: dict[str, dict] = {}
+    null_url_rows: list[dict] = []
     for r in rows:
+        if r["url"] is None:
+            null_url_rows.append(r)
+            continue
         key = (r["url"], r["warc_ts"])
         assert key not in seen_ts, f"input contract violated: duplicate (url, warc_ts) {key}"
         seen_ts.add(key)
@@ -60,8 +67,8 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
 
     # -- 2. per-url annotation ---------------------------------------------
     golden: list[dict] = []
-    for url in best:  # dict order = first-seen; output table order is irrelevant
-        r = best[url]
+    survivors = [best[url] for url in best] + null_url_rows
+    for r in survivors:
         text = r["text"]
         if text is None and r["html"] is not None:
             text = textproc.extract_text_one(r["html"])
@@ -81,7 +88,7 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
         )
         golden.append(
             {
-                "url": url,
+                "url": r["url"],
                 "warc_ts": r["warc_ts"],
                 "keep": not hits,
                 "drop_rule": hits[0] if hits else None,

@@ -150,6 +150,32 @@ def test_alternate_seed_and_num_parts(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_null_urls_never_dedup(tmp_path):
+    """Oracle/pipeline alignment (round-2 review): distinct null-url rows
+    are schema-invalid, NOT duplicates of each other — both engines must
+    keep them as separate (dropped) rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray.pipeline import FilterPipeline
+    from dataguards_ray.schema import PAGES_SCHEMA
+    from oracle.oracle import oracle_run
+
+    rows = [
+        {"url": None, "warc_ts": 1_000, "html": None, "text": "first invalid", "lang": "en"},
+        {"url": None, "warc_ts": 2_000, "html": None, "text": "second invalid", "lang": "en"},
+        {"url": "http://a/x", "warc_ts": 1_000, "html": None,
+         "text": "ok words " * 60, "lang": "en"},
+    ]
+    t = pa.Table.from_pylist(rows).cast(PAGES_SCHEMA)
+    golden = oracle_run(t)["golden"]
+    ann = FilterPipeline().annotate(ray.data.from_arrow(t)).to_pandas()
+    assert golden.num_rows == 3 and len(ann) == 3
+    assert (ann["url"].isna().sum()) == 2
+    assert not ann[ann["url"].isna()]["keep"].any()
+    assert sum(1 for g in golden.to_pylist() if g["url"] is None) == 2
+
+
 def test_degenerate_corpora(tmp_path):
     """Empty corpus and all-dropped corpus both finish cleanly."""
     import pyarrow as pa
