@@ -150,7 +150,7 @@ def test_alternate_seed_and_num_parts(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_null_urls_never_dedup(tmp_path):
+def test_null_urls_never_dedup():
     """Oracle/pipeline alignment (round-2 review): distinct null-url rows
     are schema-invalid, NOT duplicates of each other — both engines must
     keep them as separate (dropped) rows."""
@@ -176,6 +176,7 @@ def test_null_urls_never_dedup(tmp_path):
     assert sum(1 for g in golden.to_pylist() if g["url"] is None) == 2
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_degenerate_corpora(tmp_path):
     """Empty corpus and all-dropped corpus both finish cleanly."""
     import pyarrow as pa
@@ -197,6 +198,7 @@ def test_degenerate_corpora(tmp_path):
     assert sum(r.get("kept_rows", 0) for r in recs) == 0
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_fresh_run_refuses_dirty_out_dir(tmp_path):
     """ADVICE fix: run(resume=False) must fail fast when out_dir holds a
     previous run's manifests/parts instead of silently merging them."""
@@ -211,6 +213,7 @@ def test_fresh_run_refuses_dirty_out_dir(tmp_path):
         FilterPipeline().run(path, out)
 
 
+@pytest.mark.usefixtures("ray_session")
 def test_resume_ignores_stray_tmp_files(tmp_path):
     """Atomic-write protocol: leftover .tmp files from a crash are inert."""
     import os
