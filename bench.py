@@ -172,11 +172,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
-        # best of 2: single-node wall times vary ±25% run-to-run in this
+        # best of 3: single-node wall times vary ±25% run-to-run in this
         # sandbox (shared host); min wall is the standard estimator of
         # achievable throughput
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["value"] <= b["value"] else b
+        runs = [run_once(ncpu) for _ in range(3)]
+        return min(runs, key=lambda r: r["value"])
 
     # warm once (corpus generation + page cache) outside the timed runs
     subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -184,9 +184,12 @@ def run_scaling() -> dict:
                             DG_SKIP_QUERIES="1"),
                    capture_output=True, text=True, check=True)
     # 32 first: its wall is the sensitive term and host noise grows with
-    # sustained load on this shared sandbox
+    # sustained load on this shared sandbox.  The hardware ceiling is
+    # itself ±0.15 noisy — sample it before AND after the pipeline runs
+    # and use the mean.
+    ceiling_pre = _hw_ceiling(8, 32)
     hi, lo = run(32), run(8)
-    ceiling = _hw_ceiling(8, 32)
+    ceiling = (ceiling_pre + _hw_ceiling(8, 32)) / 2.0
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     result = {
         "sec_8": lo["value"],
