@@ -55,7 +55,13 @@ def grouped_agg(
     Final merge is adaptive (round 2): thin partials under the
     ``driver_merge_or_none`` row cap merge on the driver in Arrow C++
     (wrapped back into a Dataset — callers see no difference); larger
-    partial sets take the distributed groupby."""
+    partial sets take the distributed groupby.
+
+    Known limitation: null group-key VALUES are handled correctly by the
+    driver-merge path (pyarrow groups nulls), but the distributed
+    fallback (> cap distinct keys) inherits Ray's sort-groupby inability
+    to order mixed null/value keys — at that scale, pre-encode null keys
+    (see ``encoded_group_key``) or filter them."""
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
