@@ -357,6 +357,24 @@ FROM events GROUP BY event_type, win
 """
 
 
+def _q_running_total(sf_dir: str):
+    """Cumulative window: SUM OVER (PARTITION BY user ORDER BY ts,
+    event_id) via events.running_total (per-key cumsum map_groups)."""
+    from dataguards_ray.events import running_total
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return running_total(ds)
+
+
+_SQL_RUNNING_TOTAL = f"""
+SELECT user_id, event_id,
+       CAST(SUM({_CENTS_SQL.format(x='value')}) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
 def _q_window_hopping(sf_dir: str):
     """Hopping windows (1 h size / 15 min hop): vectorized 4-way explode
     + pre-aggregated groupby (events.hopping_window)."""
@@ -1223,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": _q_json_props_stats,
         "window_tumbling_events": _q_window_tumbling,
         "window_hopping_events": _q_window_hopping,
+        "running_total_per_user": _q_running_total,
         "median_price_by_priority": _q_median_price_by_priority,
         "p90_price_by_priority": _q_p90_price_by_priority,
         "distinct_customers_by_priority": _q_distinct_customers_by_priority,
@@ -1285,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": _SQL_JSON,
         "window_tumbling_events": _SQL_WINDOW,
         "window_hopping_events": _SQL_WINDOW_HOP,
+        "running_total_per_user": _SQL_RUNNING_TOTAL,
         "median_price_by_priority": _SQL_MEDIAN,
         "p90_price_by_priority": _SQL_P90,
         "distinct_customers_by_priority": _SQL_COUNT_DISTINCT,

@@ -65,6 +65,45 @@ def sessionize(
     return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
 
 
+def running_total(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+) -> Dataset:
+    """Per-key cumulative sum (SQL ``SUM(...) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak)``): one co-location groupby, numpy cumsum per
+    sorted group.  Values accumulate as integer cents (frozen float
+    policy).  Returns (key, tiebreak, running_cents)."""
+    import pyarrow.compute as pc
+
+    def per_key(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (order_tiebreak, "ascending")]
+        )
+        g = group.take(idx)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                key: g.column(key),
+                order_tiebreak: g.column(order_tiebreak),
+                "running_cents": pa.array(np.cumsum(cents), type=pa.int64()),
+            }
+        )
+
+    from .aggregates import encoded_group_key
+
+    keyed = ds.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, [key])),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
+
+
 def hopping_window(
     ds: Dataset,
     keys: list[str],

@@ -19,6 +19,7 @@ SUBSET = [
     "dc_pair_ineq", "cfd_mixed_tableau", "rule_not_matches", "rule_in_between",
     "window_hopping_events", "median_price_by_priority", "stratified_sample_docs",
     "rollup_counts", "p90_price_by_priority", "distinct_customers_by_priority",
+    "running_total_per_user",
 ]
 
 
