@@ -214,6 +214,44 @@ def test_fresh_run_refuses_dirty_out_dir(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_mid_phase2_crash(tmp_path):
+    """Crash DURING finalize: some partitions final, some still only
+    annotated (kept file + manifest present, final file deleted) —
+    resume must re-finalize exactly the unfinished ones and converge to
+    the clean run's output."""
+    import json
+    import os
+
+    from dataguards_ray import io as dg_io
+    from dataguards_ray.pipeline import FilterPipeline
+
+    path = corpus_path(500)
+    clean_out = str(tmp_path / "clean")
+    FilterPipeline().run(path, clean_out)
+
+    crash_out = str(tmp_path / "crash")
+    FilterPipeline().run(path, crash_out)
+    final = sorted(dg_io.partitions_by_stage(crash_out)["final"])
+    # roll 8 partitions back to the annotated stage (phase-2 crash shape)
+    for pid in final[:8]:
+        f = os.path.join(crash_out, f"part-{pid:05d}.parquet")
+        if os.path.exists(f):
+            os.remove(f)
+        mp = os.path.join(crash_out, "_lineage", f"part-{pid:05d}.json")
+        m = json.load(open(mp))
+        m["stage"] = "annotated"
+        for k in ("kept_rows", "dropped_rows", "output_file"):
+            m.pop(k, None)
+        json.dump(m, open(mp, "w"))
+
+    recs = FilterPipeline().run(path, crash_out, resume=True)
+    assert all(r["stage"] == "final" for r in recs)
+    a = dg_io.read_filtered(clean_out).to_pandas().sort_values("url").reset_index(drop=True)
+    b = dg_io.read_filtered(crash_out).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_ignores_stray_tmp_files(tmp_path):
     """Atomic-write protocol: leftover .tmp files from a crash are inert."""
     import os
