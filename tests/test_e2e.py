@@ -150,6 +150,36 @@ def test_alternate_seed_and_num_parts(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_actor_pool_and_individual_step_chains_match_default(golden500):
+    """The explicit actor-pool variant (use_actors=True) and the
+    unfused LangId→Perplexity→Score chain must produce the same
+    annotations as the default fused task pool (same kernels, different
+    execution shapes)."""
+    import ray.data
+
+    from dataguards_ray.pipeline import (FilterPipeline, FusedAnnotateStep,
+                                         LangIdStep, PerplexityStep, PrepareStep,
+                                         ScoreStep)
+
+    ds = ray.data.read_parquet(corpus_path(500))
+    golden = golden500.to_pandas()
+
+    # concurrency=1 per stage: the test session has 4 CPUs and a
+    # full-width pool starves downstream operators (known Ray behavior
+    # documented in bench.py)
+    actor_pipe = FilterPipeline(
+        steps=[PrepareStep(), FusedAnnotateStep(use_actors=True, concurrency=1)]
+    )
+    _assert_matches_golden(actor_pipe.annotate(ds).to_pandas(), golden)
+
+    step_pipe = FilterPipeline(
+        steps=[PrepareStep(), LangIdStep(concurrency=1),
+               PerplexityStep(concurrency=1), ScoreStep(concurrency=1)]
+    )
+    _assert_matches_golden(step_pipe.annotate(ds).to_pandas(), golden)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_null_urls_never_dedup():
     """Oracle/pipeline alignment (round-2 review): distinct null-url rows
     are schema-invalid, NOT duplicates of each other — both engines must
