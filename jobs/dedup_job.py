@@ -51,8 +51,26 @@ def run_dedup_job(
                 "file(s); a rerun would merge stale shards into the output "
                 "and the kept_rows count — use a clean directory"
             )
+    import pyarrow as pa
+
     ds = ray.data.read_parquet(input_path)
     n_in = ds.count()
+    drop_cols: list[str] = []
+    if mode == "minhash" and not pa.types.is_integer(
+        pa.schema(ds.schema().base_schema).field(id_col).type
+    ):
+        # the near-dup pair machinery keys on int64 ids; derive a stable
+        # 64-bit hash id for string/other keys (collisions ~2^-64/pair)
+        from dataguards_ray.spec import fnv1a64
+
+        def add_nid(b: pa.Table, src_col: str = id_col) -> pa.Table:
+            ids = [fnv1a64(str(v).encode()) - (1 << 63)
+                   for v in b.column(src_col).to_pylist()]
+            return b.append_column("__nid", pa.array(ids, type=pa.int64()))
+
+        ds = ds.map_batches(add_nid, batch_format="pyarrow")
+        id_col = "__nid"
+        drop_cols = ["__nid"]
     if mode == "exact":
         out = exact_dedup_filter(ds, text_col=text_col, id_col=id_col)
     elif mode == "minhash":
@@ -60,6 +78,8 @@ def run_dedup_job(
                                 threshold=threshold)
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
+    if drop_cols:
+        out = out.drop_columns(drop_cols)
     out.write_parquet(out_dir)
     n_out = ray.data.read_parquet(out_dir).count()
     return {"mode": mode, "input_rows": n_in, "kept_rows": n_out,

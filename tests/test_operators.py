@@ -720,6 +720,24 @@ def test_exact_dedup_filter_and_dedup_job(tmp_path):
     back = sorted(r["doc_id"] for r in ray.data.read_parquet(str(tmp_path / "out")).take_all())
     assert back == [2, 3, 7]
 
+    # minhash mode with STRING ids (derived int64 hash id, column dropped)
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows2 = [
+        {"uid": "u-one", "text": base},
+        {"uid": "u-two", "text": base + " tail"},
+        {"uid": "u-three", "text": "entirely different content here " * 20},
+    ]
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows2), str(src2 / "p.parquet"))
+    res2 = run_dedup_job(str(src2), str(tmp_path / "out2"), mode="minhash",
+                         threshold=0.5, id_col="uid")
+    assert res2["input_rows"] == 3 and res2["kept_rows"] == 2
+    surv = ray.data.read_parquet(str(tmp_path / "out2"))
+    assert "__nid" not in surv.schema().names
+    kept = {r["uid"] for r in surv.take_all()}
+    assert "u-three" in kept and len(kept) == 2
+
 
 def test_minhash_pathological_bucket():
     """Round-2 verdict item #1: one hot LSH bucket (identical docs) must
