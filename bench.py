@@ -80,11 +80,13 @@ def run_bench() -> dict:
     from dataguards_ray.pipeline import FilterPipeline
 
     corpus = ensure_corpus()
-    # warm OS page cache (measure compute+shuffle, not first disk read);
-    # read ALL columns — text/html dominate the corpus bytes
-    import pyarrow.parquet as pq
-
-    pq.read_table(corpus)
+    # warm OS page cache (measure compute+shuffle, not first disk read):
+    # stream the raw shard BYTES — warms the cache for every column with
+    # no Arrow decode and no driver-RAM spike
+    for name in sorted(os.listdir(corpus)):
+        with open(os.path.join(corpus, name), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     out_dir = f"/tmp/dg_bench/out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)

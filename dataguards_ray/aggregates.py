@@ -26,20 +26,27 @@ _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
 def encoded_group_key(batch: pa.Table, keys: list[str]) -> pa.Array:
-    """Composite non-null string group key ("v\\x1f<str>..." per column,
-    "n" marking a null component): Ray's sort-based groupby cannot order
-    mixed null/value keys, so every map_groups operator groups on this
-    encoding and keeps the original key columns for output (SQL GROUP BY
-    semantics: null keys form one group per distinct null pattern)."""
+    """Composite non-null string group key: Ray's sort-based groupby
+    cannot order mixed null/value keys, so every map_groups operator
+    groups on this encoding and keeps the original key columns for
+    output (SQL GROUP BY semantics: null keys form one group per
+    distinct null pattern).
+
+    Each component is LENGTH-PREFIXED ("v<len>:<str>", null → "n") and
+    components concatenate with no separator — self-delimiting, so the
+    encoding is injective even when key values contain any would-be
+    separator bytes."""
     import pyarrow.compute as pc
 
     parts = []
     for c in keys:
         s = pc.cast(batch.column(c), pa.string())
-        tagged = pc.binary_join_element_wise(pa.scalar("v"), pc.fill_null(s, ""), "\x1f")
+        filled = pc.fill_null(s, "")
+        ln = pc.cast(pc.utf8_length(filled), pa.string())
+        tagged = pc.binary_join_element_wise(pa.scalar("v"), ln, pa.scalar(":"), filled, "")
         enc = pc.if_else(pc.is_valid(s), tagged, pa.scalar("n"))
         parts.append(enc)
-    out = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1e")
+    out = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "")
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
@@ -55,13 +62,10 @@ def grouped_agg(
     Final merge is adaptive (round 2): thin partials under the
     ``driver_merge_or_none`` row cap merge on the driver in Arrow C++
     (wrapped back into a Dataset — callers see no difference); larger
-    partial sets take the distributed groupby.
-
-    Known limitation: null group-key VALUES are handled correctly by the
-    driver-merge path (pyarrow groups nulls), but the distributed
-    fallback (> cap distinct keys) inherits Ray's sort-groupby inability
-    to order mixed null/value keys — at that scale, pre-encode null keys
-    (see ``encoded_group_key``) or filter them."""
+    partial sets take a distributed groupby over the ENCODED key (null
+    group-key values are legal on both paths — pyarrow groups nulls on
+    the driver, and the encoding keeps them out of Ray's null-intolerant
+    sort groupby)."""
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -74,10 +78,32 @@ def grouped_agg(
     )
     if table is not None:
         return rd.from_arrow(table)
-    return (
-        mat.groupby(keys if len(keys) > 1 else keys[0])
-        .aggregate(*[_MERGE[f](out, alias_name=out) for _, f, out in aggs])
+    return _fallback_group_merge(mat, keys, aggs)
+
+
+def _fallback_group_merge(
+    partials: Dataset, keys: list[str], aggs: list[tuple[str, str, str]]
+) -> Dataset:
+    """Distributed final merge of pre-aggregated partials over the
+    encoded group key (null-safe); original key columns travel with the
+    partial rows and the first row of each group supplies them."""
+    import pyarrow.compute as pc
+
+    keyed = partials.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
     )
+    merge_kernel = {"sum": pc.sum, "min": pc.min, "max": pc.max}
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        cols = {k: g.column(k).slice(0, 1) for k in keys}
+        for _, f, out in aggs:
+            v = g.column(out)
+            val = merge_kernel[_MERGE_FN[f]](v)
+            cols[out] = pa.array([val.as_py()], type=val.type)
+        return pa.table(cols)
+
+    return keyed.groupby("__gk").map_groups(merge_group, batch_format="pyarrow")
 
 
 def salted_groupby(
@@ -131,10 +157,7 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
     table, mat = driver_merge_or_none(part, cols, [])
     if table is not None:
         return rd.from_arrow(table)
-    out = mat.groupby(cols if len(cols) > 1 else cols[0]).aggregate(
-        Count(alias_name="__n")
-    )
-    return out.drop_columns(["__n"])
+    return _fallback_group_merge(mat, cols, [])
 
 
 def topk(ds: Dataset, sort_cols: list[tuple[str, bool]], k: int) -> Dataset:

@@ -86,12 +86,17 @@ def running_total(
         )
         g = group.take(idx)
         vals = g.column(value_col).to_numpy(zero_copy_only=False)
-        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        # SQL SUM OVER semantics: NULL values are skipped (not summed),
+        # and rows before the first non-null value get a NULL total
+        isnull = np.isnan(vals) if vals.dtype.kind == "f" else np.zeros(len(vals), bool)
+        cents = np.floor(np.where(isnull, 0.0, vals) * 100.0 + 0.5).astype(np.int64)
+        running = np.cumsum(cents)
+        seen_any = np.cumsum(~isnull) > 0
         return pa.table(
             {
                 key: g.column(key),
                 order_tiebreak: g.column(order_tiebreak),
-                "running_cents": pa.array(np.cumsum(cents), type=pa.int64()),
+                "running_cents": pa.array(running, mask=~seen_any, type=pa.int64()),
             }
         )
 

@@ -225,36 +225,33 @@ class DenialConstraint(Rule):
         eq_keys = tuple(self.eq_keys)
 
         def add_group_key(batch: pa.Table) -> pa.Table:
-            """Composite string group key.  SQL equality semantics: NULL
-            never equals anything, so a row with a null in ANY equality
-            atom can never witness a pair — it gets a UNIQUE key (uuid)
-            and lands in a singleton group (flag False).  This also keeps
-            nulls out of Ray's sort-based groupby boundary sampling,
-            which cannot order mixed null/value keys."""
+            """Composite string group key (injective length-prefixed
+            encoding shared with aggregates.encoded_group_key).  SQL
+            equality semantics: NULL never equals anything, so a row with
+            a null in ANY equality atom can never witness a pair — it
+            gets a UNIQUE key (uuid) and lands in a singleton group (flag
+            False).  This also keeps nulls out of Ray's sort-based
+            groupby boundary sampling, which cannot order mixed
+            null/value keys."""
             import uuid
 
             import pyarrow.compute as pc
 
-            parts = []
+            from ..aggregates import encoded_group_key
+
             valid = None
             for c in eq_keys:
-                col = batch.column(c)
-                v = pc.is_valid(col)
+                v = pc.is_valid(batch.column(c))
                 valid = v if valid is None else pc.and_(valid, v)
-                parts.append(pc.fill_null(pc.cast(col, pa.string()), ""))
-            joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
-                *parts, "\x1f"
-            )
-            tagged = pc.binary_join_element_wise(pa.scalar("v"), joined, "\x1f")
+            enc = encoded_group_key(batch, list(eq_keys))
             valid_np = valid.to_numpy(zero_copy_only=False)
             if valid_np.all():
-                return batch.append_column("__dc_gk", tagged.combine_chunks()
-                                           if isinstance(tagged, pa.ChunkedArray) else tagged)
-            tagged_py = tagged.to_pylist()
+                return batch.append_column("__dc_gk", enc)
+            enc_py = enc.to_pylist()
             tag = uuid.uuid4().hex  # one uuid per batch; row offset disambiguates
             keys = [
-                t if ok else f"n\x1f{tag}:{i}"
-                for i, (t, ok) in enumerate(zip(tagged_py, valid_np))
+                e if ok else f"u{tag}:{i}"
+                for i, (e, ok) in enumerate(zip(enc_py, valid_np))
             ]
             return batch.append_column("__dc_gk", pa.array(keys, type=pa.string()))
 

@@ -63,9 +63,17 @@ def run_dedup_job(
         # 64-bit hash id for string/other keys (collisions ~2^-64/pair)
         from dataguards_ray.spec import fnv1a64
 
+        import uuid
+
         def add_nid(b: pa.Table, src_col: str = id_col) -> pa.Table:
-            ids = [fnv1a64(str(v).encode()) - (1 << 63)
-                   for v in b.column(src_col).to_pylist()]
+            # null ids must NOT share one hash (nulls are never duplicates
+            # of each other) — give each null row a unique per-batch id
+            tag = uuid.uuid4().hex
+            ids = [
+                fnv1a64((f"v:{v}" if v is not None else f"n:{tag}:{i}").encode())
+                - (1 << 63)
+                for i, v in enumerate(b.column(src_col).to_pylist())
+            ]
             return b.append_column("__nid", pa.array(ids, type=pa.int64()))
 
         ds = ds.map_batches(add_nid, batch_format="pyarrow")

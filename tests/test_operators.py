@@ -321,6 +321,24 @@ def test_topk_and_approx_topk():
     assert heavy[0] == ("k1", 15) and heavy[1] == ("k0", 15)
 
 
+def test_running_total_null_semantics():
+    """SQL SUM OVER parity on nulls (verified against DuckDB): nulls are
+    skipped, rows before the first non-null get a NULL total."""
+    import ray.data
+
+    from dataguards_ray.events import running_total
+
+    rows = [
+        {"event_id": 1, "ts": 10, "user_id": 1, "value": None},
+        {"event_id": 2, "ts": 20, "user_id": 1, "value": 1.5},
+        {"event_id": 3, "ts": 30, "user_id": 1, "value": None},
+        {"event_id": 4, "ts": 40, "user_id": 1, "value": 2.0},
+    ]
+    got = sorted((r["event_id"], r["running_cents"])
+                 for r in running_total(ray.data.from_items(rows)).take_all())
+    assert got == [(1, None), (2, 150), (3, 150), (4, 350)]
+
+
 def test_hopping_window_explode():
     import ray.data
 
