@@ -1223,6 +1223,298 @@ def _q_lang_retention(sf_dir: str):
                        ["lang_id"], [("kept", "sum", "kept"), ("kept", "count", "total")])
 
 
+# --- round-2 widening batch 2: range join, window lag/moving, pivot,
+# --- full outer, variance, unnest, multi-way join ---------------------------
+
+
+def _q_range_join_click_purchase(sf_dir: str):
+    """Point-in-interval range join (joins.range_join): purchases within
+    6 h after each click of the same user.  Intervals are exploded into
+    the time buckets they span; each point meets its intervals in
+    exactly one (key, bucket) group — no dedup pass."""
+    from dataguards_ray.joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    W = 6 * 3600 * 1_000_000  # 6 h in µs
+
+    def clicks_to_intervals(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "click"))
+        s = pc.cast(b.column("ts"), pa.int64())
+        return pa.table(
+            {"user_id": b.column("user_id"),
+             "click_id": b.column("event_id"),
+             "start_us": s,
+             "end_us": pc.add(s, pa.scalar(W, type=pa.int64()))}
+        )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table(
+            {"user_id": b.column("user_id"),
+             "purchase_id": b.column("event_id"),
+             "ts_us": pc.cast(b.column("ts"), pa.int64())}
+        )
+
+    out = range_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(clicks_to_intervals, batch_format="pyarrow"),
+        key="user_id", ts_col="ts_us", start_col="start_us", end_col="end_us",
+        bucket_us=W,
+    )
+    return out.select_columns(["user_id", "click_id", "purchase_id"])
+
+
+_SQL_RANGE_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 21600000000
+"""
+
+
+def _q_event_gap_lag(sf_dir: str):
+    """LAG window (events.lag_gap): µs since the user's previous event."""
+    from dataguards_ray.events import lag_gap
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_gap(ds)
+
+
+_SQL_EVENT_GAP = """
+SELECT user_id, event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+def _q_moving_sum_events(sf_dir: str):
+    """Rows-based moving window (events.moving_sum): 3-event moving sum
+    of value cents per user."""
+    from dataguards_ray.events import moving_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return moving_sum(ds, window_rows=3)
+
+
+_SQL_MOVING_SUM = f"""
+SELECT user_id, event_id,
+       CAST(SUM({_CENTS_SQL.format(x='value')}) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
+FROM events
+"""
+
+
+def _q_pivot_orders_status(sf_dir: str):
+    """SQL PIVOT (aggregates.pivot): order counts per priority × status.
+    Indicator columns + the pre-aggregated groupby — no extra pass."""
+    from dataguards_ray.aggregates import pivot
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return pivot(ds, ["o_orderpriority"], "o_orderstatus", ["O", "F", "P"])
+
+
+_SQL_PIVOT = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_full_outer_nation_balance(sf_dir: str):
+    """FULL OUTER equi-join (joins.outer_join_by_key — the tagged-union
+    groupby path, immune to Dataset.join's partition-coverage quirk):
+    nations' count of deep-negative customers vs low-balance suppliers —
+    each side has nations the other lacks, so both null-extension
+    directions are exercised."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import outer_join_by_key
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("c_acctbal"), pa.scalar(-900.0)))
+        return pa.table({"c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+    def prep_s(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("s_acctbal"), pa.scalar(500.0)))
+        return pa.table({"s_nationkey": pc.cast(b.column("s_nationkey"), pa.int64())})
+
+    c_agg = grouped_agg(cust.map_batches(prep_c, batch_format="pyarrow"),
+                        ["c_nationkey"], [("c_nationkey", "count", "n_cust")])
+    s_agg = grouped_agg(supp.map_batches(prep_s, batch_format="pyarrow"),
+                        ["s_nationkey"], [("s_nationkey", "count", "n_supp")])
+    out = outer_join_by_key(c_agg, s_agg, "c_nationkey",
+                            right_key="s_nationkey", how="full")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = pc.if_else(pc.is_valid(b.column("c_nationkey")),
+                        b.column("c_nationkey"), b.column("s_nationkey"))
+        return pa.table(
+            {"nationkey": nk,
+             "n_cust": pc.fill_null(b.column("n_cust"), 0),
+             "n_supp": pc.fill_null(b.column("n_supp"), 0)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_FULL_OUTER = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_cust
+      FROM customer WHERE c_acctbal < -900 GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n_supp
+      FROM supplier WHERE s_acctbal < 500 GROUP BY 1) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+def _q_var_price_by_status(sf_dir: str):
+    """Exact integer sample-variance floor per group (aggregates.grouped_var)
+    over floor-dollar prices — int64 partials, arbitrary-precision final
+    combine, hash-identical to DuckDB's HUGEINT evaluation."""
+    from dataguards_ray.aggregates import grouped_var
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(pc.cast(b.column("o_totalprice"), pa.float64())), pa.int64())
+        return pa.table({"o_orderstatus": b.column("o_orderstatus"), "d": d})
+
+    return grouped_var(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["o_orderstatus"], "d", "var_floor_d2")
+
+
+_SQL_VAR = """
+SELECT o_orderstatus,
+       CAST((COUNT(d)*SUM(d*d) - SUM(d)*SUM(d)) // (COUNT(d)*(COUNT(d)-1)) AS BIGINT)
+           AS var_floor_d2
+FROM (SELECT o_orderstatus, CAST(FLOOR(o_totalprice) AS BIGINT) AS d FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+def _q_top_tokens(sf_dir: str):
+    """Unnest/explode (flat list_flatten per batch): top-20 space-split
+    tokens over documents by (count desc, token asc).  Per-batch local
+    counts → partials-only groupby → top-k."""
+    from dataguards_ray.aggregates import grouped_agg, topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        t = pa.table({"token": toks})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    counts = grouped_agg(ds.map_batches(explode, batch_format="pyarrow"),
+                         ["token"], [("n", "sum", "n")])
+    return topk(counts, [("n", True), ("token", False)], 20)
+
+
+_SQL_TOP_TOKENS = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (3-way join + aggregate + top-k): revenue of
+    BUILDING-segment orders not yet shipped at the cutoff.  Composition:
+    broadcast semi-join (orders→customers), broadcast lookup
+    (lineitem→orders meta), pre-aggregated revenue partials, top-k.
+    At 100 TB the order-meta side exceeds broadcast — swap the lookup
+    for hash_join (same columns, one extra shuffle)."""
+    from dataguards_ray.aggregates import grouped_agg, topk
+    from dataguards_ray.joins import broadcast_lookup, semi_join
+
+    CUT = datetime(1996, 6, 1)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), pa.scalar(CUT)))
+        # epoch µs arrow-side (naive datetime.timestamp() is tz-dependent)
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "o_custkey": b.column("o_custkey"),
+             "o_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+             "o_orderpriority": b.column("o_orderpriority")}
+        )
+
+    orders = orders.map_batches(prep_orders, batch_format="pyarrow")
+    orders = semi_join(orders, cust, "o_custkey", right_key="c_custkey")
+    ometa = {
+        r["o_orderkey"]: (r["o_us"], r["o_orderpriority"])
+        for r in orders.take_all()
+    }
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"), pa.scalar(CUT))),
+        batch_format="pyarrow",
+    )
+
+    import ray as _ray
+
+    from dataguards_ray.steps.dedup import get_broadcast
+
+    okeys = pa.array(list(ometa), type=pa.int64())
+    ref = _ray.put((okeys, ometa))
+
+    def join_rev(b: pa.Table) -> pa.Table:
+        ks, m = get_broadcast(ref)
+        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ks))
+        keys = b.column("l_orderkey").to_pylist()
+        rev = pc.multiply(
+            pc.cast(b.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(b.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"),
+             "o_orderdate_us": pa.array([m[k][0] for k in keys], type=pa.int64()),
+             "o_orderpriority": pa.array([m[k][1] for k in keys], type=pa.string()),
+             "rev_c": _cents(rev)}
+        )
+
+    agg = grouped_agg(
+        li.map_batches(join_rev, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"],
+        [("rev_c", "sum", "revenue_cents")],
+    )
+    return topk(agg, [("revenue_cents", True), ("l_orderkey", False)], 10)
+
+
+_SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate_us, o_orderpriority, revenue_cents FROM (
+  SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+         o.o_orderpriority,
+         CAST(SUM({_CENTS_SQL.format(x='l.l_extendedprice*(1-l.l_discount)')}) AS BIGINT)
+             AS revenue_cents
+  FROM customer c, orders o, lineitem l
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+    AND l.l_orderkey = o.o_orderkey
+    AND o.o_orderdate < TIMESTAMP '1996-06-01'
+    AND l.l_shipdate  > TIMESTAMP '1996-06-01'
+  GROUP BY 1, 2, 3)
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -1242,6 +1534,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": _q_window_tumbling,
         "window_hopping_events": _q_window_hopping,
         "running_total_per_user": _q_running_total,
+        "range_join_click_purchase": _q_range_join_click_purchase,
+        "event_gap_lag": _q_event_gap_lag,
+        "moving_sum_events": _q_moving_sum_events,
+        "pivot_orders_status": _q_pivot_orders_status,
+        "full_outer_nation_balance": _q_full_outer_nation_balance,
+        "var_price_by_status": _q_var_price_by_status,
+        "top_tokens": _q_top_tokens,
+        "tpch_q3": _q_tpch_q3,
         "median_price_by_priority": _q_median_price_by_priority,
         "p90_price_by_priority": _q_p90_price_by_priority,
         "distinct_customers_by_priority": _q_distinct_customers_by_priority,
@@ -1305,6 +1605,14 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling_events": _SQL_WINDOW,
         "window_hopping_events": _SQL_WINDOW_HOP,
         "running_total_per_user": _SQL_RUNNING_TOTAL,
+        "range_join_click_purchase": _SQL_RANGE_JOIN,
+        "event_gap_lag": _SQL_EVENT_GAP,
+        "moving_sum_events": _SQL_MOVING_SUM,
+        "pivot_orders_status": _SQL_PIVOT,
+        "full_outer_nation_balance": _SQL_FULL_OUTER,
+        "var_price_by_status": _SQL_VAR,
+        "top_tokens": _SQL_TOP_TOKENS,
+        "tpch_q3": _SQL_TPCH_Q3,
         "median_price_by_priority": _SQL_MEDIAN,
         "p90_price_by_priority": _SQL_P90,
         "distinct_customers_by_priority": _SQL_COUNT_DISTINCT,

@@ -328,6 +328,98 @@ def grouping_sets(
     return out
 
 
+def pivot(
+    ds: Dataset,
+    row_keys: list[str],
+    col_key: str,
+    col_values: list,
+    *,
+    value_col: str | None = None,
+    agg: str = "count",
+    prefix: str | None = None,
+) -> Dataset:
+    """SQL PIVOT with an explicit value list (Spark ``pivot(col,
+    values)`` semantics — the output schema must be static, so rows
+    whose ``col_key`` is outside ``col_values`` contribute nowhere).
+    ``agg="count"`` counts rows per cell; ``agg="sum"`` sums
+    ``value_col`` per cell.  Output columns are named
+    ``{prefix}{value}`` (prefix defaults to ``n_`` / ``sum_``).
+
+    Cost shape: the pivot is just indicator columns + ``grouped_agg`` —
+    per-batch pre-aggregation, partials-only shuffle, adaptive final
+    merge.  No extra pass over the data vs a plain groupby."""
+    import pyarrow.compute as pc
+
+    if agg not in ("count", "sum"):
+        raise ValueError("agg must be 'count' or 'sum'")
+    if agg == "sum" and value_col is None:
+        raise ValueError("agg='sum' needs value_col")
+    pfx = prefix if prefix is not None else ("n_" if agg == "count" else "sum_")
+    out_names = [f"{pfx}{v}" for v in col_values]
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in row_keys}
+        ck = batch.column(col_key)
+        for v, out in zip(col_values, out_names):
+            hit = pc.fill_null(pc.equal(ck, pa.scalar(v)), False)
+            ind = pc.cast(hit, pa.int64())
+            if agg == "sum":
+                val = pc.cast(batch.column(value_col), pa.int64())
+                ind = pc.if_else(hit, pc.fill_null(val, 0), pa.scalar(0, type=pa.int64()))
+            cols[out] = ind
+        return pa.table(cols)
+
+    return grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        row_keys,
+        [(out, "sum", out) for out in out_names],
+    )
+
+
+def grouped_var(
+    ds: Dataset, keys: list[str], col: str, out: str
+) -> Dataset:
+    """Exact per-group sample-variance floor over an INTEGER column:
+    ``out = (n·Σx² − (Σx)²) // (n·(n−1))`` for n>1, NULL otherwise
+    (NULL values are skipped, SQL VAR_SAMP semantics).  All arithmetic
+    is exact: int64 partials per batch/merge (bound: Σx² must fit int64
+    — e.g. |x| ≤ 5·10⁵ holds to ~3·10⁷ rows per group; rescale the
+    input units if the bound binds), then arbitrary-precision Python
+    ints for the final n·Σx² − (Σx)² per group, so the result
+    hash-matches DuckDB's HUGEINT evaluation of the same expression.
+    Mean/stddev floats are deliberately not emitted (frozen
+    float-determinism policy)."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.int64())
+        cols = {k: batch.column(k) for k in keys}
+        cols["__x"] = x
+        cols["__xx"] = pc.multiply_checked(x, x)  # raise, don't wrap, on overflow
+        return pa.table(cols)
+
+    partials = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys,
+        [("__x", "count", "__n"), ("__x", "sum", "__s"), ("__xx", "sum", "__ss")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("__n").to_pylist()
+        ss = batch.column("__s").to_pylist()
+        sss = batch.column("__ss").to_pylist()
+        # python ints: n·Σx² − (Σx)² exceeds int64 long before Σx² does
+        vals = [
+            (n * q - s * s) // (n * (n - 1)) if n and n > 1 else None
+            for n, s, q in zip(ns, ss, sss)
+        ]
+        cols = {k: batch.column(k) for k in keys}
+        cols[out] = pa.array(vals, type=pa.int64())
+        return pa.table(cols)
+
+    return partials.map_batches(finish, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds: Dataset,
     key: str,

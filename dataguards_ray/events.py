@@ -109,6 +109,107 @@ def running_total(
     return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
 
 
+def lag_gap(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    out_col: str = "gap_us",
+) -> Dataset:
+    """Per-key LAG window: µs since the key's previous event under the
+    total order (ts, tiebreak) — SQL ``epoch_us(ts) - LAG(epoch_us(ts))
+    OVER (PARTITION BY key ORDER BY ts, tiebreak)``.  The first event of
+    a key gets NULL.  One co-location groupby of the (key, ts, tiebreak)
+    projection; numpy diff per sorted group.  Returns (key, tiebreak,
+    out_col)."""
+    import pyarrow.compute as pc
+
+    def per_key(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (order_tiebreak, "ascending")]
+        )
+        g = group.take(idx)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        gaps = np.empty(len(ts), dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        mask = np.zeros(len(ts), dtype=bool)
+        mask[0] = True  # LAG of the first row is NULL
+        return pa.table(
+            {
+                key: g.column(key),
+                order_tiebreak: g.column(order_tiebreak),
+                out_col: pa.array(gaps, mask=mask, type=pa.int64()),
+            }
+        )
+
+    from .aggregates import encoded_group_key
+
+    keyed = ds.select_columns([key, ts_col, order_tiebreak]).map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, [key])),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
+
+
+def moving_sum(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 3,
+    out_col: str = "moving_cents",
+) -> Dataset:
+    """Per-key rows-based moving window: SQL ``SUM(cents) OVER
+    (PARTITION BY key ORDER BY ts, tiebreak ROWS BETWEEN window_rows-1
+    PRECEDING AND CURRENT ROW)``.  Values accumulate as integer cents
+    (frozen float policy); SQL SUM-over-window null semantics (nulls are
+    skipped; an all-null window yields NULL).  cumsum minus its shifted
+    self per sorted group — O(n) per key.  Returns (key, tiebreak,
+    out_col)."""
+    import pyarrow.compute as pc
+
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def per_key(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (order_tiebreak, "ascending")]
+        )
+        g = group.take(idx)
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)
+        isnull = (
+            np.isnan(vals) if vals.dtype.kind == "f"
+            else np.asarray(pc.is_null(g.column(value_col)).to_numpy(zero_copy_only=False))
+        )
+        cents = np.floor(np.where(isnull, 0.0, vals) * 100.0 + 0.5).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        cnt = np.concatenate(([0], np.cumsum(~isnull)))
+        lo = np.maximum(np.arange(len(cents)) - (window_rows - 1), 0)
+        win_sum = csum[1:] - csum[lo]
+        win_cnt = cnt[1:] - cnt[lo]
+        return pa.table(
+            {
+                key: g.column(key),
+                order_tiebreak: g.column(order_tiebreak),
+                out_col: pa.array(win_sum, mask=win_cnt == 0, type=pa.int64()),
+            }
+        )
+
+    from .aggregates import encoded_group_key
+
+    keyed = ds.select_columns([key, ts_col, order_tiebreak, value_col]).map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, [key])),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
+
+
 def hopping_window(
     ds: Dataset,
     keys: list[str],

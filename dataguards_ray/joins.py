@@ -49,8 +49,15 @@ def scrub_empty_blocks(ds: Dataset, num_blocks: int = 8) -> Dataset:
     ``repartition`` coalesces blocks and drops the schemaless empties —
     apply to any aggregate output that feeds a join.  ``num_blocks``
     caps downstream parallelism for that dataset, so size it to the
-    data (large key sets: pass the join's num_partitions or more)."""
-    return ds.repartition(num_blocks)
+    data (large key sets: pass the join's num_partitions or more).
+
+    ``num_blocks`` is clamped to the row count: ``repartition(k)`` with
+    k > n itself emits schemaless 0-row blocks (the exact poison this
+    helper scrubs) — Ray splits evenly, so blocks are all non-empty iff
+    n ≥ k.  The count comes from a ``materialize()`` the downstream
+    aggregate/join barrier would pay anyway."""
+    mat = ds.materialize()
+    return mat.repartition(max(1, min(num_blocks, mat.count())))
 
 
 def hash_join(
@@ -65,7 +72,16 @@ def hash_join(
     right_suffix: str | None = "_r",
 ) -> Dataset:
     """J2: large-large equi-join → ``Dataset.join`` (hash-partitioned
-    shuffle of both sides — use broadcast_lookup when one side is small)."""
+    shuffle of both sides — use broadcast_lookup when one side is small).
+
+    Ray 2.49 PARTITION-COVERAGE caveat (beyond the scrub_empty_blocks
+    block-level quirk): the join aggregator materializes each hash
+    partition with an ArrowBlockBuilder, and a partition that receives
+    ZERO blocks from one side builds a schemaless empty table —
+    ``pa.Table.join`` then raises ``No match for key field reference``.
+    Keep ``num_partitions`` well under the distinct-key count of the
+    SMALLER side (or use ``outer_join_by_key`` / ``broadcast_lookup``
+    for key-sparse sides)."""
     return left.join(
         right,
         join_type=how,
@@ -346,6 +362,318 @@ def latest_by_key(
         return batch.filter(pc.is_in(keyed, value_set=wk))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def outer_join_by_key(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    *,
+    right_key: str | None = None,
+    how: str = "full",
+    right_suffix: str = "_r",
+    max_group_pairs: int = 10_000_000,
+) -> Dataset:
+    """Outer equi-join (full / left / right) as a tagged-union groupby —
+    the engine's robust outer-join path: no Dataset.join, so neither the
+    schemaless-empty-block quirk nor the partition-coverage caveat (see
+    hash_join) applies, and null keys follow SQL semantics exactly (a
+    null key never matches: its rows null-extend on their own side).
+
+    Both sides shuffle once, hash-partitioned by the encoded key; each
+    group emits the cross product of its left × right rows (guarded by
+    ``max_group_pairs``), or null-extended singles when a side is absent
+    (kept for "full", and for the present side's direction in
+    "left"/"right").  Output = left columns + right columns (clashing
+    names get ``right_suffix``; both key columns are kept, SQL-style —
+    COALESCE downstream if you want one)."""
+    if how not in ("full", "left", "right"):
+        raise ValueError("how must be 'full', 'left' or 'right'")
+    rk = right_key or key
+
+    l_cols = [f.name for f in pa.schema(left.schema().base_schema)]
+    r_cols = [f.name for f in pa.schema(right.schema().base_schema)]
+    out_r_cols = {c: (c + right_suffix if c in l_cols else c) for c in r_cols}
+
+    from .aggregates import encoded_group_key
+
+    def tag(side: int, key_col: str):
+        def _tag(b: pa.Table) -> pa.Table:
+            b = b.append_column("__side", pa.array([side] * b.num_rows, type=pa.int8()))
+            # each side encodes ITS OWN key column; "n" = null-key group
+            return b.append_column("__gk", encoded_group_key(b, [key_col]))
+
+        return _tag
+
+    l_tag = left.map_batches(tag(0, key), batch_format="pyarrow")
+    r_tag = right.map_batches(tag(1, rk), batch_format="pyarrow")
+
+    ls = pa.schema(left.schema().base_schema)
+    rs = pa.schema(right.schema().base_schema)
+    all_cols = (
+        [(c, ls.field(c).type) for c in l_cols]
+        + [(out_r_cols[c], rs.field(c).type) for c in r_cols]
+        + [("__side", pa.int8()), ("__gk", pa.string())]
+    )
+
+    def widen_l(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                n: (b.column(n) if n in b.schema.names else pa.nulls(b.num_rows, type=t))
+                for n, t in all_cols
+            }
+        )
+
+    def widen_r(b: pa.Table) -> pa.Table:
+        cols = {}
+        back = {v: k for k, v in out_r_cols.items()}
+        for n, t in all_cols:
+            src = back.get(n) if n in back else (n if n in ("__side", "__gk") else None)
+            cols[n] = b.column(src) if src is not None else pa.nulls(b.num_rows, type=t)
+        return pa.table(cols)
+
+    both = l_tag.map_batches(widen_l, batch_format="pyarrow").union(
+        r_tag.map_batches(widen_r, batch_format="pyarrow")
+    )
+    out_names = l_cols + [out_r_cols[c] for c in r_cols]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        gk = group.column("__gk")[0].as_py()
+        group = group.drop_columns(["__gk"])
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        nl, nr = len(l_idx), len(r_idx)
+        null_key_group = gk == "n"
+        takes: list[tuple[pa.Array, pa.Array]] = []
+        if nl and nr and not null_key_group:
+            if nl * nr > max_group_pairs:
+                raise ValueError(
+                    f"outer_join_by_key group would emit {nl * nr} pairs "
+                    f"> max_group_pairs={max_group_pairs} (skewed key?)"
+                )
+            lt = np.repeat(l_idx, nr).astype(np.int64)
+            rt = np.tile(r_idx, nl).astype(np.int64)
+            takes.append((pa.array(lt), pa.array(rt)))
+        else:
+            # null keys never match (SQL): null-extend each side per `how`
+            if nl and how in ("full", "left"):
+                takes.append(
+                    (pa.array(l_idx.astype(np.int64)), pa.nulls(nl, type=pa.int64()))
+                )
+            if nr and how in ("full", "right"):
+                takes.append(
+                    (pa.nulls(nr, type=pa.int64()), pa.array(r_idx.astype(np.int64)))
+                )
+        if not takes:
+            empty = pa.array([], type=pa.int64())
+            takes = [(empty, empty)]
+        parts = []
+        for lt, rt in takes:
+            cols: dict[str, pa.Array] = {}
+            for c in l_cols:
+                cols[c] = pc.take(group.column(c), lt)
+            for c in r_cols:
+                cols[out_r_cols[c]] = pc.take(group.column(out_r_cols[c]), rt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+    return both.groupby("__gk").map_groups(kernel, batch_format="pyarrow").select_columns(out_names)
+
+
+def range_join(
+    points: Dataset,
+    intervals: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    right_suffix: str = "_r",
+    bucket_us: int | None = None,
+    max_span_buckets: int = 64,
+) -> Dataset:
+    """Point-in-interval range join (the J4 family's third member next
+    to asof_join/latest_by_key): for each row of ``points``, every row
+    of ``intervals`` with the same ``key`` and
+    ``start_col <= ts <= end_col`` (inclusive both ends — SQL
+    ``BETWEEN``).  Output = point columns + interval columns (clashing
+    names get ``right_suffix``); inner semantics (unmatched points drop,
+    null keys / null timestamps drop — they can never satisfy BETWEEN).
+
+    Scale shape: time is cut into ``bucket_us`` buckets; each interval
+    row is EXPLODED into every bucket it spans while each point lands in
+    exactly one bucket, so a true (point, interval) pair meets in
+    precisely the point's bucket — co-location without any dedup pass.
+    Inside each ``groupby(key, bucket)`` group one searchsorted over the
+    sorted point timestamps finds each interval's [lo, hi) match slice
+    and the pairs are emitted by a vectorized arange-concat (no Python
+    loop over rows).  The all-to-all moves points once and intervals
+    ``span/bucket_us`` times — pick ``bucket_us`` ≈ the typical interval
+    width (default: the max width, measured by a thin pre-pass), and cap
+    degenerate spans with ``max_span_buckets``.
+    """
+    if bucket_us is None:
+        # thin pre-pass: only (start, end) leave the interval side
+        def span(b: pa.Table) -> pa.Table:
+            s = pc.cast(b.column(start_col), pa.int64())
+            e = pc.cast(b.column(end_col), pa.int64())
+            w = pc.max(pc.subtract(e, s))
+            return pa.table({"w": pa.array([w.as_py()], type=pa.int64())})
+
+        spans = intervals.select_columns([start_col, end_col]).map_batches(
+            span, batch_format="pyarrow"
+        )
+        widths = [r["w"] for r in spans.take_all() if r["w"] is not None]
+        bucket_us = max(max(widths, default=0), 1)
+
+    p_cols = [f.name for f in pa.schema(points.schema().base_schema)]
+    i_cols = [f.name for f in pa.schema(intervals.schema().base_schema)]
+    # the equi-key is SHARED (both sides' values are equal within a
+    # group) — never suffix it, or interval rows lose their group key
+    out_i_cols = {
+        c: (c + right_suffix if (c in p_cols and c != key) else c) for c in i_cols
+    }
+
+    def prep_points(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.is_valid(b.column(key)), pc.is_valid(b.column(ts_col)))
+        )
+        ts = pc.cast(b.column(ts_col), pa.int64())
+        b = b.append_column("__b", pc.cast(_floor_div(ts, bucket_us), pa.int64()))
+        b = b.append_column("__side", pa.array([0] * b.num_rows, type=pa.int8()))
+        return b
+
+    def prep_intervals(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(b.column(key)), pc.is_valid(b.column(start_col))),
+                pc.is_valid(b.column(end_col)),
+            )
+        )
+        s = pc.cast(b.column(start_col), pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(b.column(end_col), pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = np.floor_divide(s, bucket_us)
+        b1 = np.floor_divide(e, bucket_us)
+        nbk = np.maximum(b1 - b0 + 1, 0)  # end < start ⇒ empty interval, 0 buckets
+        if nbk.size and nbk.max() > max_span_buckets:
+            raise ValueError(
+                f"interval spans {int(nbk.max())} buckets > max_span_buckets="
+                f"{max_span_buckets}; widen bucket_us"
+            )
+        total = int(nbk.sum())
+        row_take = np.repeat(np.arange(len(nbk)), nbk)
+        # vectorized concat of aranges: bucket index within each row's span
+        offs = np.arange(total) - np.repeat(np.cumsum(nbk) - nbk, nbk)
+        t = b.take(pa.array(row_take, type=pa.int64()))
+        t = t.append_column("__b", pa.array(b0[row_take] + offs, type=pa.int64()))
+        return t.append_column("__side", pa.array([1] * t.num_rows, type=pa.int8()))
+
+    p_tag = points.map_batches(prep_points, batch_format="pyarrow")
+    i_tag = intervals.map_batches(prep_intervals, batch_format="pyarrow")
+
+    # union needs one schema: null-extend each side with the other's columns
+    ps = pa.schema(points.schema().base_schema)
+    i_s = pa.schema(intervals.schema().base_schema)
+    all_cols = (
+        [(c, ps.field(c).type) for c in p_cols]
+        + [(out_i_cols[c], i_s.field(c).type) for c in i_cols]
+        + [("__b", pa.int64()), ("__side", pa.int8())]
+    )
+
+    def widen_p(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in all_cols:
+            cols[name] = (
+                b.column(name) if name in b.schema.names else pa.nulls(b.num_rows, type=typ)
+            )
+        return pa.table(cols)
+
+    def widen_i(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in all_cols:
+            src = None
+            if name in (out_i_cols[c] for c in i_cols):
+                src = next(c for c in i_cols if out_i_cols[c] == name)
+            elif name in ("__b", "__side"):
+                src = name
+            cols[name] = (
+                b.column(src) if src is not None else pa.nulls(b.num_rows, type=typ)
+            )
+        return pa.table(cols)
+
+    both = p_tag.map_batches(widen_p, batch_format="pyarrow").union(
+        i_tag.map_batches(widen_i, batch_format="pyarrow")
+    )
+    from .aggregates import encoded_group_key
+
+    keyed = both.map_batches(
+        lambda b: b.append_column(
+            "__gk",
+            pc.binary_join_element_wise(
+                encoded_group_key(b, [key]),
+                pc.cast(b.column("__b"), pa.string()),
+                "\x1f",
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out_ts = ts_col  # point ts column name in the widened table
+    out_start = out_i_cols[start_col]
+    out_end = out_i_cols[end_col]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk", "__b"])
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        p_idx = np.nonzero(side == 0)[0]
+        i_idx = np.nonzero(side == 1)[0]
+        out_names = [c for c in p_cols] + [out_i_cols[c] for c in i_cols]
+        if len(p_idx) == 0 or len(i_idx) == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table({c: pc.take(group.column(c), empty) for c in out_names})
+        # fill the other side's nulls BEFORE to_numpy: a nullable int64
+        # converts to float64 (NaN), which silently rounds epoch-µs
+        # values past 2^53.  The filled zeros are never indexed (each
+        # side only reads its own rows).
+        def _i64(col) -> np.ndarray:
+            return pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+
+        ts = _i64(group.column(out_ts))
+        s = _i64(group.column(out_start))
+        e = _i64(group.column(out_end))
+        order = p_idx[np.argsort(ts[p_idx], kind="stable")]
+        pts = ts[order]
+        lo = np.searchsorted(pts, s[i_idx], side="left")
+        hi = np.searchsorted(pts, e[i_idx], side="right")
+        cnt = np.maximum(hi - lo, 0)
+        total = int(cnt.sum())
+        i_take = np.repeat(i_idx, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        p_take = order[np.repeat(lo, cnt) + offs]
+        pt = pa.array(p_take.astype(np.int64), type=pa.int64())
+        it = pa.array(i_take.astype(np.int64), type=pa.int64())
+        cols: dict[str, pa.Array] = {}
+        for c in p_cols:
+            cols[c] = pc.take(group.column(c), pt)
+        for c in i_cols:
+            if out_i_cols[c] == key:
+                continue  # shared equi-key: already taken from the point side
+            cols[out_i_cols[c]] = pc.take(group.column(out_i_cols[c]), it)
+        return pa.table(cols)
+
+    return keyed.groupby("__gk").map_groups(kernel, batch_format="pyarrow")
+
+
+def _floor_div(arr: pa.Array, d: int) -> pa.Array:
+    """Arrow floor division for int64 (pc.divide truncates toward zero)."""
+    import numpy as np
+
+    v = (
+        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    ).to_numpy(zero_copy_only=False)
+    return pa.array(np.floor_divide(v, d), type=pa.int64())
 
 
 def asof_join(

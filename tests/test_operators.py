@@ -832,3 +832,146 @@ def test_multimodal_audio_and_video():
     assert len(df) == 4 * 4  # frames 0,3,6,9
     decoded = decode_images(frames, concurrency=(1, 2)).to_pandas()
     assert set(decoded["width"]) == {16} and set(decoded["height"]) == {8}
+
+
+# --- round-2 widening batch 2: range join, outer join, windows, pivot, var --
+
+
+def test_range_join_cross_bucket():
+    """An interval spanning several buckets must still meet points in
+    every bucket exactly once (the point's bucket owns the pair)."""
+    import ray.data
+
+    from dataguards_ray.joins import range_join
+
+    points = ray.data.from_items(
+        [{"k": "a", "t": t, "pid": i} for i, t in enumerate([5, 15, 25, 35, 95])]
+        + [{"k": "b", "t": 15, "pid": 90}]
+    )
+    intervals = ray.data.from_items(
+        [
+            {"k": "a", "lo": 10, "hi": 30, "iid": 1},   # spans buckets 1..3 @ b=10
+            {"k": "a", "lo": 0, "hi": 100, "iid": 2},   # spans all
+            {"k": "a", "lo": 40, "hi": 20, "iid": 3},   # end < start → empty
+            {"k": "b", "lo": 0, "hi": 20, "iid": 4},
+        ]
+    )
+    out = range_join(points, intervals, key="k", ts_col="t",
+                     start_col="lo", end_col="hi", bucket_us=10)
+    pairs = sorted((r["pid"], r["iid"]) for r in out.take_all())
+    # iid=1 hits t=15,25 (incl. hi=30 → t=30 absent); iid=2 hits all five a-points
+    assert pairs == [(0, 2), (1, 1), (1, 2), (2, 1), (2, 2), (3, 2), (4, 2), (90, 4)]
+
+
+def test_range_join_auto_bucket_and_nulls():
+    import ray.data
+
+    from dataguards_ray.joins import range_join
+
+    points = ray.data.from_items(
+        [{"k": "a", "t": 10, "pid": 1}, {"k": None, "t": 10, "pid": 2},
+         {"k": "a", "t": None, "pid": 3}]
+    )
+    intervals = ray.data.from_items(
+        [{"k": "a", "lo": 0, "hi": 20, "iid": 1}, {"k": None, "lo": 0, "hi": 20, "iid": 2}]
+    )
+    out = range_join(points, intervals, key="k", ts_col="t",
+                     start_col="lo", end_col="hi")  # bucket from max width
+    assert [(r["pid"], r["iid"]) for r in out.take_all()] == [(1, 1)]
+
+
+def test_range_join_span_cap():
+    import ray.data
+
+    from dataguards_ray.joins import range_join
+
+    points = ray.data.from_items([{"k": "a", "t": 5, "pid": 1}])
+    intervals = ray.data.from_items([{"k": "a", "lo": 0, "hi": 10_000, "iid": 1}])
+    with pytest.raises(Exception, match="max_span_buckets"):
+        range_join(points, intervals, key="k", ts_col="t", start_col="lo",
+                   end_col="hi", bucket_us=10, max_span_buckets=4).take_all()
+
+
+def test_outer_join_by_key_full_left_right():
+    import ray.data
+
+    from dataguards_ray.joins import outer_join_by_key
+
+    left = ray.data.from_items(
+        [{"k": 1, "lv": "a"}, {"k": 2, "lv": "b"}, {"k": 2, "lv": "b2"},
+         {"k": None, "lv": "ln"}]
+    )
+    right = ray.data.from_items(
+        [{"k": 2, "rv": "x"}, {"k": 2, "rv": "x2"}, {"k": 3, "rv": "y"},
+         {"k": None, "rv": "rn"}]
+    )
+    full = outer_join_by_key(left, right, "k", how="full")
+    rows = sorted(
+        ((r["k"], r["lv"], r["k_r"], r["rv"]) for r in full.take_all()),
+        key=lambda t: (t[0] is None, t[0], t[1] or "", t[3] or ""),
+    )
+    # k=2 → 2×2 cross product; k=1 left-only; k=3 right-only; nulls never match
+    assert rows == [
+        (1, "a", None, None),
+        (2, "b", 2, "x"), (2, "b", 2, "x2"), (2, "b2", 2, "x"), (2, "b2", 2, "x2"),
+        (None, None, None, "rn"), (None, None, 3, "y"), (None, "ln", None, None),
+    ]
+    n_left = len(outer_join_by_key(left, right, "k", how="left").take_all())
+    n_right = len(outer_join_by_key(left, right, "k", how="right").take_all())
+    assert n_left == 6  # 4 matches + left-only k=1 + null-key left row
+    assert n_right == 6  # 4 matches + right-only k=3 + null-key right row
+
+
+def test_lag_gap_and_moving_sum():
+    import ray.data
+
+    from dataguards_ray.events import lag_gap, moving_sum
+
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": 100, "value": 1.0},
+        {"user_id": 1, "event_id": 2, "ts": 150, "value": None},
+        {"user_id": 1, "event_id": 3, "ts": 160, "value": 2.0},
+        {"user_id": 1, "event_id": 4, "ts": 200, "value": 3.0},
+        {"user_id": 2, "event_id": 5, "ts": 50, "value": None},
+    ]
+    ds = ray.data.from_items(rows)
+    gaps = {r["event_id"]: r["gap_us"] for r in lag_gap(ds).take_all()}
+    assert gaps == {1: None, 2: 50, 3: 10, 4: 40, 5: None}
+    mov = {r["event_id"]: r["moving_cents"] for r in moving_sum(ds, window_rows=2).take_all()}
+    # window 2: e1=100; e2=100 (null skipped, prior value in window);
+    # e3=200 (e2 null + e3); e4=500; user2 single null window → NULL
+    assert mov == {1: 100, 2: 100, 3: 200, 4: 500, 5: None}
+
+
+def test_pivot_count_and_sum():
+    import ray.data
+
+    from dataguards_ray.aggregates import pivot
+
+    rows = [
+        {"g": "a", "c": "x", "v": 1}, {"g": "a", "c": "y", "v": 2},
+        {"g": "a", "c": "x", "v": 3}, {"g": "b", "c": "z", "v": 4},
+        {"g": "b", "c": None, "v": 5},
+    ]
+    ds = ray.data.from_items(rows)
+    cnt = {r["g"]: (r["n_x"], r["n_y"]) for r in pivot(ds, ["g"], "c", ["x", "y"]).take_all()}
+    assert cnt == {"a": (2, 1), "b": (0, 0)}  # 'z' and NULL fall outside the value list
+    sm = {r["g"]: (r["sum_x"], r["sum_y"])
+          for r in pivot(ds, ["g"], "c", ["x", "y"], value_col="v", agg="sum").take_all()}
+    assert sm == {"a": (4, 2), "b": (0, 0)}
+
+
+def test_grouped_var_exact():
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_var
+
+    rows = (
+        [{"g": "a", "x": v} for v in (1, 2, 3, 4)]
+        + [{"g": "b", "x": 7}]                      # n=1 → NULL
+        + [{"g": "c", "x": None}, {"g": "c", "x": 10}, {"g": "c", "x": 20}]
+    )
+    ds = ray.data.from_items(rows)
+    out = {r["g"]: r["v"] for r in grouped_var(ds, ["g"], "x", "v").take_all()}
+    # a: (4*30 - 100) // 12 = 1;  c (nulls skipped): (2*500 - 900) // 2 = 50
+    assert out == {"a": 1, "b": None, "c": 50}
