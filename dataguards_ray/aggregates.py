@@ -341,9 +341,12 @@ def pivot(
     """SQL PIVOT with an explicit value list (Spark ``pivot(col,
     values)`` semantics — the output schema must be static, so rows
     whose ``col_key`` is outside ``col_values`` contribute nowhere).
-    ``agg="count"`` counts rows per cell; ``agg="sum"`` sums
-    ``value_col`` per cell.  Output columns are named
-    ``{prefix}{value}`` (prefix defaults to ``n_`` / ``sum_``).
+    ``agg="count"`` counts rows per cell (0 for empty cells, SQL COUNT
+    semantics); ``agg="sum"`` sums ``value_col`` per cell and yields
+    NULL for cells with no contributing non-null values — matching SQL
+    ``SUM(CASE WHEN c = v THEN x END)`` and Spark ``pivot(...).sum()``.
+    Output columns are named ``{prefix}{value}`` (prefix defaults to
+    ``n_`` / ``sum_``).
 
     Cost shape: the pivot is just indicator columns + ``grouped_agg`` —
     per-batch pre-aggregation, partials-only shuffle, adaptive final
@@ -362,18 +365,37 @@ def pivot(
         ck = batch.column(col_key)
         for v, out in zip(col_values, out_names):
             hit = pc.fill_null(pc.equal(ck, pa.scalar(v)), False)
-            ind = pc.cast(hit, pa.int64())
             if agg == "sum":
                 val = pc.cast(batch.column(value_col), pa.int64())
-                ind = pc.if_else(hit, pc.fill_null(val, 0), pa.scalar(0, type=pa.int64()))
-            cols[out] = ind
+                contrib = pc.and_(hit, pc.is_valid(val))
+                cols[out] = pc.if_else(
+                    contrib, pc.fill_null(val, 0), pa.scalar(0, type=pa.int64())
+                )
+                # contributing-value count per cell → NULL empty cells
+                cols["__c_" + out] = pc.cast(contrib, pa.int64())
+            else:
+                cols[out] = pc.cast(hit, pa.int64())
         return pa.table(cols)
 
-    return grouped_agg(
+    sum_cols = list(out_names)
+    if agg == "sum":
+        sum_cols += ["__c_" + o for o in out_names]
+    agged = grouped_agg(
         ds.map_batches(indicators, batch_format="pyarrow"),
         row_keys,
-        [(out, "sum", out) for out in out_names],
+        [(c, "sum", c) for c in sum_cols],
     )
+    if agg == "count":
+        return agged
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in row_keys}
+        for o in out_names:
+            empty = pc.equal(batch.column("__c_" + o), pa.scalar(0, type=pa.int64()))
+            cols[o] = pc.if_else(empty, pa.scalar(None, type=pa.int64()), batch.column(o))
+        return pa.table(cols)
+
+    return agged.map_batches(nullify, batch_format="pyarrow")
 
 
 def grouped_var(
@@ -401,13 +423,25 @@ def grouped_var(
     partials = grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys,
-        [("__x", "count", "__n"), ("__x", "sum", "__s"), ("__xx", "sum", "__ss")],
+        [("__x", "count", "__n"), ("__x", "sum", "__s"),
+         ("__xx", "sum", "__ss"), ("__xx", "max", "__mx")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         ns = batch.column("__n").to_pylist()
         ss = batch.column("__s").to_pylist()
         sss = batch.column("__ss").to_pylist()
+        mxs = batch.column("__mx").to_pylist()
+        # overflow guard: Σx² ≤ n·max(x²), so when n·max(x²) fits int64
+        # the int64 partial sums cannot have wrapped; beyond that a wrap
+        # is POSSIBLE and would be silent — raise instead (per-element
+        # multiply_checked only protects each x·x, not the running sum)
+        for n, mx in zip(ns, mxs):
+            if n and mx is not None and n * mx > (1 << 63) - 1:
+                raise ValueError(
+                    f"grouped_var partial Σx² may exceed int64 (n={n}, "
+                    f"max(x²)={mx}); rescale the input units"
+                )
         # python ints: n·Σx² − (Σx)² exceeds int64 long before Σx² does
         vals = [
             (n * q - s * s) // (n * (n - 1)) if n and n > 1 else None

@@ -131,12 +131,20 @@ def lag_gap(
             group, sort_keys=[(ts_col, "ascending"), (order_tiebreak, "ascending")]
         )
         g = group.take(idx)
-        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        ts_arr = pc.cast(g.column(ts_col), pa.int64())
+        # null-safe int64 extraction: a nullable cast to numpy yields
+        # float64 (NaN → INT64_MIN garbage on assignment); fill + mask
+        isnull = np.asarray(pc.is_null(ts_arr).to_numpy(zero_copy_only=False))
+        ts = pc.fill_null(ts_arr, 0).to_numpy(zero_copy_only=False)
         gaps = np.empty(len(ts), dtype=np.int64)
         gaps[0] = 0
         gaps[1:] = ts[1:] - ts[:-1]
         mask = np.zeros(len(ts), dtype=bool)
         mask[0] = True  # LAG of the first row is NULL
+        # SQL: ts − LAG(ts) is NULL when either operand is NULL (null ts
+        # rows sort last, matching DuckDB's NULLS LAST window order)
+        mask |= isnull
+        mask[1:] |= isnull[:-1]
         return pa.table(
             {
                 key: g.column(key),

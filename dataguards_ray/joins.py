@@ -41,7 +41,9 @@ def broadcast_lookup(
     return ds.map_batches(_lookup, batch_format="pyarrow")
 
 
-def scrub_empty_blocks(ds: Dataset, num_blocks: int = 8) -> Dataset:
+def scrub_empty_blocks(
+    ds: Dataset, num_blocks: int = 8, *, schema: "pa.Schema | None" = None
+) -> Dataset:
     """Work around a Ray Data 2.49 quirk: hash aggregates can emit 0-row
     blocks with an EMPTY schema.  Those blocks BYPASS map_batches (so no
     UDF can normalize them) and poison a downstream ``Dataset.join``
@@ -54,10 +56,36 @@ def scrub_empty_blocks(ds: Dataset, num_blocks: int = 8) -> Dataset:
     ``num_blocks`` is clamped to the row count: ``repartition(k)`` with
     k > n itself emits schemaless 0-row blocks (the exact poison this
     helper scrubs) — Ray splits evenly, so blocks are all non-empty iff
-    n ≥ k.  The count comes from a ``materialize()`` the downstream
-    aggregate/join barrier would pay anyway."""
+    n ≥ k ≥ 1.  A fully EMPTY input gets rebuilt as one typed empty
+    block from the plan schema (repartition(1) of an empty dataset is
+    still schemaless).  Caveat: a chain that FILTERS down to 0 rows
+    loses its schema entirely in Ray 2.49 (the filter task emits a
+    zero-COLUMN block and the plan forgets the pre-filter schema) — pass
+    ``schema`` explicitly when the caller knows it, else the empty case
+    degrades to a schemaless pass-through.  NOTE: this materializes
+    `ds` at call time to learn n — hand it thin data (aggregate
+    outputs, key sets), and expect any lazy upstream chain to execute
+    here."""
+    import ray.data as rd
+
+    try:  # plan-level schema BEFORE executing: a fully-empty
+        pre = ds.schema(fetch_if_missing=False)  # materialized dataset
+    except Exception:  # forgets its schema entirely
+        pre = None
     mat = ds.materialize()
-    return mat.repartition(max(1, min(num_blocks, mat.count())))
+    n = mat.count()
+    if n == 0:
+        s = pre or mat.schema(fetch_if_missing=True)
+        if s is not None:
+            s = pa.schema(s.base_schema)
+            if len(s) == 0:  # filtered-to-empty zero-column block
+                s = None
+        if s is None:
+            s = schema
+        if s is None:  # no schema recoverable anywhere — pass through
+            return mat
+        return rd.from_arrow(s.empty_table())
+    return mat.repartition(max(1, min(num_blocks, n)))
 
 
 def hash_join(
@@ -81,7 +109,10 @@ def hash_join(
     ``pa.Table.join`` then raises ``No match for key field reference``.
     Keep ``num_partitions`` well under the distinct-key count of the
     SMALLER side (or use ``outer_join_by_key`` / ``broadcast_lookup``
-    for key-sparse sides)."""
+    for key-sparse sides).  Corollary: a fully EMPTY side always crashes
+    (its 0-row blocks — typed or not — never reach the aggregator);
+    callers must short-circuit the empty case themselves
+    (``verify_pairs_jaccard`` shows the pattern)."""
     return left.join(
         right,
         join_type=how,
@@ -394,6 +425,17 @@ def outer_join_by_key(
     l_cols = [f.name for f in pa.schema(left.schema().base_schema)]
     r_cols = [f.name for f in pa.schema(right.schema().base_schema)]
     out_r_cols = {c: (c + right_suffix if c in l_cols else c) for c in r_cols}
+    # fail BEFORE the shuffle on output-name collisions (e.g. left has a
+    # literal "v_r" while right's "v" suffixes to "v_r")
+    clashes = [
+        o for c, o in out_r_cols.items()
+        if (o != c and o in l_cols) or list(out_r_cols.values()).count(o) > 1
+    ]
+    if clashes:
+        raise ValueError(
+            f"outer_join_by_key output column collision(s) {sorted(set(clashes))}; "
+            f"rename the inputs or pick a different right_suffix"
+        )
 
     from .aggregates import encoded_group_key
 
@@ -514,6 +556,11 @@ def range_join(
     degenerate spans with ``max_span_buckets``.
     """
     if bucket_us is None:
+        # the auto-bucket pre-pass consumes `intervals` twice (span scan
+        # + the join itself) — materialize first so a lazy upstream
+        # chain isn't re-executed per consumer (§5.4 never-branch rule)
+        intervals = intervals.materialize()
+
         # thin pre-pass: only (start, end) leave the interval side
         def span(b: pa.Table) -> pa.Table:
             s = pc.cast(b.column(start_col), pa.int64())
@@ -534,6 +581,15 @@ def range_join(
     out_i_cols = {
         c: (c + right_suffix if (c in p_cols and c != key) else c) for c in i_cols
     }
+    clashes = [
+        o for c, o in out_i_cols.items()
+        if (o != c and o in p_cols) or list(out_i_cols.values()).count(o) > 1
+    ]
+    if clashes:
+        raise ValueError(
+            f"range_join output column collision(s) {sorted(set(clashes))}; "
+            f"rename the inputs or pick a different right_suffix"
+        )
 
     def prep_points(b: pa.Table) -> pa.Table:
         b = b.filter(

@@ -481,7 +481,25 @@ def verify_pairs_jaccard(
     docs = ds.select_columns([id_col, text_col])
     a_side = docs.rename_columns({id_col: "id_a", text_col: "__text_a"})
     b_side = docs.rename_columns({id_col: "id_b", text_col: "__text_b"})
-    j = hash_join(scrub_empty_blocks(pairs), a_side, on=["id_a"], num_partitions=8)
+    # fallback schema for pairs that FILTERED down to empty (Ray loses
+    # their schema entirely): both pair ids carry the corpus id type
+    id_t = pa.schema(docs.schema(fetch_if_missing=True).base_schema).field(id_col).type
+    pair_schema = pa.schema([("id_a", id_t), ("id_b", id_t)])
+    pairs_s = scrub_empty_blocks(pairs, schema=pair_schema)
+    if pairs_s.count() == 0:
+        # Dataset.join with an EMPTY side crashes in Ray 2.49 (0-row
+        # blocks never reach the join aggregator, whose partition then
+        # builds schemaless) — short-circuit: no candidates, no dups
+        import ray.data as rd
+
+        s = pairs_s.schema(fetch_if_missing=True)
+        sch = pa.schema(s.base_schema) if s is not None else pair_schema
+        if len(sch) == 0:
+            sch = pair_schema
+        return rd.from_arrow(
+            sch.empty_table().append_column(out_col, pa.array([], type=pa.float64()))
+        )
+    j = hash_join(pairs_s, a_side, on=["id_a"], num_partitions=8)
     j = hash_join(j, b_side, on=["id_b"], num_partitions=8)
 
     def score(batch: pa.Table) -> pa.Table:

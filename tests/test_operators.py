@@ -958,7 +958,8 @@ def test_pivot_count_and_sum():
     assert cnt == {"a": (2, 1), "b": (0, 0)}  # 'z' and NULL fall outside the value list
     sm = {r["g"]: (r["sum_x"], r["sum_y"])
           for r in pivot(ds, ["g"], "c", ["x", "y"], value_col="v", agg="sum").take_all()}
-    assert sm == {"a": (4, 2), "b": (0, 0)}
+    # SQL SUM(CASE WHEN c=v THEN x END): empty cells are NULL, not 0
+    assert sm == {"a": (4, 2), "b": (None, None)}
 
 
 def test_grouped_var_exact():
@@ -975,3 +976,60 @@ def test_grouped_var_exact():
     out = {r["g"]: r["v"] for r in grouped_var(ds, ["g"], "x", "v").take_all()}
     # a: (4*30 - 100) // 12 = 1;  c (nulls skipped): (2*500 - 900) // 2 = 50
     assert out == {"a": 1, "b": None, "c": 50}
+
+
+def test_review_fixes_null_ts_empty_scrub_collisions():
+    """Sixth-review regressions: lag_gap null-ts rows must be NULL (not
+    INT64_MIN garbage); scrub_empty_blocks of a 0-row dataset must stay
+    typed (hash_join-safe); suffix collisions fail fast pre-shuffle."""
+    import ray.data
+
+    from dataguards_ray.events import lag_gap
+    from dataguards_ray.joins import (hash_join, outer_join_by_key, range_join,
+                                      scrub_empty_blocks)
+
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": 100},
+        {"user_id": 1, "event_id": 2, "ts": None},
+        {"user_id": 1, "event_id": 3, "ts": 150},
+    ]
+    gaps = {r["event_id"]: r["gap_us"] for r in lag_gap(ray.data.from_items(rows)).take_all()}
+    # null ts sorts last (DuckDB NULLS LAST): order 1,3,2 → e3 gap=50, e2 NULL
+    assert gaps == {1: None, 2: None, 3: 50}
+
+    # scrub of a 0-row dataset keeps a TYPED schema (no schemaless
+    # block).  A filter-to-empty chain loses its schema entirely in Ray
+    # 2.49 (zero-COLUMN block) — the caller-supplied `schema` recovers.
+    sch = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
+    ).filter(expr="n > 0")
+    scrubbed = scrub_empty_blocks(empty, 4, schema=sch)
+    assert scrubbed.count() == 0
+    assert [f.name for f in pa.schema(scrubbed.schema().base_schema)] == ["k", "n"]
+    # production caller with zero candidate pairs must not crash
+    # (Dataset.join with an empty side is unfixable in Ray 2.49)
+    from dataguards_ray.neardup import verify_pairs_jaccard
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": "abc"}])
+    no_pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], type=pa.int64()),
+                  "id_b": pa.array([], type=pa.int64())})
+    )
+    assert verify_pairs_jaccard(docs, no_pairs).take_all() == []
+    # filtered-to-empty pairs lose their schema entirely — the id type
+    # is re-inferred from the corpus
+    filtered = ray.data.from_items([{"id_a": 1, "id_b": 2}]).filter(expr="id_a > 5")
+    assert verify_pairs_jaccard(docs, filtered).take_all() == []
+
+    left = ray.data.from_items([{"k": 1, "v": 1, "v_r": 9}])
+    rgt = ray.data.from_items([{"k": 1, "v": 2}])
+    with pytest.raises(ValueError, match="collision"):
+        outer_join_by_key(left, rgt, "k")
+    # interval's "t" (shared with points) suffixes to "t_r", which the
+    # points side already has as a literal column
+    pts = ray.data.from_items([{"k": 1, "t": 5, "t_r": 0}])
+    iv = ray.data.from_items([{"k": 1, "lo": 0, "hi": 10, "t": 1}])
+    with pytest.raises(ValueError, match="collision"):
+        range_join(pts, iv, key="k", ts_col="t", start_col="lo", end_col="hi",
+                   bucket_us=10)
