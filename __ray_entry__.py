@@ -1515,6 +1515,190 @@ ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """
 
 
+def _q_covar_qty_price_by_status(sf_dir: str):
+    """Exact integer sample covariance per group (aggregates.grouped_covar)
+    over cents-scaled quantity × price — int64 partials, arbitrary-
+    precision final combine, TRUNCATING division (DuckDB `//` truncates
+    toward zero where Python floors; covariance can be negative)."""
+    from dataguards_ray.aggregates import grouped_covar
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_linestatus": b.column("l_linestatus"),
+             "q": _cents(b.column("l_quantity")),
+             "p": _cents(b.column("l_extendedprice"))}
+        )
+
+    return grouped_covar(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["l_linestatus"], "q", "p", "covar_qp_c2")
+
+
+_SQL_COVAR = f"""
+SELECT l_linestatus,
+       CASE WHEN COUNT(*) > 1 THEN CAST(
+         (COUNT(*)*SUM(CAST(q AS HUGEINT)*p)
+          - SUM(CAST(q AS HUGEINT))*SUM(CAST(p AS HUGEINT)))
+         // (COUNT(*)*(COUNT(*)-1)) AS BIGINT) END AS covar_qp_c2
+FROM (SELECT l_linestatus,
+             {_CENTS_SQL.format(x='l_quantity')} AS q,
+             {_CENTS_SQL.format(x='l_extendedprice')} AS p
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+GROUP BY l_linestatus
+"""
+
+
+def _q_dense_rank_cust_balance(sf_dir: str):
+    """DENSE_RANK ≤ 3 per market segment by floor-dollar balance desc —
+    SQL tie semantics (all rows of a tied value share the rank and all
+    are kept).  Per-batch top-k-distinct prune before the shuffle."""
+    from dataguards_ray.aggregates import dense_rank_top
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.floor(pc.cast(b.column("c_acctbal"), pa.float64())), pa.int64())
+        return pa.table(
+            {"c_mktsegment": b.column("c_mktsegment"),
+             "c_custkey": b.column("c_custkey"), "bal_d": bal}
+        )
+
+    return dense_rank_top(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["c_mktsegment"], "bal_d", 3, out="rnk")
+
+
+_SQL_DENSE_RANK = """
+SELECT c_mktsegment, c_custkey, bal_d, rnk FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_d,
+         CAST(dense_rank() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY CAST(FLOOR(c_acctbal) AS BIGINT) DESC) AS BIGINT) AS rnk
+  FROM customer) WHERE rnk <= 3
+"""
+
+
+def _q_nations_with_cust_and_supp(sf_dir: str):
+    """INTERSECT by key: nations present in BOTH customer and supplier —
+    distinct pre-pass on each side, then a (broadcast/Bloom) semi join."""
+    from dataguards_ray.aggregates import distinct
+    from dataguards_ray.joins import semi_join
+
+    cust = distinct(
+        _read(sf_dir, "customer", ["c_nationkey"]).rename_columns(
+            {"c_nationkey": "nationkey"}), ["nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).rename_columns(
+        {"s_nationkey": "nationkey"})
+    return semi_join(cust, supp, "nationkey")
+
+
+_SQL_INTERSECT = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def _q_orders_per_month(sf_dir: str):
+    """Calendar bucketing: orders per month (strftime '%Y-%m' — identical
+    zero-padded rendering in Arrow and DuckDB) with count + cents total."""
+    from dataguards_ray.aggregates import grouped_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"month": pc.strftime(b.column("o_orderdate"), format="%Y-%m"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"), ["month"],
+                       [("price_c", "count", "n_orders"),
+                        ("price_c", "sum", "total_cents")])
+
+
+_SQL_PER_MONTH = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT({_CENTS_SQL.format(x='o_totalprice')}) AS n_orders,
+       CAST(SUM({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders GROUP BY month
+"""
+
+
+def _q_priorities_by_status(sf_dir: str):
+    """string_agg(DISTINCT col ORDER BY col) per group — deterministic
+    sorted-distinct concatenation (aggregates.grouped_string_agg)."""
+    from dataguards_ray.aggregates import grouped_string_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return grouped_string_agg(ds, ["o_orderstatus"], "o_orderpriority",
+                              "priorities", sep=",")
+
+
+_SQL_STRING_AGG = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _q_tpch_q12_shape(sf_dir: str):
+    """TPC-H Q12 shape: date-range filter on lineitem, equi-join to
+    orders, conditional CASE-WHEN aggregation per linestatus.  Both join
+    sides are slimmed to key + needed column BEFORE the shuffle."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import hash_join
+
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1997-01-01").cast(pa.timestamp("us")).value)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(
+            pc.fill_null(pc.greater_equal(ts, lo), False),
+            pc.fill_null(pc.less(ts, hi), False),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_linestatus": b.column("l_linestatus")}).filter(keep)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).rename_columns(
+        {"o_orderkey": "l_orderkey"})
+    j = hash_join(li.map_batches(prep_li, batch_format="pyarrow"), orders,
+                  on=["l_orderkey"], num_partitions=8)
+
+    def flags(b: pa.Table) -> pa.Table:
+        hi_p = pc.is_in(b.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_p = pc.fill_null(hi_p, False)
+        return pa.table(
+            {"l_linestatus": b.column("l_linestatus"),
+             "high": pc.cast(hi_p, pa.int64()),
+             "low": pc.cast(pc.invert(hi_p), pa.int64())}
+        )
+
+    return grouped_agg(j.map_batches(flags, batch_format="pyarrow"),
+                       ["l_linestatus"],
+                       [("high", "sum", "high_line_count"),
+                        ("low", "sum", "low_line_count")])
+
+
+_SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -1569,6 +1753,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "knn_embeddings": _q_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
+        "covar_qty_price_by_status": _q_covar_qty_price_by_status,
+        "dense_rank_cust_balance": _q_dense_rank_cust_balance,
+        "nations_with_cust_and_supp": _q_nations_with_cust_and_supp,
+        "orders_per_month": _q_orders_per_month,
+        "priorities_by_status": _q_priorities_by_status,
+        "tpch_q12_shape": _q_tpch_q12_shape,
         # rows-only (no SQL equivalent):
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -1640,4 +1830,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _SQL_BPE_TOKENS,
         "knn_embeddings": _SQL_KNN,
         "near_dup_embeddings": _SQL_NEAR_DUP_EMB,
+        "covar_qty_price_by_status": _SQL_COVAR,
+        "dense_rank_cust_balance": _SQL_DENSE_RANK,
+        "nations_with_cust_and_supp": _SQL_INTERSECT,
+        "orders_per_month": _SQL_PER_MONTH,
+        "priorities_by_status": _SQL_STRING_AGG,
+        "tpch_q12_shape": _SQL_Q12,
     }

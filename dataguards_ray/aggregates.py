@@ -454,6 +454,178 @@ def grouped_var(
     return partials.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_covar(
+    ds: Dataset, keys: list[str], x_col: str, y_col: str, out: str
+) -> Dataset:
+    """Exact per-group sample covariance over INTEGER columns:
+    ``out = (n·Σxy − Σx·Σy) / (n·(n−1))`` with the division TRUNCATED
+    toward zero — covariance can be negative, and SQL/DuckDB integer
+    division truncates where Python's ``//`` floors — for n>1, NULL
+    otherwise.  Rows where EITHER column is NULL are skipped (SQL
+    COVAR_SAMP pairwise semantics).  Same exactness recipe as
+    ``grouped_var``: int64 partials (per-element ``multiply_checked``
+    plus an ``n·max|x|·max|y|`` wrap guard on the partial sums), then
+    arbitrary-precision Python ints for the final combine, so the result
+    hash-matches DuckDB's HUGEINT evaluation of the same expression."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.int64())
+        y = pc.cast(batch.column(y_col), pa.int64())
+        cols = {k: batch.column(k) for k in keys}
+        cols["__x"], cols["__y"] = x, y
+        t = pa.table(cols).filter(pc.and_(pc.is_valid(x), pc.is_valid(y)))
+        xf, yf = t.column("__x"), t.column("__y")
+        t = t.append_column("__xy", pc.multiply_checked(xf, yf))
+        t = t.append_column("__ax", pc.abs(xf))
+        return t.append_column("__ay", pc.abs(yf))
+
+    partials = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys,
+        [("__x", "count", "__n"), ("__x", "sum", "__sx"), ("__y", "sum", "__sy"),
+         ("__xy", "sum", "__sxy"), ("__ax", "max", "__ma"), ("__ay", "max", "__mb")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lim = (1 << 63) - 1
+        ns = batch.column("__n").to_pylist()
+        sxs = batch.column("__sx").to_pylist()
+        sys_ = batch.column("__sy").to_pylist()
+        sxys = batch.column("__sxy").to_pylist()
+        mas = batch.column("__ma").to_pylist()
+        mbs = batch.column("__mb").to_pylist()
+        vals = []
+        for n, sx, sy, sxy, ma, mb in zip(ns, sxs, sys_, sxys, mas, mbs):
+            if not n or n <= 1:
+                vals.append(None)
+                continue
+            # wrap guard: |Σx| ≤ n·max|x|, |Σy| ≤ n·max|y|, |Σxy| ≤
+            # n·max|x|·max|y| — when those fit int64 no partial wrapped
+            if n * ma > lim or n * mb > lim or n * ma * mb > lim:
+                raise ValueError(
+                    f"grouped_covar partial sums may exceed int64 (n={n}, "
+                    f"max|x|={ma}, max|y|={mb}); rescale the input units"
+                )
+            num, den = n * sxy - sx * sy, n * (n - 1)
+            vals.append(-((-num) // den) if num < 0 else num // den)
+        cols = {k: batch.column(k) for k in keys}
+        cols[out] = pa.array(vals, type=pa.int64())
+        return pa.table(cols)
+
+    return partials.map_batches(finish, batch_format="pyarrow")
+
+
+def dense_rank_top(
+    ds: Dataset,
+    keys: list[str],
+    val_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    out: str = "rnk",
+) -> Dataset:
+    """Rows whose ``DENSE_RANK() OVER (PARTITION BY keys ORDER BY
+    val_col)`` ≤ k, with the rank attached (int64) — SQL tie semantics:
+    every row of a tied value shares the rank and ALL are kept.
+
+    Scale shape: a row's within-batch dense rank is ≤ its global rank
+    (a batch sees a subset of the distinct values above it), so each
+    batch pre-prunes to its own top-k distinct values before the
+    shuffle — the groupby moves at most k distinct values' rows per
+    (key, batch), not the corpus.  NULL ``val_col`` ranks last in
+    descending order (SQL NULLS LAST) and is one tied value."""
+    import pyarrow.compute as pc
+
+    order = "descending" if descending else "ascending"
+    sort_keys = [(val_col, order)]
+
+    def ranks_of(sorted_vals: pa.Array) -> np.ndarray:
+        """dense ranks of an already-sorted value column (null-safe:
+        consecutive nulls are ONE tied value)."""
+        valid = np.asarray(pc.is_valid(sorted_vals).to_numpy(zero_copy_only=False))
+        if valid.any():
+            fill_v = sorted_vals.filter(pc.is_valid(sorted_vals))[0].as_py()
+            filled = pc.fill_null(sorted_vals, fill_v)
+            vs = np.asarray(filled.to_numpy(zero_copy_only=False))
+            change = np.empty(len(vs), dtype=bool)
+            change[0] = True
+            change[1:] = (vs[1:] != vs[:-1]) | (valid[1:] != valid[:-1])
+        else:  # all-null group: one tied value
+            change = np.zeros(len(valid), dtype=bool)
+            change[0] = True
+        return np.cumsum(change)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch, sort_keys=[(kc, "ascending") for kc in keys] + sort_keys
+        )
+        b = batch.take(idx)
+        gk = encoded_group_key(b, keys).to_pylist()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        lo = 0
+        for hi in range(1, b.num_rows + 1):
+            if hi == b.num_rows or gk[hi] != gk[lo]:
+                r = ranks_of(b.column(val_col).slice(lo, hi - lo).combine_chunks())
+                keep[lo:hi] = r <= k
+                lo = hi
+        return b.filter(pa.array(keep))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gk"])
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        r = ranks_of(g.column(val_col).combine_chunks())
+        keep = r <= k
+        return g.filter(pa.array(keep)).append_column(
+            out, pa.array(r[keep], type=pa.int64())
+        )
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    keyed = pruned.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds: Dataset, keys: list[str], col: str, out: str, *, sep: str = ","
+) -> Dataset:
+    """SQL ``string_agg(DISTINCT col, sep ORDER BY col)`` per group:
+    the concatenation of each group's DISTINCT non-null values in
+    ascending order.  Deterministic by construction (distinct + total
+    order), so it is parallelism-invariant — unordered string_agg is
+    not reproducible on any distributed engine and is deliberately not
+    offered.  Scale shape: the ``distinct`` pre-pass shrinks the input
+    to one row per (keys, value) BEFORE the group concat, so groups are
+    value-cardinality-sized, not row-count-sized."""
+    import pyarrow.compute as pc
+
+    pairs = distinct(
+        ds.map_batches(
+            lambda b: pa.table({**{k: b.column(k) for k in keys}, col: b.column(col)})
+            .filter(pc.is_valid(b.column(col))),
+            batch_format="pyarrow",
+        ),
+        keys + [col],
+    )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gk"]).sort_by([(col, "ascending")])
+        joined = sep.join(pc.cast(g.column(col), pa.string()).to_pylist())
+        cols = {k: g.column(k).slice(0, 1) for k in keys}
+        cols[out] = pa.array([joined], type=pa.string())
+        return pa.table(cols)
+
+    keyed = pairs.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds: Dataset,
     key: str,

@@ -1033,3 +1033,73 @@ def test_review_fixes_null_ts_empty_scrub_collisions():
     with pytest.raises(ValueError, match="collision"):
         range_join(pts, iv, key="k", ts_col="t", start_col="lo", end_col="hi",
                    bucket_us=10)
+
+
+def test_grouped_covar_truncation_and_nulls():
+    """Negative covariance must TRUNCATE toward zero (DuckDB `//`), not
+    floor; NULL in either column skips the pair; n=1 yields NULL."""
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_covar
+
+    rows = (
+        # a: n=3, Σxy=19, Σx=7, Σy=12 → num=3·19−84=−27, den=6 → −4 (floor −5)
+        [{"g": "a", "x": 1, "y": 9}, {"g": "a", "x": 2, "y": 1},
+         {"g": "a", "x": 4, "y": 2}]
+        + [{"g": "b", "x": 7, "y": 7}]                      # n=1 → NULL
+        # c: null on either side drops the PAIR → effective n=2,
+        # x=[10,20], y=[1,3] → num=2·70−30·4=20, den=2 → 10
+        + [{"g": "c", "x": None, "y": 5}, {"g": "c", "x": 5, "y": None},
+           {"g": "c", "x": 10, "y": 1}, {"g": "c", "x": 20, "y": 3}]
+    )
+    ds = ray.data.from_items(rows).repartition(3)
+    out = {r["g"]: r["cv"] for r in grouped_covar(ds, ["g"], "x", "y", "cv").take_all()}
+    assert out == {"a": -4, "b": None, "c": 10}
+
+
+def test_dense_rank_top_ties_nulls_partition_invariance():
+    """SQL DENSE_RANK tie semantics (all rows of a tied value kept, one
+    rank per distinct value), NULL ranks last as ONE tied value, and the
+    per-batch prune must not change the answer across partitionings."""
+    import ray.data
+
+    from dataguards_ray.aggregates import dense_rank_top
+
+    rows = [
+        {"g": "a", "id": 1, "v": 30}, {"g": "a", "id": 2, "v": 30},
+        {"g": "a", "id": 3, "v": 20}, {"g": "a", "id": 4, "v": 10},
+        {"g": "a", "id": 5, "v": 10}, {"g": "a", "id": 6, "v": 5},
+        {"g": "b", "id": 7, "v": None}, {"g": "b", "id": 8, "v": 1},
+        {"g": "b", "id": 9, "v": None},
+    ]
+    expect = {
+        # a: 30→1 (both rows), 20→2, 10→3 (both rows); 5 (rank 4) cut
+        (1, 1), (2, 1), (3, 2), (4, 3), (5, 3),
+        # b desc NULLS LAST: 1→1, NULL→2 (one tied value, both rows)
+        (8, 1), (7, 2), (9, 2),
+    }
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {(r["id"], r["rnk"])
+               for r in dense_rank_top(ds, ["g"], "v", 3, out="rnk").take_all()}
+        assert got == expect, nparts
+
+
+def test_grouped_string_agg_distinct_sorted():
+    """string_agg(DISTINCT col ORDER BY col): duplicates collapse, nulls
+    are skipped, output order is ascending regardless of input order or
+    partitioning."""
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_string_agg
+
+    rows = [
+        {"g": "a", "c": "zeta"}, {"g": "a", "c": "alpha"},
+        {"g": "a", "c": "zeta"}, {"g": "a", "c": None},
+        {"g": "a", "c": "mid"}, {"g": "b", "c": "solo"},
+    ]
+    for nparts in (1, 5):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = {r["g"]: r["cs"]
+               for r in grouped_string_agg(ds, ["g"], "c", "cs").take_all()}
+        assert out == {"a": "alpha,mid,zeta", "b": "solo"}, nparts
