@@ -1699,6 +1699,180 @@ GROUP BY l_linestatus
 """
 
 
+def _q_ntile_customer_balance(sf_dir: str):
+    """NTILE(4) per market segment by floor-dollar balance desc with a
+    unique custkey tiebreak (aggregates.ntile) — quartile assignment is
+    position-based, so the total order makes it parallelism-invariant
+    and hash-comparable against DuckDB's window NTILE."""
+    from dataguards_ray.aggregates import ntile
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.floor(pc.cast(b.column("c_acctbal"), pa.float64())), pa.int64())
+        return pa.table(
+            {"c_mktsegment": b.column("c_mktsegment"),
+             "c_custkey": b.column("c_custkey"), "bal_d": bal}
+        )
+
+    return ntile(ds.map_batches(prep, batch_format="pyarrow"),
+                 ["c_mktsegment"], 4,
+                 [("bal_d", True), ("c_custkey", False)], out="tile")
+
+
+_SQL_NTILE = """
+SELECT c_mktsegment, c_custkey, bal_d,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY bal_d DESC, c_custkey) AS BIGINT) AS tile
+FROM (SELECT c_mktsegment, c_custkey,
+             CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_d FROM customer)
+"""
+
+
+def _q_tpch_q5_shape(sf_dir: str):
+    """TPC-H Q5 shape (5-way join): revenue per ASIA nation from 1996
+    orders where the supplier is in the customer's nation.  Composition:
+    region⋈nation and supplier are driver-built broadcast dicts (dims),
+    orders→customer nation via broadcast lookup, lineitem⋈orders via
+    hash_join (the one big-big shuffle), supplier-nation equality filter
+    + revenue aggregation fused in one map_batches.  At 100 TB customer
+    exceeds broadcast — swap the o_custkey lookup for a second
+    hash_join (same columns, one extra shuffle)."""
+    import ray as _ray
+
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import hash_join
+    from dataguards_ray.steps.dedup import get_broadcast
+
+    # dims on the driver: asian nations, supplier→nation, customer→nation
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    asia = {r["n_nationkey"] for r in _read(sf_dir, "nation")
+            .filter(expr="n_regionkey == 2").take_all()}
+    supp = {r["s_suppkey"]: r["s_nationkey"]
+            for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()}
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+            if r["c_nationkey"] in asia}
+
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1997-01-01").cast(pa.timestamp("us")).value)
+    cref = _ray.put((pa.array(list(cust), type=pa.int64()), cust))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.fill_null(pc.greater_equal(ts, lo), False),
+            pc.fill_null(pc.less(ts, hi), False),
+        )
+        b = b.filter(keep)
+        ck, cm = get_broadcast(cref)
+        b = b.filter(pc.is_in(b.column("o_custkey"), value_set=ck))
+        return pa.table(
+            {"l_orderkey": b.column("o_orderkey"),
+             "c_nationkey": pa.array(
+                 [cm[k] for k in b.column("o_custkey").to_pylist()],
+                 type=pa.int64())}
+        )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = hash_join(li, orders.map_batches(prep_orders, batch_format="pyarrow"),
+                  on=["l_orderkey"], num_partitions=8)
+
+    sref = _ray.put((supp, nat))
+
+    def rev(b: pa.Table) -> pa.Table:
+        sm, nm = get_broadcast(sref)
+        snat = [sm.get(k) for k in b.column("l_suppkey").to_pylist()]
+        cnat = b.column("c_nationkey").to_pylist()
+        keep = pa.array([s is not None and s == c for s, c in zip(snat, cnat)])
+        b = b.filter(keep)
+        names = [nm[c] for c in b.column("c_nationkey").to_pylist()]
+        r = pc.multiply(
+            pc.cast(b.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(b.column("l_discount"), pa.float64())),
+        )
+        return pa.table({"n_name": pa.array(names, type=pa.string()),
+                         "rev_c": _cents(r)})
+
+    return grouped_agg(j.map_batches(rev, batch_format="pyarrow"),
+                       ["n_name"], [("rev_c", "sum", "revenue_cents")])
+
+
+_SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')}) AS BIGINT)
+           AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_balance_histogram(sf_dir: str):
+    """Numeric histogram: floor-dollar balances bucketed by floored
+    division into $1000-wide bins (negative balances land in negative
+    bins — Arrow's float floor and SQL FLOOR agree), count + sum per
+    bin.  Pure pre-aggregated groupby; bins are bounded (~11) so the
+    shuffle moves a handful of partial rows per block."""
+    from dataguards_ray.aggregates import grouped_agg
+
+    ds = _read(sf_dir, "customer", ["c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.floor(pc.cast(b.column("c_acctbal"), pa.float64())), pa.int64())
+        bkt = pc.cast(pc.floor(pc.divide(pc.cast(bal, pa.float64()), 1000.0)), pa.int64())
+        return pa.table({"bucket": bkt, "bal_d": bal})
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pyarrow"), ["bucket"],
+                       [("bal_d", "count", "n_cust"),
+                        ("bal_d", "sum", "sum_bal_d")])
+
+
+_SQL_BAL_HIST = """
+SELECT CAST(FLOOR(CAST(bal_d AS DOUBLE)/1000) AS BIGINT) AS bucket,
+       COUNT(bal_d) AS n_cust,
+       CAST(SUM(bal_d) AS BIGINT) AS sum_bal_d
+FROM (SELECT CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_d FROM customer)
+GROUP BY bucket
+"""
+
+
+def _q_nations_cust_except_supp(sf_dir: str):
+    """EXCEPT by key: nations with customers but NO high-balance
+    (≥9500) supplier — distinct pre-pass then a (broadcast/Bloom) anti
+    join.  Completes the set-op trio with union_all_names and
+    nations_with_cust_and_supp.  The balance filter keeps the result
+    non-empty at every test SF (an unfiltered EXCEPT is empty from
+    sf0.01 up, and a 0-row Ray result loses its schema — a documented
+    Ray 2.49 pitfall, see joins.scrub_empty_blocks)."""
+    from dataguards_ray.aggregates import distinct
+    from dataguards_ray.joins import anti_join
+
+    cust = distinct(
+        _read(sf_dir, "customer", ["c_nationkey"]).rename_columns(
+            {"c_nationkey": "nationkey"}), ["nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).filter(
+        expr="s_acctbal >= 9500"
+    ).rename_columns({"s_nationkey": "nationkey"})
+    return anti_join(cust, supp, "nationkey")
+
+
+_SQL_EXCEPT = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal >= 9500
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -1759,6 +1933,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_month": _q_orders_per_month,
         "priorities_by_status": _q_priorities_by_status,
         "tpch_q12_shape": _q_tpch_q12_shape,
+        "ntile_customer_balance": _q_ntile_customer_balance,
+        "tpch_q5_shape": _q_tpch_q5_shape,
+        "balance_histogram": _q_balance_histogram,
+        "nations_cust_except_supp": _q_nations_cust_except_supp,
         # rows-only (no SQL equivalent):
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -1836,4 +2014,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_per_month": _SQL_PER_MONTH,
         "priorities_by_status": _SQL_STRING_AGG,
         "tpch_q12_shape": _SQL_Q12,
+        "ntile_customer_balance": _SQL_NTILE,
+        "tpch_q5_shape": _SQL_TPCH_Q5,
+        "balance_histogram": _SQL_BAL_HIST,
+        "nations_cust_except_supp": _SQL_EXCEPT,
     }

@@ -626,6 +626,58 @@ def grouped_string_agg(
     return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
 
 
+def ntile(
+    ds: Dataset,
+    keys: list[str],
+    n: int,
+    order_by: list[tuple[str, bool]],
+    *,
+    out: str = "tile",
+) -> Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY keys ORDER BY ...)``: rows of
+    each group are split into ``n`` buckets 1..n whose sizes differ by
+    at most one, larger buckets first (the standard formula: with
+    ``nr`` rows, ``q = nr // n``, ``r = nr % n``, the first ``r``
+    buckets hold ``q+1`` rows).
+
+    ``order_by`` is ``[(col, descending), ...]`` and MUST end in a
+    unique tiebreak column — NTILE assigns by row position, so without
+    a total order the bucket of tied rows is engine-dependent and the
+    result would not be parallelism-invariant.  NULL order values sort
+    last (DuckDB's default NULLS LAST for both directions, matching
+    Arrow's ``at_end``).
+
+    Scale shape: one groupby keyed on the partition columns; each
+    group is assigned in a single numpy pass inside ``map_groups``, so
+    a group must fit one task — the operator is for key-partitioned
+    window work (per-domain, per-language), not a global rank over the
+    corpus."""
+    import pyarrow.compute as pc
+
+    if n < 1:
+        raise ValueError(f"ntile bucket count must be >= 1, got {n}")
+    sort_keys = [(c, "descending" if d else "ascending") for c, d in order_by]
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gk"])
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        nr = g.num_rows
+        q, r = divmod(nr, n)
+        pos = np.arange(nr, dtype=np.int64)
+        cut = r * (q + 1)
+        if q == 0:  # fewer rows than buckets: one row per bucket
+            tiles = pos + 1
+        else:
+            tiles = np.where(pos < cut, pos // (q + 1), r + (pos - cut) // q) + 1
+        return g.append_column(out, pa.array(tiles, type=pa.int64()))
+
+    keyed = ds.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds: Dataset,
     key: str,

@@ -1103,3 +1103,28 @@ def test_grouped_string_agg_distinct_sorted():
         out = {r["g"]: r["cs"]
                for r in grouped_string_agg(ds, ["g"], "c", "cs").take_all()}
         assert out == {"a": "alpha,mid,zeta", "b": "solo"}, nparts
+
+
+def test_ntile_bucket_sizes_and_partition_invariance():
+    """NTILE(n): bucket sizes differ by at most one with larger buckets
+    first (nr=7, n=3 → 3/2/2); fewer rows than buckets → one row per
+    bucket; assignment follows the (val desc, id asc) total order and
+    is invariant across input partitionings."""
+    import ray.data
+
+    from dataguards_ray.aggregates import ntile
+
+    rows = [{"g": "a", "id": i, "v": 100 - i} for i in range(1, 8)]  # 7 rows
+    rows += [{"g": "b", "id": 1, "v": 5}, {"g": "b", "id": 2, "v": 4}]  # 2 < n
+    expect = {
+        # a: ids 1..7 in v-desc order → buckets 1,1,1,2,2,3,3
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 1),
+        ("a", 4, 2), ("a", 5, 2), ("a", 6, 3), ("a", 7, 3),
+        ("b", 1, 1), ("b", 2, 2),
+    }
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        got = {(r["g"], r["id"], r["tile"])
+               for r in ntile(ds, ["g"], 3,
+                              [("v", True), ("id", False)]).take_all()}
+        assert got == expect, nparts
