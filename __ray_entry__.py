@@ -1866,7 +1866,7 @@ def _q_nations_cust_except_supp(sf_dir: str):
     return anti_join(cust, supp, "nationkey")
 
 
-_SQL_EXCEPT = """
+_SQL_SETOP_EXCEPT = """
 SELECT DISTINCT c_nationkey AS nationkey FROM customer
 EXCEPT
 SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal >= 9500
@@ -2017,5 +2017,5 @@ def oracle_sql() -> dict[str, str]:
         "ntile_customer_balance": _SQL_NTILE,
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,
-        "nations_cust_except_supp": _SQL_EXCEPT,
+        "nations_cust_except_supp": _SQL_SETOP_EXCEPT,
     }
