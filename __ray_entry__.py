@@ -1537,15 +1537,16 @@ def _q_covar_qty_price_by_status(sf_dir: str):
 
 _SQL_COVAR = f"""
 SELECT l_linestatus,
-       CASE WHEN COUNT(*) > 1 THEN CAST(
-         (COUNT(*)*SUM(CAST(q AS HUGEINT)*p)
+       CASE WHEN COUNT(q) > 1 THEN CAST(
+         (COUNT(q)*SUM(CAST(q AS HUGEINT)*p)
           - SUM(CAST(q AS HUGEINT))*SUM(CAST(p AS HUGEINT)))
-         // (COUNT(*)*(COUNT(*)-1)) AS BIGINT) END AS covar_qp_c2
+         // (COUNT(q)*(COUNT(q)-1)) AS BIGINT) END AS covar_qp_c2
 FROM (SELECT l_linestatus,
-             {_CENTS_SQL.format(x='l_quantity')} AS q,
-             {_CENTS_SQL.format(x='l_extendedprice')} AS p
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+             CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN {_CENTS_SQL.format(x='l_quantity')} END AS q,
+             CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  THEN {_CENTS_SQL.format(x='l_extendedprice')} END AS p
+      FROM lineitem)
 GROUP BY l_linestatus
 """
 
@@ -1745,10 +1746,12 @@ def _q_tpch_q5_shape(sf_dir: str):
     from dataguards_ray.steps.dedup import get_broadcast
 
     # dims on the driver: asian nations, supplier→nation, customer→nation
-    nat = {r["n_nationkey"]: r["n_name"]
-           for r in _read(sf_dir, "nation").take_all()}
-    asia = {r["n_nationkey"] for r in _read(sf_dir, "nation")
-            .filter(expr="n_regionkey == 2").take_all()}
+    asia_regions = {r["r_regionkey"] for r in _read(sf_dir, "region").take_all()
+                    if r["r_name"] == "ASIA"}
+    nat_rows = _read(sf_dir, "nation").take_all()
+    nat = {r["n_nationkey"]: r["n_name"] for r in nat_rows}
+    asia = {r["n_nationkey"] for r in nat_rows
+            if r["n_regionkey"] in asia_regions}
     supp = {r["s_suppkey"]: r["s_nationkey"]
             for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()}
     cust = {r["c_custkey"]: r["c_nationkey"]
@@ -1782,21 +1785,25 @@ def _q_tpch_q5_shape(sf_dir: str):
     j = hash_join(li, orders.map_batches(prep_orders, batch_format="pyarrow"),
                   on=["l_orderkey"], num_partitions=8)
 
-    sref = _ray.put((supp, nat))
+    skeys = pa.array(list(supp), type=pa.int64())
+    svals = pa.array(list(supp.values()), type=pa.int64())
+    nkeys = pa.array(list(nat), type=pa.int64())
+    nvals = pa.array(list(nat.values()), type=pa.string())
+    sref = _ray.put((skeys, svals, nkeys, nvals))
 
     def rev(b: pa.Table) -> pa.Table:
-        sm, nm = get_broadcast(sref)
-        snat = [sm.get(k) for k in b.column("l_suppkey").to_pylist()]
-        cnat = b.column("c_nationkey").to_pylist()
-        keep = pa.array([s is not None and s == c for s, c in zip(snat, cnat)])
+        # vectorized dim lookups: index_in + take (a missing supplier
+        # yields a null index → null nation → fill_null(False) drops it)
+        sk, sv, nk, nv = get_broadcast(sref)
+        snat = pc.take(sv, pc.index_in(b.column("l_suppkey"), value_set=sk))
+        keep = pc.fill_null(pc.equal(snat, b.column("c_nationkey")), False)
         b = b.filter(keep)
-        names = [nm[c] for c in b.column("c_nationkey").to_pylist()]
+        names = pc.take(nv, pc.index_in(b.column("c_nationkey"), value_set=nk))
         r = pc.multiply(
             pc.cast(b.column("l_extendedprice"), pa.float64()),
             pc.subtract(1.0, pc.cast(b.column("l_discount"), pa.float64())),
         )
-        return pa.table({"n_name": pa.array(names, type=pa.string()),
-                         "rev_c": _cents(r)})
+        return pa.table({"n_name": names, "rev_c": _cents(r)})
 
     return grouped_agg(j.map_batches(rev, batch_format="pyarrow"),
                        ["n_name"], [("rev_c", "sum", "revenue_cents")])

@@ -470,15 +470,20 @@ def grouped_covar(
     import pyarrow.compute as pc
 
     def prep(batch: pa.Table) -> pa.Table:
+        # pairwise nulling, NOT row filtering: a group whose every pair
+        # is invalid must still emit (keys, NULL) like SQL COVAR_SAMP,
+        # so its key rows have to survive to the groupby
         x = pc.cast(batch.column(x_col), pa.int64())
         y = pc.cast(batch.column(y_col), pa.int64())
+        valid = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        x = pc.if_else(valid, x, pa.scalar(None, pa.int64()))
+        y = pc.if_else(valid, y, pa.scalar(None, pa.int64()))
         cols = {k: batch.column(k) for k in keys}
         cols["__x"], cols["__y"] = x, y
-        t = pa.table(cols).filter(pc.and_(pc.is_valid(x), pc.is_valid(y)))
-        xf, yf = t.column("__x"), t.column("__y")
-        t = t.append_column("__xy", pc.multiply_checked(xf, yf))
-        t = t.append_column("__ax", pc.abs(xf))
-        return t.append_column("__ay", pc.abs(yf))
+        t = pa.table(cols)
+        t = t.append_column("__xy", pc.multiply_checked(x, y))
+        t = t.append_column("__ax", pc.abs(x))
+        return t.append_column("__ay", pc.abs(y))
 
     partials = grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
@@ -563,14 +568,17 @@ def dense_rank_top(
             batch, sort_keys=[(kc, "ascending") for kc in keys] + sort_keys
         )
         b = batch.take(idx)
-        gk = encoded_group_key(b, keys).to_pylist()
+        # vectorized group-boundary scan (hot map-side path): iterate
+        # over the few groups, not the rows
+        gka = np.asarray(
+            encoded_group_key(b, keys).to_numpy(zero_copy_only=False)
+        )
+        bounds = np.flatnonzero(np.r_[True, gka[1:] != gka[:-1]])
+        bounds = np.append(bounds, b.num_rows)
         keep = np.zeros(b.num_rows, dtype=bool)
-        lo = 0
-        for hi in range(1, b.num_rows + 1):
-            if hi == b.num_rows or gk[hi] != gk[lo]:
-                r = ranks_of(b.column(val_col).slice(lo, hi - lo).combine_chunks())
-                keep[lo:hi] = r <= k
-                lo = hi
+        for lo, hi in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            r = ranks_of(b.column(val_col).slice(lo, hi - lo).combine_chunks())
+            keep[lo:hi] = r <= k
         return b.filter(pa.array(keep))
 
     def per_group(g: pa.Table) -> pa.Table:
@@ -603,18 +611,19 @@ def grouped_string_agg(
     value-cardinality-sized, not row-count-sized."""
     import pyarrow.compute as pc
 
-    pairs = distinct(
-        ds.map_batches(
-            lambda b: pa.table({**{k: b.column(k) for k in keys}, col: b.column(col)})
-            .filter(pc.is_valid(b.column(col))),
-            batch_format="pyarrow",
-        ),
-        keys + [col],
-    )
+    # NULL values ride through the distinct as one (keys, NULL) row so
+    # an all-NULL group still emits (keys, NULL) like SQL string_agg —
+    # they are skipped at concat time, not filtered out of existence
+    pairs = distinct(ds.select_columns(keys + [col]), keys + [col])
 
     def per_group(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__gk"]).sort_by([(col, "ascending")])
-        joined = sep.join(pc.cast(g.column(col), pa.string()).to_pylist())
+        g = g.drop_columns(["__gk"])
+        v = g.column(col).combine_chunks().drop_null()
+        if len(v):
+            v = v.take(pc.sort_indices(v))
+            joined = sep.join(pc.cast(v, pa.string()).to_pylist())
+        else:
+            joined = None
         cols = {k: g.column(k).slice(0, 1) for k in keys}
         cols[out] = pa.array([joined], type=pa.string())
         return pa.table(cols)

@@ -1052,9 +1052,11 @@ def test_grouped_covar_truncation_and_nulls():
         + [{"g": "c", "x": None, "y": 5}, {"g": "c", "x": 5, "y": None},
            {"g": "c", "x": 10, "y": 1}, {"g": "c", "x": 20, "y": 3}]
     )
+    rows += [{"g": "d", "x": None, "y": 1}, {"g": "d", "x": 2, "y": None}]
     ds = ray.data.from_items(rows).repartition(3)
     out = {r["g"]: r["cv"] for r in grouped_covar(ds, ["g"], "x", "y", "cv").take_all()}
-    assert out == {"a": -4, "b": None, "c": 10}
+    # d: zero valid pairs -> the group still emits, with NULL (SQL COVAR_SAMP)
+    assert out == {"a": -4, "b": None, "c": 10, "d": None}
 
 
 def test_dense_rank_top_ties_nulls_partition_invariance():
@@ -1097,12 +1099,13 @@ def test_grouped_string_agg_distinct_sorted():
         {"g": "a", "c": "zeta"}, {"g": "a", "c": "alpha"},
         {"g": "a", "c": "zeta"}, {"g": "a", "c": None},
         {"g": "a", "c": "mid"}, {"g": "b", "c": "solo"},
+        {"g": "n", "c": None},  # all-NULL group -> (g, NULL), not dropped
     ]
     for nparts in (1, 5):
         ds = ray.data.from_items(rows).repartition(nparts)
         out = {r["g"]: r["cs"]
                for r in grouped_string_agg(ds, ["g"], "c", "cs").take_all()}
-        assert out == {"a": "alpha,mid,zeta", "b": "solo"}, nparts
+        assert out == {"a": "alpha,mid,zeta", "b": "solo", "n": None}, nparts
 
 
 def test_ntile_bucket_sizes_and_partition_invariance():
