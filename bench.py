@@ -106,7 +106,8 @@ def run_bench() -> dict:
         for name in ("tpch_q1", "window_tumbling_events", "window_hopping_events",
                      "dedup_docs_exact", "knn_embeddings", "cfd_violations",
                      "minhash_near_dups", "asof_click_purchase",
-                     "median_price_by_priority"):
+                     "median_price_by_priority", "tpch_q5_shape",
+                     "dense_rank_cust_balance"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):
