@@ -1880,6 +1880,46 @@ SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal >= 9500
 """
 
 
+def _q_p75_cont_price_by_priority(sf_dir: str):
+    """INTERPOLATED 75th-percentile order price per priority via
+    aggregates.grouped_quantile_cont_scaled — returned ×4 (the q_den)
+    so both engines compute in exact integers (f is a multiple of 1/4;
+    quantile_disc queries cover the discrete variant)."""
+    from dataguards_ray.aggregates import grouped_quantile_cont_scaled
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "price_c": _cents(b.column("o_totalprice"))})
+
+    return grouped_quantile_cont_scaled(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"], "price_c", "p75_x4_cents", 3, 4)
+
+
+_SQL_P75_CONT = f"""
+SELECT o_orderpriority,
+       CAST(ROUND(4*quantile_cont(price_c, 0.75)) AS BIGINT) AS p75_x4_cents
+FROM (SELECT o_orderpriority,
+             {_CENTS_SQL.format(x='o_totalprice')} AS price_c FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_approx_distinct_docs_by_source(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT doc_id) per source
+    (hll.approx_count_distinct, p=12): zero raw-row shuffle — each batch
+    ships ≤4096 thin (source, register, max_rho) rows, merged by an
+    associative grouped MAX.  Rows-only by contract (an approximation
+    cannot hash-match SQL); the error-bound and partition-invariance
+    checks live in tests/test_operators.py."""
+    from dataguards_ray.hll import approx_count_distinct
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return approx_count_distinct(ds, "doc_id", keys=["source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -1944,7 +1984,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_shape": _q_tpch_q5_shape,
         "balance_histogram": _q_balance_histogram,
         "nations_cust_except_supp": _q_nations_cust_except_supp,
+        "p75_cont_price_by_priority": _q_p75_cont_price_by_priority,
         # rows-only (no SQL equivalent):
+        "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
@@ -2025,4 +2067,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,
         "nations_cust_except_supp": _SQL_SETOP_EXCEPT,
+        "p75_cont_price_by_priority": _SQL_P75_CONT,
     }

@@ -265,6 +265,57 @@ def grouped_median(
     return grouped_quantile(ds, keys, col, out, 0.5, max_group=max_group)
 
 
+def grouped_quantile_cont_scaled(
+    ds: Dataset,
+    keys: list[str],
+    col: str,
+    out: str,
+    q_num: int,
+    q_den: int,
+    *,
+    max_group: int = 50_000_000,
+) -> Dataset:
+    """Exact per-group INTERPOLATED quantile (DuckDB ``quantile_cont``,
+    numpy 'linear'/type-7: position ``h = q·(n−1)``, value
+    ``v[⌊h⌋]·(1−f) + v[⌊h⌋+1]·f``) over an INTEGER column, returned
+    SCALED by ``q_den`` so it stays exact: with q = q_num/q_den the
+    fraction f is always a multiple of 1/q_den, so
+    ``out = v_lo·(q_den−m) + v_hi·m`` (``m = q_num·(n−1) mod q_den``)
+    is an integer — no float in either engine's hot path.  The paired
+    SQL is ``CAST(ROUND(q_den·quantile_cont(col, q)) AS BIGINT)``
+    (double round-off stays ≪ 0.5 for int inputs below ~2^50/q_den).
+    NULLs are ignored; an all-null group yields NULL."""
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num <= q_den")
+
+    def per_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
+        if group.num_rows > max_group:
+            raise ValueError(
+                f"quantile group of {group.num_rows} rows exceeds max_group={max_group}"
+            )
+        vals = group.column(col).combine_chunks().drop_null()
+        cols = {k: group.column(k).slice(0, 1) for k in keys}
+        if len(vals) == 0:
+            cols[out] = pa.nulls(1, type=pa.int64())
+        else:
+            v = np.sort(vals.to_numpy(zero_copy_only=False))
+            lo, m = divmod(q_num * (len(v) - 1), q_den)
+            hi = min(lo + 1, len(v) - 1)
+            # python ints: v values × q_den can exceed int64 only past
+            # ~2^63/q_den, and the explicit int() keeps the product exact
+            cols[out] = pa.array(
+                [int(v[lo]) * (q_den - m) + int(v[hi]) * m], type=pa.int64()
+            )
+        return pa.table(cols)
+
+    pruned = ds.select_columns(keys + [col]).map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return pruned.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+
+
 def grouped_count_distinct(
     ds: Dataset, keys: list[str], col: str, out: str
 ) -> Dataset:

@@ -1,0 +1,166 @@
+"""HyperLogLog approximate COUNT(DISTINCT) over a Dataset column.
+
+Why a sketch: exact distinct counting of a high-cardinality column
+(unique urls/domains at 10^12 docs) needs an all-to-all shuffle of the
+key column; an HLL needs NO raw-row shuffle at all — each batch emits at
+most ``m = 2^p`` thin ``(keys, register, max_rho)`` partial rows, the
+merge is an associative per-register MAX (``grouped_agg``), and the
+final estimate reads m rows per group.  Standard error ≈ 1.04/√m
+(p=12 → ~1.6%).
+
+Determinism: the 64-bit value hash is polars' Rust-vectorized row hash
+with a FIXED seed — deterministic within an installed polars version
+(sufficient for partition-invariance and for resuming a run on the same
+cluster image; the estimate is approximate by contract, so it is not
+oracle-SQL-checked).  Falls back to the frozen-spec scalar ``fnv1a64``
+when polars is unavailable (slow path, same API).
+
+SURVEY §2 stretch family: joins bloom.py (membership) and
+approx_top_k (heavy hitters) as the third mergeable sketch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .aggregates import encoded_group_key, grouped_agg
+
+_HLL_SEED = 0x5EED
+
+
+def _hash64(arr: pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of a string/binary array (nulls → skip
+    upstream).  Vectorized via polars; scalar fnv1a64 fallback."""
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(pc.cast(arr, pa.large_string()))
+        return s.hash(seed=_HLL_SEED).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        from . import spec
+
+        return np.fromiter(
+            (spec.fnv1a64(str(v).encode()) for v in arr.to_pylist()),
+            dtype=np.uint64,
+            count=len(arr),
+        )
+
+
+def _clz32(x: np.ndarray) -> np.ndarray:
+    """Leading zeros of 32-bit values (uint64 dtype, value < 2^32).
+    Exact: 32-bit ints are exactly representable in float64, so
+    floor(log2(x)) carries no rounding risk (unlike log2 of a full
+    64-bit value, where the mantissa rounds)."""
+    out = np.full(x.shape, 32, dtype=np.int64)
+    nz = x > 0
+    out[nz] = 31 - np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64)
+    return out
+
+
+def _rho(w: np.ndarray, width: int) -> np.ndarray:
+    """Position (1-based) of the leftmost 1 in the top ``width`` bits of
+    ``w`` (already left-aligned in 64 bits); all-zero → width + 1."""
+    hi = w >> np.uint64(32)
+    lo = w & np.uint64(0xFFFFFFFF)
+    clz = np.where(hi > 0, _clz32(hi), 32 + _clz32(lo))
+    return np.minimum(clz + 1, width + 1).astype(np.int64)
+
+
+def hll_register_partials(
+    batch: pa.Table, col: str, keys: list[str], p: int
+) -> pa.Table:
+    """Per-batch HLL partial: one (keys, __reg, __rho) row per touched
+    register per group — ≤ 2^p rows per group regardless of batch size."""
+    m_bits = np.uint64(p)
+    vals = batch.column(col).combine_chunks()
+    valid = pc.is_valid(vals)
+    t = batch.filter(valid) if pc.any(pc.invert(valid)).as_py() else batch
+    if t.num_rows == 0:
+        return pa.table(
+            {**{k: pa.array([], type=batch.schema.field(k).type) for k in keys},
+             "__reg": pa.array([], type=pa.int64()),
+             "__rho": pa.array([], type=pa.int64())}
+        )
+    h = _hash64(t.column(col).combine_chunks())
+    reg = (h >> (np.uint64(64) - m_bits)).astype(np.int64)
+    w = (h << m_bits) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    rho = _rho(w, 64 - p)
+    part = pa.table(
+        {**{k: t.column(k) for k in keys},
+         "__reg": pa.array(reg, type=pa.int64()),
+         "__rho": pa.array(rho, type=pa.int64())}
+    )
+    # local pre-max: collapse to one row per (keys, reg) before shipping
+    return part.group_by(keys + ["__reg"]).aggregate([("__rho", "max")]).rename_columns(
+        keys + ["__reg", "__rho"]
+    )
+
+
+def _estimate(regs: np.ndarray, rhos: np.ndarray, p: int) -> int:
+    """Bias-corrected HLL estimate from the touched (register, max_rho)
+    pairs; untouched registers count as rho=0.  Linear-counting
+    small-range correction; no large-range term (64-bit hash)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zsum = (m - len(regs)) * 1.0 + np.sum(np.exp2(-rhos.astype(np.float64)))
+    est = alpha * m * m / zsum
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+def approx_count_distinct(
+    ds: Dataset,
+    col: str,
+    *,
+    keys: list[str] | None = None,
+    p: int = 12,
+    out: str = "approx_distinct",
+) -> Dataset:
+    """Approximate per-group COUNT(DISTINCT col) (global when ``keys``
+    is None/empty) with standard error ≈ 1.04/√(2^p).  NULLs are
+    ignored (SQL COUNT(DISTINCT) semantics); a group with only NULLs
+    does not appear (matching ``grouped_count_distinct``'s shuffle-free
+    contract is NOT attempted — use that operator for exact counts).
+
+    Scale shape: zero raw-row movement — per-batch register partials
+    (≤ 2^p thin rows each), an associative grouped MAX merge, then one
+    2^p-row estimate per group."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    keys = list(keys or [])
+    dummy = not keys
+    gcols = keys or ["__g"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if dummy:
+            batch = batch.append_column(
+                "__g", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+            )
+        return hll_register_partials(batch, col, gcols, p)
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        gcols + ["__reg"],
+        [("__rho", "max", "__rho")],
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gk"])
+        regs = g.column("__reg").to_numpy(zero_copy_only=False)
+        rhos = g.column("__rho").to_numpy(zero_copy_only=False)
+        cols = {} if dummy else {k: g.column(k).slice(0, 1) for k in keys}
+        cols[out] = pa.array([_estimate(regs, rhos, p)], type=pa.int64())
+        return pa.table(cols)
+
+    keyed = merged.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, gcols)),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(finish, batch_format="pyarrow")
