@@ -1920,6 +1920,64 @@ def _q_approx_distinct_docs_by_source(sf_dir: str):
     return approx_count_distinct(ds, "doc_id", keys=["source"])
 
 
+def _q_ind_fk_violations(sf_dir: str):
+    """Inclusion dependency (referential integrity): orders whose
+    o_custkey is absent from the non-negative-balance customer key set
+    (rules/integrity.InclusionRule — MATCH SIMPLE null semantics; the
+    reference side moves only thin distinct encoded keys)."""
+    from dataguards_ray.rules.integrity import InclusionRule
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ref = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal >= 0"
+    )
+    rule = InclusionRule("fk_cust", ["o_custkey"], ref, ["c_custkey"])
+    flagged = rule.apply_shuffle(orders)
+    return flagged.filter(expr="__viol_fk_cust == True").select_columns(
+        ["o_orderkey", "o_custkey"]
+    )
+
+
+_SQL_IND_FK = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_acctbal >= 0 AND c.c_custkey = o.o_custkey)
+"""
+
+
+def _q_unique_violations_orders(sf_dir: str):
+    """UNIQUE(o_custkey, o_orderdate) violations — ALL copies of any
+    duplicated key (rules/integrity.UniqueRule: thin (key, count)
+    partials, only duplicated keys broadcast/join-marked; NULL
+    components exempt per SQL UNIQUE)."""
+    from dataguards_ray.rules.integrity import UniqueRule
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    rule = UniqueRule("uniq_cust_date", ["o_custkey", "o_orderdate"])
+    flagged = rule.apply_shuffle(orders)
+    viol = flagged.filter(expr="__viol_uniq_cust_date == True")
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b.column("o_orderkey"),
+             "o_custkey": b.column("o_custkey"),
+             "o_date_us": pc.cast(b.column("o_orderdate"), pa.int64())}
+        )
+
+    return viol.map_batches(to_us, batch_format="pyarrow")
+
+
+_SQL_UNIQUE_VIOL = """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_date_us
+FROM orders
+WHERE (o_custkey, o_orderdate) IN (
+    SELECT (o_custkey, o_orderdate) FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    GROUP BY o_custkey, o_orderdate HAVING COUNT(*) > 1)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -1985,6 +2043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_histogram": _q_balance_histogram,
         "nations_cust_except_supp": _q_nations_cust_except_supp,
         "p75_cont_price_by_priority": _q_p75_cont_price_by_priority,
+        "ind_fk_violations": _q_ind_fk_violations,
+        "unique_violations_orders": _q_unique_violations_orders,
         # rows-only (no SQL equivalent):
         "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -2068,4 +2128,6 @@ def oracle_sql() -> dict[str, str]:
         "balance_histogram": _SQL_BAL_HIST,
         "nations_cust_except_supp": _SQL_SETOP_EXCEPT,
         "p75_cont_price_by_priority": _SQL_P75_CONT,
+        "ind_fk_violations": _SQL_IND_FK,
+        "unique_violations_orders": _SQL_UNIQUE_VIOL,
     }

@@ -262,3 +262,52 @@ def test_dc_single_atom_fast_path_matches_bruteforce(ray_session):
             _np.fill_diagonal(conj, False)
             want = list(conj.any(axis=1) | conj.any(axis=0))
             assert got == want, (op, vals, got, want)
+
+
+def test_inclusion_rule_match_simple_and_scale_path():
+    """IND: absent keys violate, present keys don't, NULL components are
+    exempt (MATCH SIMPLE); the join-mark scale path (max_broadcast_keys
+    forced below the key count) gives identical flags; empty reference
+    → every non-null row violates."""
+    import ray.data
+
+    from dataguards_ray.rules.integrity import InclusionRule
+
+    left = ray.data.from_items([
+        {"id": 1, "fk": 10}, {"id": 2, "fk": 99},
+        {"id": 3, "fk": None}, {"id": 4, "fk": 20},
+    ])
+    ref = ray.data.from_items([{"k1": 10}, {"k1": 20}, {"k1": None}])
+
+    def flags(rule):
+        out = rule.apply_shuffle(left).take_all()
+        return {r["id"]: r[f"__viol_{rule.name}"] for r in out}
+
+    expect = {1: False, 2: True, 3: False, 4: False}
+    assert flags(InclusionRule("f", ["fk"], ref, ["k1"])) == expect
+    assert flags(InclusionRule("f", ["fk"], ref, ["k1"],
+                               max_broadcast_keys=1)) == expect
+
+    empty_ref = ray.data.from_items([{"k1": None}])  # only-null ref rows
+    assert flags(InclusionRule("f", ["fk"], empty_ref, ["k1"])) == {
+        1: True, 2: True, 3: False, 4: True}
+
+
+def test_unique_rule_all_copies_and_null_exempt():
+    """UNIQUE: all copies of a duplicated key flagged, singletons not,
+    NULL-component keys exempt; broadcast and join-mark paths agree."""
+    import ray.data
+
+    from dataguards_ray.rules.integrity import UniqueRule
+
+    rows = [
+        {"id": 1, "a": "x", "b": 1}, {"id": 2, "a": "x", "b": 1},
+        {"id": 3, "a": "x", "b": 2}, {"id": 4, "a": None, "b": 1},
+        {"id": 5, "a": None, "b": 1},
+    ]
+    expect = {1: True, 2: True, 3: False, 4: False, 5: False}
+    for cap in (1_000_000, 1):
+        ds = ray.data.from_items(rows).repartition(3)
+        out = UniqueRule("u", ["a", "b"], max_broadcast_keys=cap).apply_shuffle(ds)
+        got = {r["id"]: r["__viol_u"] for r in out.take_all()}
+        assert got == expect, cap
