@@ -1289,6 +1289,23 @@ FROM events
 """
 
 
+def _q_event_gap_lead(sf_dir: str):
+    """LEAD window (events.lag_gap lead=True): µs until the user's next
+    event — symmetric to event_gap_lag, same total order."""
+    from dataguards_ray.events import lag_gap
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_gap(ds, lead=True)
+
+
+_SQL_EVENT_GAP_LEAD = """
+SELECT user_id, event_id,
+       LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+FROM events
+"""
+
+
 def _q_moving_sum_events(sf_dir: str):
     """Rows-based moving window (events.moving_sum): 3-event moving sum
     of value cents per user."""
@@ -2043,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_histogram": _q_balance_histogram,
         "nations_cust_except_supp": _q_nations_cust_except_supp,
         "p75_cont_price_by_priority": _q_p75_cont_price_by_priority,
+        "event_gap_lead": _q_event_gap_lead,
         "ind_fk_violations": _q_ind_fk_violations,
         "unique_violations_orders": _q_unique_violations_orders,
         # rows-only (no SQL equivalent):
@@ -2128,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "balance_histogram": _SQL_BAL_HIST,
         "nations_cust_except_supp": _SQL_SETOP_EXCEPT,
         "p75_cont_price_by_priority": _SQL_P75_CONT,
+        "event_gap_lead": _SQL_EVENT_GAP_LEAD,
         "ind_fk_violations": _SQL_IND_FK,
         "unique_violations_orders": _SQL_UNIQUE_VIOL,
     }

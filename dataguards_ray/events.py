@@ -116,13 +116,16 @@ def lag_gap(
     ts_col: str = "ts",
     order_tiebreak: str = "event_id",
     out_col: str = "gap_us",
+    lead: bool = False,
 ) -> Dataset:
     """Per-key LAG window: µs since the key's previous event under the
     total order (ts, tiebreak) — SQL ``epoch_us(ts) - LAG(epoch_us(ts))
     OVER (PARTITION BY key ORDER BY ts, tiebreak)``.  The first event of
-    a key gets NULL.  One co-location groupby of the (key, ts, tiebreak)
-    projection; numpy diff per sorted group.  Returns (key, tiebreak,
-    out_col)."""
+    a key gets NULL.  With ``lead=True`` the symmetric LEAD window: µs
+    UNTIL the key's next event (``LEAD(epoch_us(ts)) − epoch_us(ts)``),
+    last event NULL.  One co-location groupby of the (key, ts,
+    tiebreak) projection; numpy diff per sorted group.  Returns (key,
+    tiebreak, out_col)."""
     import pyarrow.compute as pc
 
     def per_key(group: pa.Table) -> pa.Table:
@@ -137,14 +140,21 @@ def lag_gap(
         isnull = np.asarray(pc.is_null(ts_arr).to_numpy(zero_copy_only=False))
         ts = pc.fill_null(ts_arr, 0).to_numpy(zero_copy_only=False)
         gaps = np.empty(len(ts), dtype=np.int64)
-        gaps[0] = 0
-        gaps[1:] = ts[1:] - ts[:-1]
         mask = np.zeros(len(ts), dtype=bool)
-        mask[0] = True  # LAG of the first row is NULL
-        # SQL: ts − LAG(ts) is NULL when either operand is NULL (null ts
+        # SQL: the diff is NULL when either operand is NULL (null ts
         # rows sort last, matching DuckDB's NULLS LAST window order)
-        mask |= isnull
-        mask[1:] |= isnull[:-1]
+        if lead:
+            gaps[-1] = 0
+            gaps[:-1] = ts[1:] - ts[:-1]
+            mask[-1] = True  # LEAD of the last row is NULL
+            mask |= isnull
+            mask[:-1] |= isnull[1:]
+        else:
+            gaps[0] = 0
+            gaps[1:] = ts[1:] - ts[:-1]
+            mask[0] = True  # LAG of the first row is NULL
+            mask |= isnull
+            mask[1:] |= isnull[:-1]
         return pa.table(
             {
                 key: g.column(key),

@@ -1202,3 +1202,98 @@ def test_grouped_quantile_cont_scaled():
                ray.data.from_items(rows4), ["g"], "x", "q", 1, 2).take_all()}
     # h = 1*(4-1)/2 = 1.5 → (2+4)/2 → ×2 = 6
     assert out == {"c": 6}
+
+
+def test_randomized_differential_window_aggregates():
+    """Seeded-random differential test vs DuckDB for the batch-3
+    window/aggregate family — negatives, NULLs, ties, and skewed
+    groups that the fixed TPC-H queries never produce."""
+    import duckdb
+    import ray.data
+
+    from dataguards_ray.aggregates import (dense_rank_top, grouped_covar,
+                                           grouped_quantile_cont_scaled, ntile)
+
+    for seed in (7, 41):
+        rng = np.random.default_rng(seed)
+        n = 400
+        g = rng.choice(["a", "b", "c"], size=n, p=[0.7, 0.2, 0.1])
+        x = rng.integers(-1000, 1000, size=n).astype(float)
+        y = rng.integers(-1000, 1000, size=n).astype(float)
+        x[rng.random(n) < 0.1] = np.nan
+        y[rng.random(n) < 0.1] = np.nan
+        tbl = pa.table({
+            "g": pa.array(g),
+            "rid": pa.array(np.arange(n), type=pa.int64()),
+            "x": pa.array([None if np.isnan(v) else int(v) for v in x],
+                          type=pa.int64()),
+            "y": pa.array([None if np.isnan(v) else int(v) for v in y],
+                          type=pa.int64()),
+        })
+        con = duckdb.connect()
+        con.register("t", tbl)
+        ds = ray.data.from_arrow(tbl).repartition(5)
+
+        # covar (truncating integer division, pairwise nulls)
+        got = {r["g"]: r["cv"]
+               for r in grouped_covar(ds, ["g"], "x", "y", "cv").take_all()}
+        want = {r[0]: r[1] for r in con.sql("""
+            SELECT g, CASE WHEN COUNT(q) > 1 THEN CAST(
+              (COUNT(q)*SUM(CAST(q AS HUGEINT)*p)
+               - SUM(CAST(q AS HUGEINT))*SUM(CAST(p AS HUGEINT)))
+              // (COUNT(q)*(COUNT(q)-1)) AS BIGINT) END
+            FROM (SELECT g,
+                   CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END AS q,
+                   CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS p
+                  FROM t) GROUP BY g""").fetchall()}
+        assert got == want, ("covar", seed)
+
+        # dense_rank <= 3 (ties + NULLS LAST)
+        got = {(r["g"], r["rid"], r["rnk"])
+               for r in dense_rank_top(ds, ["g"], "x", 3, out="rnk").take_all()}
+        want = {tuple(r) for r in con.sql("""
+            SELECT g, rid, rnk FROM (
+              SELECT g, rid, CAST(dense_rank() OVER (
+                PARTITION BY g ORDER BY x DESC) AS BIGINT) AS rnk FROM t)
+            WHERE rnk <= 3""").fetchall()}
+        assert got == want, ("dense_rank", seed)
+
+        # ntile(5) over a unique total order
+        got = {(r["g"], r["rid"], r["tile"])
+               for r in ntile(ds, ["g"], 5,
+                              [("x", True), ("rid", False)]).take_all()}
+        want = {tuple(r) for r in con.sql("""
+            SELECT g, rid, CAST(ntile(5) OVER (
+              PARTITION BY g ORDER BY x DESC NULLS LAST, rid) AS BIGINT)
+            FROM t""").fetchall()}
+        assert got == want, ("ntile", seed)
+
+        # interpolated quantile x8 (q = 3/8 exercises non-dyadic f)
+        got = {r["g"]: r["q"]
+               for r in grouped_quantile_cont_scaled(
+                   ds, ["g"], "x", "q", 3, 8).take_all()}
+        want = {r[0]: r[1] for r in con.sql("""
+            SELECT g, CAST(ROUND(8*quantile_cont(x, 0.375)) AS BIGINT)
+            FROM t GROUP BY g""").fetchall()}
+        assert got == want, ("quantile_cont", seed)
+        con.close()
+
+
+def test_lead_gap_matches_duckdb():
+    """LEAD variant: gap until next event, last-row NULL, null-ts rows
+    NULL on both operands, ties broken by event_id."""
+    import duckdb
+    import ray.data
+
+    from dataguards_ray.events import lag_gap
+
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": 100}, {"user_id": 1, "event_id": 2, "ts": 250},
+        {"user_id": 1, "event_id": 3, "ts": 250}, {"user_id": 1, "event_id": 4, "ts": None},
+        {"user_id": 2, "event_id": 5, "ts": 7},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    got = {r["event_id"]: r["gap_us"] for r in lag_gap(ds, lead=True).take_all()}
+    # order u1: e1(100), e2(250), e3(250), e4(NULL): e1→150, e2→0,
+    # e3→NULL (next ts NULL), e4 NULL; u2 single row NULL
+    assert got == {1: 150, 2: 0, 3: None, 4: None, 5: None}
