@@ -1995,6 +1995,56 @@ WHERE (o_custkey, o_orderdate) IN (
 """
 
 
+def _q_mode_priority_by_status(sf_dir: str):
+    """Deterministic per-group MODE (aggregates.grouped_mode): most
+    frequent priority per order status, smallest-value tiebreak (SQL
+    mode() tie order is engine-defined — the explicit tiebreak makes it
+    reproducible, mirrored in the oracle via ROW_NUMBER)."""
+    from dataguards_ray.aggregates import grouped_mode
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return grouped_mode(ds, ["o_orderstatus"], "o_orderpriority", "mode_priority")
+
+
+_SQL_MODE = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
+"""
+
+
+def _q_profile_events(sf_dir: str):
+    """Table profiling (profile.profile_table): per-column row/null/
+    exact-distinct counts over the events table in two streamed passes
+    (count partials + batch-local-distinct pair shuffle).  The float
+    `value` column is excluded per the profiling contract (float
+    rendering is engine-specific)."""
+    from dataguards_ray.profile import profile_table
+
+    cols = ["event_id", "ts", "user_id", "event_type", "props"]
+    return profile_table(_read(sf_dir, "events", cols), cols)
+
+
+_SQL_PROFILE = """
+SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*)-COUNT(event_id) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), COUNT(*)-COUNT(ts), COUNT(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*)-COUNT(user_id),
+       COUNT(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*)-COUNT(event_type),
+       COUNT(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'props', COUNT(*), COUNT(*)-COUNT(props),
+       COUNT(DISTINCT props) FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -2061,6 +2111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_cust_except_supp": _q_nations_cust_except_supp,
         "p75_cont_price_by_priority": _q_p75_cont_price_by_priority,
         "event_gap_lead": _q_event_gap_lead,
+        "mode_priority_by_status": _q_mode_priority_by_status,
+        "profile_events": _q_profile_events,
         "ind_fk_violations": _q_ind_fk_violations,
         "unique_violations_orders": _q_unique_violations_orders,
         # rows-only (no SQL equivalent):
@@ -2147,6 +2199,8 @@ def oracle_sql() -> dict[str, str]:
         "nations_cust_except_supp": _SQL_SETOP_EXCEPT,
         "p75_cont_price_by_priority": _SQL_P75_CONT,
         "event_gap_lead": _SQL_EVENT_GAP_LEAD,
+        "mode_priority_by_status": _SQL_MODE,
+        "profile_events": _SQL_PROFILE,
         "ind_fk_violations": _SQL_IND_FK,
         "unique_violations_orders": _SQL_UNIQUE_VIOL,
     }

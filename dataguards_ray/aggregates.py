@@ -265,6 +265,55 @@ def grouped_median(
     return grouped_quantile(ds, keys, col, out, 0.5, max_group=max_group)
 
 
+def grouped_mode(
+    ds: Dataset, keys: list[str], col: str, out: str
+) -> Dataset:
+    """Deterministic per-group MODE: the most frequent non-null value,
+    ties broken by the SMALLEST value (SQL mode() leaves ties
+    engine-defined, which is not reproducible distributed — the
+    tiebreak makes it parallelism-invariant; mirror it in oracles with
+    ``ROW_NUMBER() OVER (... ORDER BY cnt DESC, val)``).  An all-null
+    group emits (keys, NULL).
+
+    Scale shape: per-batch (keys, value, count) partials collapse the
+    input to value-cardinality-sized groups before the pick; no raw-row
+    shuffle."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = keys + [col]
+        return batch.select(cols).group_by(cols).aggregate(
+            [([], "count_all")]
+        ).rename_columns(cols + ["__n"])
+
+    counts = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys + [col], [("__n", "sum", "__n")],
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gk"])
+        valid = g.filter(pc.is_valid(g.column(col)))
+        cols = {k: g.column(k).slice(0, 1) for k in keys}
+        if valid.num_rows == 0:
+            cols[out] = pa.nulls(1, type=g.schema.field(col).type)
+        else:
+            best = valid.take(
+                pc.sort_indices(
+                    valid,
+                    sort_keys=[("__n", "descending"), (col, "ascending")],
+                )
+            ).slice(0, 1)
+            cols[out] = best.column(col)
+        return pa.table(cols)
+
+    keyed = counts.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(pick, batch_format="pyarrow")
+
+
 def grouped_quantile_cont_scaled(
     ds: Dataset,
     keys: list[str],

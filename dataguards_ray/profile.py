@@ -1,0 +1,79 @@
+"""Table profiling — the data-quality engine's "describe": per-column
+row count, null count, and exact distinct count in two streamed passes.
+
+Scale shape: pass 1 is a pure per-batch count partial (one thin row per
+column per batch, associative sum merge).  Pass 2 reduces each batch to
+its DISTINCT (column, value-as-string) pairs before the global distinct
+— the shuffle moves value-cardinality-sized data, never raw rows.  The
+final merge joins two ≤n_columns-row tables on the driver (trivially
+driver-sized).  For columns whose cardinality approaches the row count
+(ids), exact distinct profiling is inherently a distinct-sized shuffle;
+use ``hll.approx_count_distinct`` per column when an estimate is enough.
+
+Values are profiled through an injective-enough ``CAST(col AS VARCHAR)``
+(ints, strings, timestamps, bools — the profile contract; float
+rendering is engine-specific, so profile floats via an explicit integer
+scaling upstream).  NULLs are excluded from distinct counts (SQL
+``COUNT(DISTINCT col)`` semantics).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+
+from .aggregates import distinct, grouped_agg
+
+
+def profile_table(ds: Dataset, cols: list[str]) -> Dataset:
+    """One row per column: (col, n_rows, n_null, n_distinct)."""
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        names, nrows, nnull = [], [], []
+        for c in cols:
+            names.append(c)
+            nrows.append(batch.num_rows)
+            nnull.append(batch.num_rows - pc.count(batch.column(c)).as_py())
+        return pa.table(
+            {"col": pa.array(names, type=pa.string()),
+             "n_rows": pa.array(nrows, type=pa.int64()),
+             "n_null": pa.array(nnull, type=pa.int64())}
+        )
+
+    stats = grouped_agg(
+        ds.map_batches(stat_partial, batch_format="pyarrow"),
+        ["col"],
+        [("n_rows", "sum", "n_rows"), ("n_null", "sum", "n_null")],
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            v = pc.cast(batch.column(c), pa.string())
+            t = pa.table(
+                {"col": pa.array([c] * batch.num_rows, type=pa.string()),
+                 "val": v}
+            ).filter(pc.is_valid(v))
+            # batch-local distinct before the shuffle
+            parts.append(t.group_by(["col", "val"]).aggregate([([], "count_all")])
+                         .select(["col", "val"]))
+        return pa.concat_tables(parts)
+
+    pairs = distinct(ds.map_batches(pair_partial, batch_format="pyarrow"),
+                     ["col", "val"])
+    dcounts = grouped_agg(pairs, ["col"], [("val", "count", "n_distinct")])
+
+    # final merge: both sides are n_columns rows — driver-sized by design
+    smap = {r["col"]: (r["n_rows"], r["n_null"]) for r in stats.take_all()}
+    dmap = {r["col"]: r["n_distinct"] for r in dcounts.take_all()}
+    out = pa.table(
+        {"col": pa.array(cols, type=pa.string()),
+         "n_rows": pa.array([smap[c][0] if c in smap else 0 for c in cols],
+                            type=pa.int64()),
+         "n_null": pa.array([smap[c][1] if c in smap else 0 for c in cols],
+                            type=pa.int64()),
+         "n_distinct": pa.array([dmap.get(c, 0) for c in cols], type=pa.int64())}
+    )
+    return ray.data.from_arrow(out)

@@ -1297,3 +1297,40 @@ def test_lead_gap_matches_duckdb():
     # order u1: e1(100), e2(250), e3(250), e4(NULL): e1→150, e2→0,
     # e3→NULL (next ts NULL), e4 NULL; u2 single row NULL
     assert got == {1: 150, 2: 0, 3: None, 4: None, 5: None}
+
+
+def test_grouped_mode_ties_and_nulls():
+    """MODE: most frequent non-null value, ties -> smallest value,
+    all-null group -> (keys, NULL); partition-invariant."""
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_mode
+
+    rows = (
+        [{"g": "a", "v": "x"}] * 3 + [{"g": "a", "v": "y"}] * 3  # tie -> 'x'
+        + [{"g": "a", "v": None}] * 9                            # nulls never win
+        + [{"g": "b", "v": "q"}, {"g": "b", "v": "r"}, {"g": "b", "v": "r"}]
+        + [{"g": "n", "v": None}]
+    )
+    for nparts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = {r["g"]: r["m"]
+               for r in grouped_mode(ds, ["g"], "v", "m").take_all()}
+        assert out == {"a": "x", "b": "r", "n": None}, nparts
+
+
+def test_profile_table_counts():
+    """Profiling: per-column rows / nulls / exact distinct (nulls
+    excluded from distinct, SQL COUNT(DISTINCT) semantics)."""
+    import ray.data
+
+    from dataguards_ray.profile import profile_table
+
+    rows = [
+        {"a": 1, "b": "x"}, {"a": 1, "b": None},
+        {"a": 2, "b": "y"}, {"a": None, "b": "y"},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = {r["col"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+           for r in profile_table(ds, ["a", "b"]).take_all()}
+    assert out == {"a": (4, 1, 2), "b": (4, 1, 2)}
