@@ -2011,7 +2011,8 @@ SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
   SELECT o_orderstatus, o_orderpriority,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
                             ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
-  FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
 """
 
 

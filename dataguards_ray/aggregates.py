@@ -50,6 +50,18 @@ def encoded_group_key(batch: pa.Table, keys: list[str]) -> pa.Array:
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
+def keyed_map_groups(ds: Dataset, keys: list[str], per_group) -> Dataset:
+    """Shared tail of every map_groups operator: append the injective
+    encoded ``__gk`` key (null-key-safe — Ray's sort groupby cannot
+    order mixed null/value keys) and group on it.  ``per_group``
+    receives the group WITH the ``__gk`` column and drops it itself."""
+    keyed = ds.map_batches(
+        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+
+
 def grouped_agg(
     ds: Dataset,
     keys: list[str],
@@ -250,11 +262,7 @@ def grouped_quantile(
             cols[out] = pa.array([v[idx]], type=group.schema.field(col).type)
         return pa.table(cols)
 
-    pruned = ds.select_columns(keys + [col]).map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    return pruned.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+    return keyed_map_groups(ds.select_columns(keys + [col]), keys, per_group)
 
 
 def grouped_median(
@@ -272,8 +280,12 @@ def grouped_mode(
     ties broken by the SMALLEST value (SQL mode() leaves ties
     engine-defined, which is not reproducible distributed — the
     tiebreak makes it parallelism-invariant; mirror it in oracles with
-    ``ROW_NUMBER() OVER (... ORDER BY cnt DESC, val)``).  An all-null
-    group emits (keys, NULL).
+    ``ROW_NUMBER() OVER (... ORDER BY cnt DESC, val)`` over rows
+    pre-filtered to ``col IS NOT NULL``, or the SQL side counts the
+    NULL group as a candidate).  An all-null group emits (keys, NULL)
+    here — a full SQL mirror of THAT row needs a left join from the
+    distinct keys, so oracle-check mode on columns with non-null values
+    per group.
 
     Scale shape: per-batch (keys, value, count) partials collapse the
     input to value-cardinality-sized groups before the pick; no raw-row
@@ -307,11 +319,7 @@ def grouped_mode(
             cols[out] = best.column(col)
         return pa.table(cols)
 
-    keyed = counts.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    return keyed.groupby("__gk").map_groups(pick, batch_format="pyarrow")
+    return keyed_map_groups(counts, keys, pick)
 
 
 def grouped_quantile_cont_scaled(
@@ -358,11 +366,7 @@ def grouped_quantile_cont_scaled(
             )
         return pa.table(cols)
 
-    pruned = ds.select_columns(keys + [col]).map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    return pruned.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+    return keyed_map_groups(ds.select_columns(keys + [col]), keys, per_group)
 
 
 def grouped_count_distinct(
@@ -691,11 +695,7 @@ def dense_rank_top(
         )
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
-    keyed = pruned.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+    return keyed_map_groups(pruned, keys, per_group)
 
 
 def grouped_string_agg(
@@ -728,11 +728,7 @@ def grouped_string_agg(
         cols[out] = pa.array([joined], type=pa.string())
         return pa.table(cols)
 
-    keyed = pairs.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+    return keyed_map_groups(pairs, keys, per_group)
 
 
 def ntile(
@@ -780,11 +776,7 @@ def ntile(
             tiles = np.where(pos < cut, pos // (q + 1), r + (pos - cut) // q) + 1
         return g.append_column(out, pa.array(tiles, type=pa.int64()))
 
-    keyed = ds.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+    return keyed_map_groups(ds, keys, per_group)
 
 
 def stratified_sample(
@@ -803,11 +795,7 @@ def stratified_sample(
     def per_group(group: pa.Table) -> pa.Table:
         return group.drop_columns(["__gk"]).sort_by(pa_keys).slice(0, n_per_group)
 
-    keyed = ds.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, [key])),
-        batch_format="pyarrow",
-    )
-    return keyed.groupby("__gk").map_groups(per_group, batch_format="pyarrow")
+    return keyed_map_groups(ds, [key], per_group)
 
 
 def approx_top_k(ds: Dataset, col: str, k: int, *, per_batch: int = 256) -> list[tuple[str, int]]:

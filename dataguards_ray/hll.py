@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from .aggregates import encoded_group_key, grouped_agg
+from .aggregates import grouped_agg
 
 _HLL_SEED = 0x5EED
 
@@ -106,7 +106,8 @@ def _estimate(regs: np.ndarray, rhos: np.ndarray, p: int) -> int:
     pairs; untouched registers count as rho=0.  Linear-counting
     small-range correction; no large-range term (64-bit hash)."""
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # canonical constants below m=128 (Flajolet et al.); asymptotic above
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
     zsum = (m - len(regs)) * 1.0 + np.sum(np.exp2(-rhos.astype(np.float64)))
     est = alpha * m * m / zsum
     zeros = m - len(regs)
@@ -149,7 +150,14 @@ def approx_count_distinct(
         ds.map_batches(partial, batch_format="pyarrow"),
         gcols + ["__reg"],
         [("__rho", "max", "__rho")],
-    )
+    ).materialize()  # thin (≤2^p rows per group); branched on below
+
+    if dummy and merged.count() == 0:
+        # SQL global COUNT(DISTINCT) of empty/all-null input is 0, not
+        # an empty result
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({out: pa.array([0], type=pa.int64())}))
 
     def finish(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__gk"])
@@ -159,8 +167,6 @@ def approx_count_distinct(
         cols[out] = pa.array([_estimate(regs, rhos, p)], type=pa.int64())
         return pa.table(cols)
 
-    keyed = merged.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, gcols)),
-        batch_format="pyarrow",
-    )
-    return keyed.groupby("__gk").map_groups(finish, batch_format="pyarrow")
+    from .aggregates import keyed_map_groups
+
+    return keyed_map_groups(merged, gcols, finish)

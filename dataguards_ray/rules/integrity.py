@@ -54,19 +54,28 @@ def _mark_membership(
     """Append ``flag_col``: whether each row's (cols) key is in
     ``keys_ds`` (column ``k``), xor'd to violation polarity; rows with a
     NULL component are never violations."""
+    reserved = {"k", "__k", "__hit"} & set(ds.schema().names)
+    if reserved:
+        raise ValueError(
+            f"integrity mark: input columns {sorted(reserved)} collide with "
+            "the rule's internal join columns — rename them first"
+        )
+    # materialize BEFORE branching: keys_ds is a lazy aggregate chain and
+    # both count() and the subsequent broadcast/join would re-execute it
+    # (it is thin — distinct keys — by construction)
+    keys_ds = keys_ds.materialize()
     n_keys = keys_ds.count()
 
     if n_keys == 0:
         flag_all = violation_is_membership is False  # absent from empty set
 
         def mark_const(batch: pa.Table) -> pa.Table:
-            base = _valid_mask(batch, cols)
             flag = (
-                base
+                pc.cast(_valid_mask(batch, cols), pa.bool_())
                 if flag_all
                 else pa.array([False] * batch.num_rows, type=pa.bool_())
             )
-            return batch.append_column(flag_col, pc.cast(flag, pa.bool_()))
+            return batch.append_column(flag_col, flag)
 
         return ds.map_batches(mark_const, batch_format="pyarrow")
 

@@ -1166,6 +1166,11 @@ def test_hll_small_range_is_near_exact():
 
     from dataguards_ray.hll import approx_count_distinct
 
+    # global aggregate of empty / all-null input must emit one 0 row
+    empty = ray.data.from_items([{"v": None}, {"v": None}])
+    assert approx_count_distinct(empty, "v").take_all() == [
+        {"approx_distinct": 0}]
+
     rows = [{"v": f"u{i % 37}"} for i in range(5000)]
     est = approx_count_distinct(
         ray.data.from_items(rows).repartition(4), "v"

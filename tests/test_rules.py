@@ -292,6 +292,11 @@ def test_inclusion_rule_match_simple_and_scale_path():
     assert flags(InclusionRule("f", ["fk"], empty_ref, ["k1"])) == {
         1: True, 2: True, 3: False, 4: True}
 
+    # reserved internal column names fail fast instead of being dropped
+    clash = ray.data.from_items([{"id": 1, "fk": 10, "k": "user-data"}])
+    with pytest.raises(ValueError, match="collide"):
+        InclusionRule("f", ["fk"], ref, ["k1"]).apply_shuffle(clash).take_all()
+
 
 def test_unique_rule_all_copies_and_null_exempt():
     """UNIQUE: all copies of a duplicated key flagged, singletons not,
