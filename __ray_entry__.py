@@ -2046,6 +2046,173 @@ SELECT 'props', COUNT(*), COUNT(*)-COUNT(props),
 """
 
 
+def _q_first_last_event_type(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE window (aggregates.grouped_first_last):
+    each user's first and last event_type under (ts, event_id).  The
+    window collapses to a min+max over an order-preserving string
+    encoding — thin partials only, the events table never shuffles."""
+    from dataguards_ray.aggregates import grouped_first_last
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return grouped_first_last(
+        ds, "user_id", ["ts", "event_id"], "event_type",
+        first_name="first_type", last_name="last_type",
+    )
+
+
+_SQL_FIRST_LAST = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type
+FROM events WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def _q_tpch_q4_shape(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join + grouped count): orders placed
+    1995-H1 having at least one returned lineitem, counted by priority.
+    Composition: date-range filter at the read → semi_join (Bloom path
+    above the broadcast threshold) → pre-aggregated grouped count.
+    (Testdata lineitem has no commit/receipt dates; the EXISTS predicate
+    is l_returnflag = 'R' — same join/aggregate shape.)"""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import semi_join
+
+    LO, HI = datetime(1995, 1, 1), datetime(1995, 7, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(LO)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(HI)))),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).filter(
+        expr="l_returnflag == 'R'"
+    )
+    qual = semi_join(orders, li, "o_orderkey", right_key="l_orderkey")
+    out = grouped_agg(qual, ["o_orderpriority"],
+                      [("o_orderkey", "count", "order_count")])
+    return out.sort("o_orderpriority")
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q_tpch_q17_shape(sf_dir: str):
+    """TPC-H Q17 shape (correlated-avg filter + global sum): revenue
+    cents of Brand#4 lineitems with quantity under 20% of that part's
+    average quantity.  Composition: part filter → semi_join prunes
+    lineitem to the brand's parts → per-part (sum, count) partials →
+    broadcast 0.2*avg thresholds (dimension-sized: one entry per part
+    of ONE brand) → vectorized filter → global sum.  l_quantity is
+    integer-valued, so the float avg is order-independent and matches
+    DuckDB bit-for-bit."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import broadcast_lookup, semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).filter(
+        expr="p_brand == 'Brand#4'"
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    li = semi_join(li, part, "l_partkey", right_key="p_partkey").materialize()
+    avgs = grouped_agg(li, ["l_partkey"],
+                       [("l_quantity", "sum", "s"), ("l_quantity", "count", "n")])
+    thr = {r["l_partkey"]: 0.2 * (r["s"] / r["n"]) for r in avgs.take_all()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(pc.cast(b.column("l_quantity"), pa.float64()),
+                             b.column("_thr")))
+        return pa.table({"c": _cents(b.column("l_extendedprice"))})
+
+    kept = broadcast_lookup(li, thr, "l_partkey", "_thr",
+                            out_type=pa.float64()).map_batches(
+        keep, batch_format="pyarrow")
+    total = kept.sum("c") or 0
+    return pa.table({"sum_cents": pa.array([int(total)], type=pa.int64())})
+
+
+_SQL_TPCH_Q17 = f"""
+SELECT CAST(COALESCE(SUM({_CENTS_SQL.format(x='l_extendedprice')}), 0) AS BIGINT)
+       AS sum_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _q_tpch_q18_shape(sf_dir: str):
+    """TPC-H Q18 shape (HAVING-filtered groupby + 3-way join + top-k):
+    large-volume orders (sum qty > 250) with customer name, top 100 by
+    price.  Composition: per-orderkey qty partials → HAVING filter on
+    the thin aggregate (the qualifying set is small BY CONSTRUCTION of
+    the threshold — classic Q18; swap the two broadcast lookups for
+    hash_join if a lax threshold ever makes it large) → broadcast
+    attach to orders → broadcast customer names → top-k."""
+    from dataguards_ray.aggregates import grouped_agg, topk
+    from dataguards_ray.joins import broadcast_lookup, semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sums = grouped_agg(li, ["l_orderkey"], [("l_quantity", "sum", "sum_qty")])
+    qual = {r["l_orderkey"]: int(r["sum_qty"])
+            for r in sums.take_all() if r["sum_qty"] > 250}
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    okeys = pa.array(list(qual), type=pa.int64())
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("o_orderkey"), value_set=okeys)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cust = semi_join(cust, orders, "c_custkey", right_key="o_custkey")
+    cmap = {r["c_custkey"]: r["c_name"] for r in cust.take_all()}
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_name": b.column("c_name"),
+             "o_custkey": b.column("o_custkey"),
+             "o_orderkey": b.column("o_orderkey"),
+             "o_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+             "total_cents": _cents(b.column("o_totalprice")),
+             "sum_qty": b.column("sum_qty")}
+        )
+
+    joined = broadcast_lookup(orders, qual, "o_orderkey", "sum_qty",
+                              out_type=pa.int64())
+    joined = broadcast_lookup(joined, cmap, "o_custkey", "c_name",
+                              out_type=pa.string())
+    joined = joined.map_batches(fin, batch_format="pyarrow")
+    return topk(joined, [("total_cents", True), ("o_orderkey", False)], 100)
+
+
+_SQL_TPCH_Q18 = f"""
+SELECT c_name, o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_us,
+       {_CENTS_SQL.format(x='o_totalprice')} AS total_cents,
+       CAST(s.sum_qty AS BIGINT) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) s
+  ON s.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tpch_q1": _q_tpch_q1,
@@ -2116,6 +2283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "ind_fk_violations": _q_ind_fk_violations,
         "unique_violations_orders": _q_unique_violations_orders,
+        "first_last_event_type": _q_first_last_event_type,
+        "tpch_q4_shape": _q_tpch_q4_shape,
+        "tpch_q17_shape": _q_tpch_q17_shape,
+        "tpch_q18_shape": _q_tpch_q18_shape,
         # rows-only (no SQL equivalent):
         "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -2204,4 +2375,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": _SQL_PROFILE,
         "ind_fk_violations": _SQL_IND_FK,
         "unique_violations_orders": _SQL_UNIQUE_VIOL,
+        "first_last_event_type": _SQL_FIRST_LAST,
+        "tpch_q4_shape": _SQL_TPCH_Q4,
+        "tpch_q17_shape": _SQL_TPCH_Q17,
+        "tpch_q18_shape": _SQL_TPCH_Q18,
     }

@@ -813,3 +813,83 @@ def approx_top_k(ds: Dataset, col: str, k: int, *, per_batch: int = 256) -> list
     for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
         merged[row[col]] = merged.get(row[col], 0) + row["n"]
     return heapq.nlargest(k, merged.items(), key=lambda kv: (kv[1], kv[0]))
+
+
+def grouped_first_last(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    first_name: str = "first_val",
+    last_name: str = "last_val",
+) -> Dataset:
+    """Grouped FIRST_VALUE / LAST_VALUE window — SQL
+    ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY order_cols)`` and
+    the symmetric LAST_VALUE, one row per key.
+
+    Scale shape: arg-min/arg-max as an ORDER-PRESERVING STRING ENCODING
+    "rank\\x1ftagged-value" (rank = fixed-width biased-uint64 decimal of
+    each int-castable order col, the latest_by_key trick), so the whole
+    window collapses to a min + max aggregate: per-batch partials (one
+    row per key per batch) → grouped_agg's adaptive thin merge →
+    vectorized decode.  The dataset itself is never shuffled.
+
+    Semantics: rows with a NULL in ANY order column are excluded
+    (mirror with ``WHERE oc IS NOT NULL`` in SQL); NULL *values* are
+    carried (tag "n") and decode back to NULL.  The value round-trips
+    through its string cast — supply a string column or cast downstream.
+    Order columns must be int-castable (ints / timestamps) and the
+    composite (order_cols) must be unique per key for a deterministic
+    result.
+    """
+    import pyarrow.compute as pc
+
+    W = 21 * len(order_cols) - 1  # 20 digits per col + "|" separators
+    BIAS = pa.scalar(1 << 63, type=pa.uint64())
+
+    def _rank(batch: pa.Table) -> pa.Array:
+        parts = []
+        for c in order_cols:
+            u = pc.add(pc.cast(pc.cast(batch.column(c), pa.int64()), pa.uint64(), safe=False), BIAS)
+            parts.append(pc.utf8_lpad(pc.cast(u, pa.string()), 20, padding="0"))
+        if len(parts) == 1:
+            return parts[0]
+        return pc.binary_join_element_wise(*parts, "|")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rank = _rank(batch)
+        sval = pc.cast(batch.column(value_col), pa.string())
+        tag = pc.if_else(
+            pc.is_valid(sval),
+            pc.binary_join_element_wise(pa.scalar("v"), pc.fill_null(sval, ""), ""),
+            pa.scalar("n"),
+        )
+        enc = pc.binary_join_element_wise(rank, tag, "\x1f")
+        t = pa.table({key: batch.column(key), "enc": enc})
+        return t.filter(pc.is_valid(enc))  # null order col -> excluded
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [key],
+        [("enc", "min", "lo"), ("enc", "max", "hi")],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        def val_of(col):
+            payload = pc.utf8_slice_codeunits(col, W + 1)
+            tagch = pc.utf8_slice_codeunits(payload, 0, 1)
+            return pc.if_else(
+                pc.equal(tagch, "v"),
+                pc.utf8_slice_codeunits(payload, 1),
+                pa.scalar(None, pa.string()),
+            )
+        return pa.table(
+            {
+                key: batch.column(key),
+                first_name: val_of(batch.column("lo")),
+                last_name: val_of(batch.column("hi")),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")

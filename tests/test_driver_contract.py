@@ -20,6 +20,7 @@ SUBSET = [
     "window_hopping_events", "median_price_by_priority", "stratified_sample_docs",
     "rollup_counts", "p90_price_by_priority", "distinct_customers_by_priority",
     "running_total_per_user",
+    "first_last_event_type", "tpch_q4_shape", "tpch_q17_shape", "tpch_q18_shape",
 ]
 
 

@@ -1339,3 +1339,27 @@ def test_profile_table_counts():
     out = {r["col"]: (r["n_rows"], r["n_null"], r["n_distinct"])
            for r in profile_table(ds, ["a", "b"]).take_all()}
     assert out == {"a": (4, 1, 2), "b": (4, 1, 2)}
+
+
+def test_grouped_first_last_edge_cases():
+    """FIRST/LAST_VALUE: null order col rows excluded, null values
+    round-trip to NULL, negative order values sort correctly (bias),
+    partition-invariant."""
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_first_last
+
+    rows = [
+        {"k": 1, "o": -5, "t": 0, "v": "neg"},   # negative order -> first
+        {"k": 1, "o": 2, "t": 0, "v": None},     # null value carried
+        {"k": 1, "o": 9, "t": 0, "v": "last"},
+        {"k": 1, "o": None, "t": 0, "v": "zz"},  # null order -> excluded
+        {"k": 2, "o": None, "t": 0, "v": "x"},   # all-null-order group -> gone
+        {"k": 3, "o": 7, "t": 1, "v": "only"},
+        {"k": 3, "o": 7, "t": 0, "v": "tie0"},   # tiebreak col decides
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = grouped_first_last(ds, "k", ["o", "t"], "v",
+                             first_name="f", last_name="l")
+    got = {r["k"]: (r["f"], r["l"]) for r in out.take_all()}
+    assert got == {1: ("neg", "last"), 3: ("tie0", "only")}
