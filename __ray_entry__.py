@@ -1013,6 +1013,19 @@ def _q_minhash_near_dups(sf_dir: str):
     return t.select(["id_a", "id_b"])
 
 
+def _q_span_dedup_docs(sf_dir: str):
+    """C4-style duplicated-span dedup (spandedup.span_dedup): remove
+    repeated 3-sentence spans corpus-wide, keep the first occurrence.
+    One row per input doc: (doc_id, text, n_spans_removed).  Rows-only
+    (no SQL equivalent: the winner/loser resolution and segment surgery
+    aren't expressible); pytest checks exact removal semantics and
+    partition invariance."""
+    from dataguards_ray.spandedup import span_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(docs).sort("doc_id")
+
+
 def _q_simhash_near_dups(sf_dir: str):
     from dataguards_ray.neardup import simhash_near_dup_pairs
 
@@ -2290,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (no SQL equivalent):
         "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
         "minhash_near_dups": _q_minhash_near_dups,
+        "span_dedup_docs": _q_span_dedup_docs,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ivf_knn_embeddings": _q_ivf_knn,

@@ -10,6 +10,10 @@ queries() entry).
 exact   : hash-partition exact dedup (min-id winner per text fingerprint)
 minhash : MinHash+LSH near-dedup (distributed pair discovery + connected
           components; see dataguards_ray/neardup.py)
+span    : C4-style duplicated-three-sentence-span removal — keeps every
+          doc but deletes repeated spans from all but the first
+          occurrence (dataguards_ray/spandedup.py); output columns are
+          (id_col, text_col, n_spans_removed)
 
 Writes survivor parquet shards to OUT_DIR and prints ONE JSON summary
 line.  This script owns the Ray session (library code never calls
@@ -84,21 +88,30 @@ def run_dedup_job(
     elif mode == "minhash":
         out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
                                 threshold=threshold)
+    elif mode == "span":
+        from dataguards_ray.spandedup import span_dedup
+
+        out = span_dedup(ds, text_col=text_col, id_col=id_col)
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
     if drop_cols:
         out = out.drop_columns(drop_cols)
     out.write_parquet(out_dir)
-    n_out = ray.data.read_parquet(out_dir).count()
-    return {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
-            "dropped_rows": n_in - n_out}
+    written = ray.data.read_parquet(out_dir)
+    n_out = written.count()
+    res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
+           "dropped_rows": n_in - n_out}
+    if mode == "span":
+        res["spans_removed"] = int(written.sum("n_spans_removed") or 0)
+    return res
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("out_dir")
-    ap.add_argument("--mode", choices=("exact", "minhash"), default="exact")
+    ap.add_argument("--mode", choices=("exact", "minhash", "span"),
+                    default="exact")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")

@@ -1363,3 +1363,36 @@ def test_grouped_first_last_edge_cases():
                              first_name="f", last_name="l")
     got = {r["k"]: (r["f"], r["l"]) for r in out.take_all()}
     assert got == {1: ("neg", "last"), 3: ("tie0", "only")}
+
+
+def test_span_dedup_semantics():
+    """C4 span dedup: first occurrence (min doc_id, start) keeps the
+    span, later occurrences lose exactly those segments; docs without
+    duplicated spans pass through byte-identical; partition-invariant;
+    segment split round-trips the text."""
+    import ray.data
+
+    from dataguards_ray.spandedup import sentence_segments, span_dedup
+
+    dup = ("One common sentence here. Another shared sentence follows! "
+           "A third shared one? ")
+    docs = [
+        {"doc_id": 1, "text": "Unique intro for doc one. " + dup + "Tail one."},
+        {"doc_id": 2, "text": dup + "Doc two keeps its ending. Extra line."},
+        {"doc_id": 3, "text": "Unrelated document. No shared spans at all! S."},
+        {"doc_id": 4, "text": ""},
+    ]
+    assert "".join(sentence_segments(docs[0]["text"])) == docs[0]["text"]
+
+    def run(n_parts):
+        ds = ray.data.from_items(docs).repartition(n_parts)
+        return {r["doc_id"]: (r["text"], r["n_spans_removed"])
+                for r in span_dedup(ds).take_all()}
+
+    out = run(3)
+    assert out[1] == (docs[0]["text"], 0)          # winner untouched
+    assert out[2][1] == 1 and dup not in out[2][0]  # loser span removed
+    assert out[2][0].endswith("Doc two keeps its ending. Extra line.")
+    assert out[3] == (docs[2]["text"], 0)
+    assert out[4] == ("", 0)
+    assert out == run(1)
