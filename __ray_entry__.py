@@ -543,6 +543,40 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def _q_cube_order_counts(sf_dir: str):
+    """GROUP BY CUBE (aggregates.grouping_sets with all 4 subsets of
+    (status, priority)): order counts + total cents at every
+    granularity.  Same machinery as rollup — one partials-only pass per
+    set over the materialized prep."""
+    from dataguards_ray.aggregates import grouping_sets
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderstatus": b.column("o_orderstatus"),
+             "o_orderpriority": b.column("o_orderpriority"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    return grouping_sets(
+        prepped,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+         ["o_orderpriority"], []],
+        [("price_c", "count", "n"), ("price_c", "sum", "sum_cents")],
+    )
+
+
+_SQL_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM({_CENTS_SQL.format(x='o_totalprice')}) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def _q_salted_source_counts(sf_dir: str):
     from dataguards_ray.aggregates import salted_groupby
 
@@ -1283,6 +1317,47 @@ FROM events c JOIN events p
   ON p.user_id = c.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 21600000000
+"""
+
+
+def _q_interval_overlap_click_view(sf_dir: str):
+    """Interval-overlap join (joins.interval_join): click activity
+    windows [ts, ts+30 min] × view windows [ts, ts+20 min] per user.
+    Canonical-bucket emission — exactly-once with no dedup pass."""
+    from dataguards_ray.joins import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    W_C, W_V = 1_800_000_000, 1_200_000_000
+
+    def side(etype: str, width: int, id_out: str):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.equal(b.column("event_type"), etype),
+                                 pc.is_valid(b.column("ts"))))
+            ts = pc.cast(b.column("ts"), pa.int64())
+            return pa.table(
+                {"user_id": b.column("user_id"),
+                 id_out: b.column("event_id"),
+                 "start_us": ts,
+                 "end_us": pc.add(ts, width)}
+            )
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    out = interval_join(
+        side("click", W_C, "click_id"), side("view", W_V, "view_id"),
+        key="user_id",
+        left_start="start_us", left_end="end_us",
+        right_start="start_us", right_end="end_us",
+    )
+    return out.select_columns(["user_id", "click_id", "view_id"])
+
+
+_SQL_INTERVAL_OVERLAP = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + 1200000000
+ AND epoch_us(v.ts) <= epoch_us(c.ts) + 1800000000
 """
 
 
@@ -2246,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping_events": _q_window_hopping,
         "running_total_per_user": _q_running_total,
         "range_join_click_purchase": _q_range_join_click_purchase,
+        "interval_overlap_click_view": _q_interval_overlap_click_view,
         "event_gap_lag": _q_event_gap_lag,
         "moving_sum_events": _q_moving_sum_events,
         "pivot_orders_status": _q_pivot_orders_status,
@@ -2259,6 +2335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "top2_orders_per_priority": _q_top2_orders_per_priority,
         "rollup_counts": _q_rollup_counts,
+        "cube_order_counts": _q_cube_order_counts,
         "salted_source_counts": _q_salted_source_counts,
         "rule_range_violations": _q_rule_range_violations,
         "rule_predicate_violations": _q_rule_predicate_violations,
@@ -2339,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "window_hopping_events": _SQL_WINDOW_HOP,
         "running_total_per_user": _SQL_RUNNING_TOTAL,
         "range_join_click_purchase": _SQL_RANGE_JOIN,
+        "interval_overlap_click_view": _SQL_INTERVAL_OVERLAP,
         "event_gap_lag": _SQL_EVENT_GAP,
         "moving_sum_events": _SQL_MOVING_SUM,
         "pivot_orders_status": _SQL_PIVOT,
@@ -2352,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _SQL_STRATIFIED,
         "top2_orders_per_priority": _SQL_TOP2_PER_GROUP,
         "rollup_counts": _SQL_ROLLUP,
+        "cube_order_counts": _SQL_CUBE,
         "salted_source_counts": _SQL_SALTED,
         "rule_range_violations": _SQL_RULE_RANGE,
         "rule_predicate_violations": _SQL_RULE_PRED,

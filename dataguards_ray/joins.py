@@ -901,3 +901,202 @@ def asof_join(
     return bucketed.groupby(["__ak", "__b"]).map_groups(
         kernel_with_carry, batch_format="pyarrow"
     )
+
+
+def interval_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    right_suffix: str = "_r",
+    bucket_us: int | None = None,
+    max_span_buckets: int = 64,
+    max_group_pairs: int = 10_000_000,
+) -> Dataset:
+    """Interval-OVERLAP equi-join (the J4 family's fourth member): every
+    (left, right) pair with the same ``key`` whose closed intervals
+    intersect — SQL ``l.start <= r.end AND r.start <= l.end``.  Inner
+    semantics; rows with a null key/bound or an INVERTED interval
+    (end < start) drop — document the latter when mirroring in SQL.
+
+    Scale shape: BOTH sides explode to every ``bucket_us`` time bucket
+    their interval spans, so an overlapping pair shares one-or-more
+    (key, bucket) groups; the pair is emitted ONLY in its CANONICAL
+    bucket — the bucket containing ``max(l.start, r.start)``, which any
+    overlapping pair provably shares (overlap ⇔ max-start ≤ min-end, so
+    the max-start instant lies inside both intervals) — giving
+    exactly-once output with no dedup pass.  Inside each group, rights
+    are start-sorted; one searchsorted per left bounds the candidate
+    slice (``r.start <= l.end``) and the remaining ``r.end >= l.start``
+    + canonical-bucket tests are vectorized over the expansion.
+    ``max_group_pairs`` guards the candidate expansion of a degenerate
+    bucket (same role as outer_join_by_key's cap); ``bucket_us``
+    defaults to the max interval width across both sides (span ≤ 2
+    buckets), measured by thin pre-passes.
+    """
+
+    def _spans_max(ds: Dataset, s_col: str, e_col: str) -> int:
+        def span(b: pa.Table) -> pa.Table:
+            s = pc.cast(b.column(s_col), pa.int64())
+            e = pc.cast(b.column(e_col), pa.int64())
+            w = pc.max(pc.subtract(e, s))
+            return pa.table({"w": pa.array([w.as_py()], type=pa.int64())})
+
+        ws = ds.select_columns([s_col, e_col]).map_batches(
+            span, batch_format="pyarrow")
+        return max((r["w"] for r in ws.take_all() if r["w"] is not None),
+                   default=0)
+
+    if bucket_us is None:
+        left = left.materialize()
+        right = right.materialize()
+        bucket_us = max(_spans_max(left, left_start, left_end),
+                        _spans_max(right, right_start, right_end), 1)
+
+    l_cols = [f.name for f in pa.schema(left.schema().base_schema)]
+    r_cols = [f.name for f in pa.schema(right.schema().base_schema)]
+    out_r_cols = {
+        c: (c + right_suffix if (c in l_cols and c != key) else c)
+        for c in r_cols
+    }
+    clashes = [
+        o for c, o in out_r_cols.items()
+        if (o != c and o in l_cols) or list(out_r_cols.values()).count(o) > 1
+    ]
+    if clashes:
+        raise ValueError(
+            f"interval_join output column collision(s) {sorted(set(clashes))}; "
+            f"rename the inputs or pick a different right_suffix"
+        )
+
+    def _explode(side: int, s_col: str, e_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.and_(
+                    pc.and_(pc.is_valid(b.column(key)),
+                            pc.is_valid(b.column(s_col))),
+                    pc.is_valid(b.column(e_col)),
+                )
+            )
+            s = pc.cast(b.column(s_col), pa.int64()).to_numpy(zero_copy_only=False)
+            e = pc.cast(b.column(e_col), pa.int64()).to_numpy(zero_copy_only=False)
+            ok = s <= e  # inverted intervals drop (documented)
+            b = b.filter(pa.array(ok, type=pa.bool_()))
+            s, e = s[ok], e[ok]
+            b0 = np.floor_divide(s, bucket_us)
+            b1 = np.floor_divide(e, bucket_us)
+            nbk = b1 - b0 + 1
+            if nbk.size and nbk.max() > max_span_buckets:
+                raise ValueError(
+                    f"interval spans {int(nbk.max())} buckets > "
+                    f"max_span_buckets={max_span_buckets}; widen bucket_us"
+                )
+            total = int(nbk.sum())
+            row_take = np.repeat(np.arange(len(nbk)), nbk)
+            offs = np.arange(total) - np.repeat(np.cumsum(nbk) - nbk, nbk)
+            t = b.take(pa.array(row_take, type=pa.int64()))
+            t = t.append_column("__b", pa.array(b0[row_take] + offs, type=pa.int64()))
+            return t.append_column("__side", pa.array([side] * t.num_rows, type=pa.int8()))
+
+        return f
+
+    l_tag = left.map_batches(_explode(0, left_start, left_end),
+                             batch_format="pyarrow")
+    r_tag = right.map_batches(_explode(1, right_start, right_end),
+                              batch_format="pyarrow")
+
+    ls = pa.schema(left.schema().base_schema)
+    rs = pa.schema(right.schema().base_schema)
+    all_cols = (
+        [(c, ls.field(c).type) for c in l_cols]
+        + [(out_r_cols[c], rs.field(c).type) for c in r_cols
+           if out_r_cols[c] != key]
+        + [("__b", pa.int64()), ("__side", pa.int8())]
+    )
+
+    def _widen(src_of: dict[str, str | None]):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {}
+            for name, typ in all_cols:
+                src = src_of.get(name, name if name in ("__b", "__side") else None)
+                cols[name] = (
+                    b.column(src) if src is not None
+                    else pa.nulls(b.num_rows, type=typ)
+                )
+            return pa.table(cols)
+
+        return f
+
+    both = l_tag.map_batches(
+        _widen({c: c for c in l_cols}), batch_format="pyarrow"
+    ).union(r_tag.map_batches(
+        _widen({out_r_cols[c]: c for c in r_cols} | {key: key}),
+        batch_format="pyarrow",
+    ))
+
+    from .aggregates import encoded_group_key
+
+    keyed = both.map_batches(
+        lambda b: b.append_column(
+            "__gk",
+            pc.binary_join_element_wise(
+                encoded_group_key(b, [key]),
+                pc.cast(b.column("__b"), pa.string()),
+                "\x1f",
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    o_ls, o_le = left_start, left_end
+    o_rs, o_re = out_r_cols[right_start], out_r_cols[right_end]
+    out_names = l_cols + [out_r_cols[c] for c in r_cols if out_r_cols[c] != key]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        bkt = group.column("__b")[0].as_py()
+        group = group.drop_columns(["__gk", "__b"])
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        if len(li) == 0 or len(ri) == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table({c: pc.take(group.column(c), empty) for c in out_names})
+
+        def _i64(col) -> np.ndarray:
+            return pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
+                zero_copy_only=False)
+
+        sl = _i64(group.column(o_ls))
+        el = _i64(group.column(o_le))
+        sr = _i64(group.column(o_rs))
+        er = _i64(group.column(o_re))
+        order_r = ri[np.argsort(sr[ri], kind="stable")]
+        srs = sr[order_r]
+        hi = np.searchsorted(srs, el[li], side="right")  # r.start <= l.end
+        total = int(hi.sum())
+        if total > max_group_pairs:
+            raise ValueError(
+                f"interval_join group candidate expansion {total} > "
+                f"max_group_pairs={max_group_pairs} (one hot (key, bucket) "
+                f"group); shrink bucket_us or pre-split the key"
+            )
+        l_take = np.repeat(li, hi)
+        offs = np.arange(total) - np.repeat(np.cumsum(hi) - hi, hi)
+        r_take = order_r[offs]
+        ms = np.maximum(sl[l_take], sr[r_take])
+        keep = (er[r_take] >= sl[l_take]) & (np.floor_divide(ms, bucket_us) == bkt)
+        lt = pa.array(l_take[keep].astype(np.int64), type=pa.int64())
+        rt = pa.array(r_take[keep].astype(np.int64), type=pa.int64())
+        cols: dict[str, pa.Array] = {}
+        for c in l_cols:
+            cols[c] = pc.take(group.column(c), lt)
+        for c in r_cols:
+            if out_r_cols[c] == key:
+                continue  # shared equi-key: taken from the left side
+            cols[out_r_cols[c]] = pc.take(group.column(out_r_cols[c]), rt)
+        return pa.table(cols)
+
+    return keyed.groupby("__gk").map_groups(kernel, batch_format="pyarrow")

@@ -1396,3 +1396,35 @@ def test_span_dedup_semantics():
     assert out[3] == (docs[2]["text"], 0)
     assert out[4] == ("", 0)
     assert out == run(1)
+
+
+def test_interval_join_exactly_once_and_semantics():
+    """Interval-overlap join: inclusive boundaries, inverted intervals
+    drop, cross-key isolation, and EXACTLY-ONCE output even when a pair
+    shares many (key, bucket) groups (canonical-bucket emission)."""
+    import ray.data
+
+    from dataguards_ray.joins import interval_join
+
+    L = [
+        {"k": 1, "lid": 1, "s": 0, "e": 100},
+        {"k": 1, "lid": 2, "s": 250, "e": 260},
+        {"k": 2, "lid": 3, "s": 0, "e": 100},   # no rights under key 2
+        {"k": 1, "lid": 4, "s": 90, "e": 80},   # inverted -> dropped
+    ]
+    R = [
+        {"k": 1, "rid": 1, "s": 50, "e": 300},   # spans many buckets
+        {"k": 1, "rid": 2, "s": 100, "e": 120},  # touches lid1 boundary
+        {"k": 1, "rid": 3, "s": 255, "e": 256},
+        {"k": 1, "rid": 4, "s": 101, "e": 102},  # just misses lid1
+    ]
+    expected = [(1, 1), (1, 2), (2, 1), (2, 3)]
+    for bu in (7, 50, 1000, None):  # tiny buckets force shared groups
+        out = interval_join(
+            ray.data.from_items(L).repartition(3),
+            ray.data.from_items(R).repartition(2),
+            key="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", bucket_us=bu,
+        )
+        pairs = sorted((r["lid"], r["rid"]) for r in out.take_all())
+        assert pairs == expected, (bu, pairs)
