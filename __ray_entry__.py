@@ -1060,6 +1060,16 @@ def _q_span_dedup_docs(sf_dir: str):
     return span_dedup(docs).sort("doc_id")
 
 
+def _q_line_dedup_docs(sf_dir: str):
+    """RefinedWeb-style corpus-wide exact line dedup
+    (spandedup.line_dedup): duplicated normalized lines (≥15 chars)
+    removed after their first occurrence.  Rows-only."""
+    from dataguards_ray.spandedup import line_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(docs).sort("doc_id")
+
+
 def _q_simhash_near_dups(sf_dir: str):
     from dataguards_ray.neardup import simhash_near_dup_pairs
 
@@ -2381,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
         "minhash_near_dups": _q_minhash_near_dups,
         "span_dedup_docs": _q_span_dedup_docs,
+        "line_dedup_docs": _q_line_dedup_docs,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ivf_knn_embeddings": _q_ivf_knn,

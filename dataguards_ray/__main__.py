@@ -16,7 +16,7 @@ def main() -> int:
             "usage: python -m dataguards_ray filter INPUT OUT_DIR [--num-parts N] [--num-cpus N]\n"
             "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
             "       python -m dataguards_ray stats OUT_DIR [--top-domains K]\n"
-            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span] [...]"
+            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span|line] [...]"
         )
         return 0
     cmd, rest = sys.argv[1], sys.argv[2:]

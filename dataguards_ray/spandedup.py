@@ -59,18 +59,26 @@ def sentence_segments(text: str) -> list[str]:
     return segs
 
 
-def _span_digest(segs: list[str]) -> bytes | None:
-    """128-bit digest of the normalized span; None for all-whitespace
-    spans (an empty key would cross-match unrelated docs)."""
+def line_segments(text: str) -> list[str]:
+    """Split into lines KEEPING the newline terminators, so the segments
+    concatenate back to the exact original text."""
+    return text.splitlines(keepends=True)
+
+
+def _span_digest(segs: list[str], min_norm_chars: int = 1) -> bytes | None:
+    """128-bit digest of the normalized span; None below
+    ``min_norm_chars`` normalized chars (an empty/trivial key would
+    cross-match unrelated docs — line dedup raises the floor so
+    boilerplate one-worders like "Home" aren't nuked corpus-wide)."""
     norm = " ".join(" ".join(s.split()).lower() for s in segs).strip()
-    if not norm:
+    if len(norm) < min_norm_chars:
         return None
     return hashlib.blake2b(norm.encode("utf-8"), digest_size=16).digest()
 
 
 def span_occurrences(
     docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
-    n_sent: int = 3,
+    n_sent: int = 3, segmenter=sentence_segments, min_norm_chars: int = 1,
 ) -> Dataset:
     """Stage 1: thin (h, doc_id, start) rows, one per n_sent-segment
     window.  Per-doc Python loop is inherent (regex segmentation), same
@@ -85,9 +93,9 @@ def span_occurrences(
         for did, text in zip(doc_ids, texts):
             if not text:
                 continue
-            segs = sentence_segments(text)
+            segs = segmenter(text)
             for i in range(len(segs) - n_sent + 1):
-                h = _span_digest(segs[i:i + n_sent])
+                h = _span_digest(segs[i:i + n_sent], min_norm_chars)
                 if h is None:
                     continue
                 hs.append(h)
@@ -124,13 +132,14 @@ def losing_spans(occ: Dataset, *, id_col: str = "doc_id") -> Dataset:
 
 def span_dedup(
     docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
-    n_sent: int = 3,
+    n_sent: int = 3, segmenter=sentence_segments, min_norm_chars: int = 1,
 ) -> Dataset:
     """Remove duplicated ``n_sent``-sentence spans corpus-wide, keeping
     the first occurrence.  Returns (id_col, text_col, n_spans_removed);
     docs losing no span pass through byte-identical."""
     occ = span_occurrences(docs, id_col=id_col, text_col=text_col,
-                           n_sent=n_sent)
+                           n_sent=n_sent, segmenter=segmenter,
+                           min_norm_chars=min_norm_chars)
     losers = losing_spans(occ, id_col=id_col)
 
     # Tagged union for the cogroup: docs carry text (start = -1),
@@ -168,7 +177,7 @@ def span_dedup(
         if not lose_starts:
             out_text, n_removed = text, 0
         else:
-            segs = sentence_segments(text)
+            segs = segmenter(text)
             drop = np.zeros(len(segs), dtype=bool)
             for s in lose_starts:
                 drop[s:s + n_sent] = True
@@ -185,3 +194,17 @@ def span_dedup(
     from .aggregates import keyed_map_groups
 
     return keyed_map_groups(tagged, [id_col], rebuild)
+
+
+def line_dedup(
+    docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
+    min_norm_chars: int = 15,
+) -> Dataset:
+    """RefinedWeb-style corpus-wide exact LINE dedup: every duplicated
+    line (normalized: lowercased, whitespace-collapsed) is removed from
+    all but its first occurrence.  Lines under ``min_norm_chars``
+    normalized chars are exempt — short navigation boilerplate ("Home",
+    dates) would otherwise be deleted corpus-wide on the first page that
+    carries it.  Same three-stage shape and cost as span_dedup."""
+    return span_dedup(docs, id_col=id_col, text_col=text_col, n_sent=1,
+                      segmenter=line_segments, min_norm_chars=min_norm_chars)

@@ -14,6 +14,8 @@ span    : C4-style duplicated-three-sentence-span removal — keeps every
           doc but deletes repeated spans from all but the first
           occurrence (dataguards_ray/spandedup.py); output columns are
           (id_col, text_col, n_spans_removed)
+line    : RefinedWeb-style corpus-wide exact line dedup (same output
+          shape as span; lines under 15 normalized chars exempt)
 
 Writes survivor parquet shards to OUT_DIR and prints ONE JSON summary
 line.  This script owns the Ray session (library code never calls
@@ -92,6 +94,10 @@ def run_dedup_job(
         from dataguards_ray.spandedup import span_dedup
 
         out = span_dedup(ds, text_col=text_col, id_col=id_col)
+    elif mode == "line":
+        from dataguards_ray.spandedup import line_dedup
+
+        out = line_dedup(ds, text_col=text_col, id_col=id_col)
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
     if drop_cols:
@@ -101,7 +107,7 @@ def run_dedup_job(
     n_out = written.count()
     res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
            "dropped_rows": n_in - n_out}
-    if mode == "span":
+    if mode in ("span", "line"):
         res["spans_removed"] = int(written.sum("n_spans_removed") or 0)
     return res
 
@@ -110,7 +116,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("out_dir")
-    ap.add_argument("--mode", choices=("exact", "minhash", "span"),
+    ap.add_argument("--mode", choices=("exact", "minhash", "span", "line"),
                     default="exact")
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--text-col", default="text")

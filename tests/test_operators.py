@@ -1428,3 +1428,30 @@ def test_interval_join_exactly_once_and_semantics():
         )
         pairs = sorted((r["lid"], r["rid"]) for r in out.take_all())
         assert pairs == expected, (bu, pairs)
+
+
+def test_line_dedup_semantics():
+    """Line dedup: duplicated long lines removed after the first
+    occurrence; short boilerplate lines exempt; newline structure of
+    kept lines preserved; partition-invariant."""
+    import ray.data
+
+    from dataguards_ray.spandedup import line_dedup
+
+    boiler = "This exact boilerplate line is repeated across documents.\n"
+    docs = [
+        {"doc_id": 1, "text": "Home\nUnique first body line of doc one.\n" + boiler},
+        {"doc_id": 2, "text": boiler + "Home\nOwn content of document two."},
+        {"doc_id": 3, "text": "Home\nNothing shared in here at all."},
+    ]
+
+    def run(n):
+        ds = ray.data.from_items(docs).repartition(n)
+        return {r["doc_id"]: (r["text"], r["n_spans_removed"])
+                for r in line_dedup(ds).take_all()}
+
+    out = run(3)
+    assert out[1] == (docs[0]["text"], 0)            # first occurrence kept
+    assert out[2] == ("Home\nOwn content of document two.", 1)
+    assert out[3] == (docs[2]["text"], 0)            # "Home" exempt (short)
+    assert out == run(1)
