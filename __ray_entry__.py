@@ -1047,27 +1047,69 @@ def _q_minhash_near_dups(sf_dir: str):
     return t.select(["id_a", "id_b"])
 
 
+def _web_documents(sf_dir: str):
+    """documents with deterministic web-page structure (the synthetic
+    corpus has no punctuation): a period every 10 words, a shared
+    3-sentence boilerplate tail, and a shared footer line — realistic
+    bait for span/line dedup."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    BOILER = (" Subscribe to our newsletter for updates today. "
+              "All rights reserved by the site owner! "
+              "Contact the webmaster with any questions? ")
+    FOOTER = "\nCopyright footer line shared across every page here.\n"
+
+    def f(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            words = (t or "").split(" ")
+            parts = []
+            for i, w in enumerate(words, 1):
+                parts.append(w)
+                parts.append(". " if i % 10 == 0 else " ")
+            out.append("".join(parts).rstrip() + "." + BOILER + FOOTER)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_span_dedup_docs(sf_dir: str):
     """C4-style duplicated-span dedup (spandedup.span_dedup): remove
-    repeated 3-sentence spans corpus-wide, keep the first occurrence.
-    One row per input doc: (doc_id, text, n_spans_removed).  Rows-only
-    (no SQL equivalent: the winner/loser resolution and segment surgery
-    aren't expressible); pytest checks exact removal semantics and
-    partition invariance."""
+    repeated 3-sentence spans corpus-wide, keep the first occurrence —
+    over _web_documents, where every page shares a boilerplate tail, so
+    all but the first page lose it.  One row per input doc: (doc_id,
+    n_spans_removed, n_chars).  Rows-only (the winner/loser resolution
+    and segment surgery aren't SQL-expressible); pytest checks exact
+    removal semantics and partition invariance."""
     from dataguards_ray.spandedup import span_dedup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return span_dedup(docs).sort("doc_id")
+    out = span_dedup(_web_documents(sf_dir))
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_spans_removed": b.column("n_spans_removed"),
+             "n_chars": pc.utf8_length(b.column("text"))})
+
+    return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
 
 
 def _q_line_dedup_docs(sf_dir: str):
     """RefinedWeb-style corpus-wide exact line dedup
     (spandedup.line_dedup): duplicated normalized lines (≥15 chars)
-    removed after their first occurrence.  Rows-only."""
+    removed after their first occurrence — over _web_documents, whose
+    shared footer line survives only on the first page.  Rows-only."""
     from dataguards_ray.spandedup import line_dedup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return line_dedup(docs).sort("doc_id")
+    out = line_dedup(_web_documents(sf_dir))
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_spans_removed": b.column("n_spans_removed"),
+             "n_chars": pc.utf8_length(b.column("text"))})
+
+    return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
 
 
 def _q_simhash_near_dups(sf_dir: str):

@@ -1,36 +1,43 @@
 """C4-style duplicated-span dedup (task brief "deduplication";
 C4 / T5 paper §2.2: "we removed any duplicated three-sentence span,
-keeping one occurrence").
+keeping one occurrence") + RefinedWeb-style exact line dedup.
 
-Pipeline shape (three thin stages, one occurrence shuffle + one doc
-cogroup — no driver-side state at any size):
+Pipeline shape (three thin stages, adaptively shuffle-free):
 
-1. ``map_batches`` per doc: split text into SENTENCE SEGMENTS at the
-   frozen spec boundary (``spec.SENTENCE_END_RE`` match ends, so the
-   segments concatenate back to the exact original text), slide a
-   ``n_sent``-segment window, hash each window's NORMALIZED form
-   (lowercased, whitespace-collapsed — formatting noise must not hide
-   a duplicate).  Emits thin occurrence rows (h, doc_id, start).
-2. ``groupby(h).map_groups``: all occurrences of one span hash land in
-   one group; the global FIRST occurrence (min (doc_id, start)) wins,
-   every other occurrence is emitted as a loser (doc_id, start).  Group
-   payload is thin tuples; a span repeated k times costs O(k) rows.
-3. Tagged-union cogroup by doc_id (docs ∪ losers →
-   ``groupby(doc_id).map_groups``): each losing span deletes its
-   ``n_sent`` segments from the doc (overlapping spans delete the
-   UNION of their segment indices); output text is the concatenation
-   of surviving segments — byte-deterministic, no re-whitespacing.
+1. ``map_batches`` per doc: split text into SEGMENTS (sentence segments
+   at the frozen spec boundary, or lines — both concatenate back to the
+   exact original text), slide an ``n_sent``-segment window, hash each
+   window's NORMALIZED form (lowercased, whitespace-collapsed —
+   formatting noise must not hide a duplicate).  Emits thin occurrence
+   rows (h, doc_id, start).
+2. Winner resolution: the global FIRST occurrence of each span hash
+   (min (doc_id, start), encoded as an order-preserving rank string)
+   wins; every other occurrence is a LOSER.  Fast path: per-batch
+   (h, min-rank, count) partials driver-merge in Arrow C++ under
+   ``max_driver_winners`` rows, the CONTESTED winner keys (only hashes
+   seen ≥2×, typically a tiny fraction) broadcast, and losers fall out
+   of one vectorized ``pc.is_in`` filter — no per-group Python over
+   corpus-sized tiny groups (measured 10× on 100k spans).  Above the
+   cap: ``groupby(h).map_groups`` fallback, zero driver state.
+3. Span surgery: each losing span deletes its ``n_sent`` segments from
+   its doc (overlapping losers delete the UNION of their segment
+   indices); output text is the concatenation of surviving segments —
+   byte-deterministic, no re-whitespacing.  Fast path: losers (usually
+   few) broadcast as a {doc_id: [starts]} map and the surgery is one
+   ``map_batches`` over the docs — ZERO shuffle.  Above
+   ``max_broadcast_losers``: tagged-union cogroup by doc_id (docs ∪
+   losers → ``groupby(doc_id).map_groups``), one doc-text shuffle.
 
 Determinism: winner choice is a pure function of the corpus (no
-randomness, no partition dependence).  Span matching uses a 128-bit
-blake2b digest of the normalized span — collision odds are negligible
-even at 100 TB span counts (~2^80 spans for a 50% birthday bound).
+randomness, no partition dependence); fast and fallback paths produce
+identical results (tested).  Span matching uses a 128-bit blake2b
+digest of the normalized span — collision odds are negligible even at
+100 TB span counts (~2^80 spans for a 50% birthday bound).
 
-Scale notes: stage-2 shuffles one thin row per span occurrence
-(~40 B/row: 16 B digest + ints) — the same cost class as the MinHash
-band explode.  Stage 3 shuffles the doc text once, like the flagship
-partition write.  Docs with fewer than ``n_sent`` segments never emit
-occurrences and pass through stage 3 untouched.
+Scale notes: stage-2 moves one thin partial row per distinct span per
+batch (~50 B) — the same cost class as the MinHash band explode.  The
+rank string orders int ids numerically (biased-uint64 zero-pad, the
+latest_by_key trick) and other ids lexicographically.
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 from . import spec
@@ -65,15 +73,15 @@ def line_segments(text: str) -> list[str]:
     return text.splitlines(keepends=True)
 
 
-def _span_digest(segs: list[str], min_norm_chars: int = 1) -> bytes | None:
-    """128-bit digest of the normalized span; None below
+def _span_digest(segs: list[str], min_norm_chars: int = 1) -> str | None:
+    """Hex of the 128-bit digest of the normalized span; None below
     ``min_norm_chars`` normalized chars (an empty/trivial key would
     cross-match unrelated docs — line dedup raises the floor so
     boilerplate one-worders like "Home" aren't nuked corpus-wide)."""
     norm = " ".join(" ".join(s.split()).lower() for s in segs).strip()
     if len(norm) < min_norm_chars:
         return None
-    return hashlib.blake2b(norm.encode("utf-8"), digest_size=16).digest()
+    return hashlib.blake2b(norm.encode("utf-8"), digest_size=16).hexdigest()
 
 
 def span_occurrences(
@@ -85,7 +93,7 @@ def span_occurrences(
     cost class as the MinHash shingle pass."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        hs: list[bytes] = []
+        hs: list[str] = []
         ids: list = []
         starts: list[int] = []
         texts = batch.column(text_col).to_pylist()
@@ -102,7 +110,7 @@ def span_occurrences(
                 ids.append(did)
                 starts.append(i)
         return pa.table(
-            {"h": pa.array(hs, type=pa.binary(16)),
+            {"h": pa.array(hs, type=pa.string()),
              id_col: pa.array(ids, type=batch.schema.field(id_col).type),
              "start": pa.array(starts, type=pa.int64())}
         )
@@ -112,10 +120,28 @@ def span_occurrences(
     )
 
 
-def losing_spans(occ: Dataset, *, id_col: str = "doc_id") -> Dataset:
-    """Stage 2: per span hash, every occurrence EXCEPT the global first
-    (min (doc_id, start)) is a loser.  h is non-null binary — safe for
-    Ray's sort groupby directly."""
+def _rank_expr(batch: pa.Table, id_col: str) -> pa.Array:
+    """Order-preserving rank string for (doc_id, start): int ids get the
+    biased-uint64 zero-pad (numeric order, negatives safe); other ids
+    compare lexicographically (ids containing codepoints below 0x1f
+    could perturb tie order against the composite separator — exotic,
+    documented).  start is a window index ≥ 0 (12 digits)."""
+    ids = batch.column(id_col)
+    if pa.types.is_integer(ids.type):
+        u = pc.add(pc.cast(pc.cast(ids, pa.int64()), pa.uint64(), safe=False),
+                   pa.scalar(1 << 63, type=pa.uint64()))
+        id_s = pc.utf8_lpad(pc.cast(u, pa.string()), 20, padding="0")
+    else:
+        id_s = pc.cast(ids, pa.string())
+    st = pc.utf8_lpad(pc.cast(batch.column("start"), pa.string()), 12,
+                      padding="0")
+    out = pc.binary_join_element_wise(id_s, st, "\x1f")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _losing_spans_gb(occ: Dataset, id_col: str) -> Dataset:
+    """Stage-2 fallback (zero driver state): per span hash, every
+    occurrence EXCEPT the global first is a loser."""
 
     def per_hash(group: pa.Table) -> pa.Table:
         if group.num_rows <= 1:
@@ -130,20 +156,129 @@ def losing_spans(occ: Dataset, *, id_col: str = "doc_id") -> Dataset:
     return occ.groupby("h").map_groups(per_hash, batch_format="pyarrow")
 
 
+def losing_spans(
+    occ: Dataset, *, id_col: str = "doc_id",
+    max_driver_winners: int = 2_000_000,
+    id_type: "pa.DataType | None" = None,
+) -> Dataset:
+    """Stage 2 (adaptive): loser occurrences (doc_id, start).  See the
+    module docstring for the fast/fallback split.  ``id_type`` types the
+    empty result when the corpus has no occurrences at all (a fully
+    empty materialized Dataset forgets its schema in Ray 2.49)."""
+    from .aggregates import driver_merge_or_none
+    from .steps.dedup import get_broadcast
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column("r", _rank_expr(b, id_col))
+
+    occ2 = occ.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["h", "r"]).group_by("h").aggregate(
+            [("r", "min"), ("r", "count")])
+        return g.rename_columns(["h", "lo", "n"])
+
+    partials = occ2.map_batches(partial, batch_format="pyarrow")
+    table, _ = driver_merge_or_none(
+        partials, ["h"], [("lo", "min", "lo"), ("n", "sum", "n")],
+        max_driver_rows=max_driver_winners,
+    )
+    if table is None:
+        return _losing_spans_gb(occ2, id_col)
+
+    contested = (table.filter(pc.greater(table.column("n"), 1))
+                 if table.num_rows else table)
+    if contested.num_rows == 0:
+        # no duplicated span anywhere — typed empty losers (the merge's
+        # empty-partials fallback is NULL-typed; never feed it onward)
+        import ray.data as rd
+
+        t = id_type
+        if t is None:
+            try:
+                t = pa.schema(
+                    occ2.schema(fetch_if_missing=False).base_schema
+                ).field(id_col).type
+            except Exception:
+                t = pa.string()
+        return rd.from_arrow(
+            pa.schema([(id_col, t), ("start", pa.int64())]).empty_table())
+    h_set = contested.column("h").combine_chunks()
+    wk = pc.binary_join_element_wise(
+        contested.column("h"), contested.column("lo"), "\x1f")
+    wkeys = wk.combine_chunks() if isinstance(wk, pa.ChunkedArray) else wk
+    ref = ray.put((h_set, wkeys))
+
+    def filt(b: pa.Table) -> pa.Table:
+        hs, wks = get_broadcast(ref)
+        full = pc.binary_join_element_wise(b.column("h"), b.column("r"), "\x1f")
+        mask = pc.and_(
+            pc.is_in(b.column("h"), value_set=hs),
+            pc.invert(pc.is_in(full, value_set=wks)),
+        )
+        return b.filter(mask).select([id_col, "start"])
+
+    return occ2.map_batches(filt, batch_format="pyarrow")
+
+
 def span_dedup(
     docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
     n_sent: int = 3, segmenter=sentence_segments, min_norm_chars: int = 1,
+    max_driver_winners: int = 2_000_000, max_broadcast_losers: int = 2_000_000,
 ) -> Dataset:
     """Remove duplicated ``n_sent``-sentence spans corpus-wide, keeping
     the first occurrence.  Returns (id_col, text_col, n_spans_removed);
     docs losing no span pass through byte-identical."""
+    from .steps.dedup import get_broadcast
+
     occ = span_occurrences(docs, id_col=id_col, text_col=text_col,
                            n_sent=n_sent, segmenter=segmenter,
                            min_norm_chars=min_norm_chars)
-    losers = losing_spans(occ, id_col=id_col)
+    id_type = pa.schema(docs.schema().base_schema).field(id_col).type
+    losers = losing_spans(occ, id_col=id_col,
+                          max_driver_winners=max_driver_winners,
+                          id_type=id_type).materialize()
 
-    # Tagged union for the cogroup: docs carry text (start = -1),
-    # losers carry a start (text = null).
+    def _surgery(text, starts):
+        segs = segmenter(text)
+        drop = np.zeros(len(segs), dtype=bool)
+        for s in starts:
+            drop[s:s + n_sent] = True
+        return "".join(seg for seg, d in zip(segs, drop) if not d)
+
+    if losers.count() <= max_broadcast_losers:
+        # ZERO-shuffle path: broadcast the (small) loser map and rewrite
+        # affected docs inside one map_batches over the original docs.
+        lmap: dict = {}
+        for r in losers.take_all():
+            lmap.setdefault(r[id_col], []).append(int(r["start"]))
+        ref = ray.put(lmap)
+
+        def rewrite(b: pa.Table) -> pa.Table:
+            d = get_broadcast(ref)
+            texts = b.column(text_col).to_pylist()
+            ids = b.column(id_col).to_pylist()
+            out_t, n_rm = [], []
+            for did, text in zip(ids, texts):
+                st = d.get(did)
+                if not st or not text:
+                    out_t.append(text)
+                    n_rm.append(0)
+                    continue
+                out_t.append(_surgery(text, sorted(st)))
+                n_rm.append(len(st))
+            return pa.table(
+                {id_col: b.column(id_col),
+                 text_col: pa.array(out_t, type=pa.string()),
+                 "n_spans_removed": pa.array(n_rm, type=pa.int64())}
+            )
+
+        return docs.select_columns([id_col, text_col]).map_batches(
+            rewrite, batch_format="pyarrow")
+
+    # Above the cap: tagged-union cogroup by doc_id (docs carry text
+    # with start = -1, losers carry a start with null text) — one
+    # doc-text shuffle, zero driver state.
     def tag_docs(b: pa.Table) -> pa.Table:
         return pa.table(
             {id_col: b.column(id_col),
@@ -174,16 +309,10 @@ def span_dedup(
         did = group.column(id_col)[0]
         text = group.column(text_col)[doc_rows[0]].as_py()
         lose_starts = sorted(int(s) for s in starts if s >= 0)
-        if not lose_starts:
+        if not lose_starts or not text:
             out_text, n_removed = text, 0
         else:
-            segs = segmenter(text)
-            drop = np.zeros(len(segs), dtype=bool)
-            for s in lose_starts:
-                drop[s:s + n_sent] = True
-            out_text = "".join(
-                seg for seg, d in zip(segs, drop) if not d)
-            n_removed = len(lose_starts)
+            out_text, n_removed = _surgery(text, lose_starts), len(lose_starts)
         return pa.table(
             {id_col: pa.array([did.as_py()],
                               type=group.schema.field(id_col).type),
@@ -198,7 +327,7 @@ def span_dedup(
 
 def line_dedup(
     docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
-    min_norm_chars: int = 15,
+    min_norm_chars: int = 15, **kwargs,
 ) -> Dataset:
     """RefinedWeb-style corpus-wide exact LINE dedup: every duplicated
     line (normalized: lowercased, whitespace-collapsed) is removed from
@@ -207,4 +336,5 @@ def line_dedup(
     dates) would otherwise be deleted corpus-wide on the first page that
     carries it.  Same three-stage shape and cost as span_dedup."""
     return span_dedup(docs, id_col=id_col, text_col=text_col, n_sent=1,
-                      segmenter=line_segments, min_norm_chars=min_norm_chars)
+                      segmenter=line_segments, min_norm_chars=min_norm_chars,
+                      **kwargs)

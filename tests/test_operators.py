@@ -1455,3 +1455,35 @@ def test_line_dedup_semantics():
     assert out[2] == ("Home\nOwn content of document two.", 1)
     assert out[3] == (docs[2]["text"], 0)            # "Home" exempt (short)
     assert out == run(1)
+
+
+def test_span_dedup_fallback_paths_identical():
+    """The stage-2 groupby fallback (max_driver_winners=0) and stage-3
+    cogroup fallback (max_broadcast_losers=0) produce results identical
+    to the broadcast fast paths."""
+    import ray.data
+
+    from dataguards_ray.spandedup import span_dedup
+
+    dup = ("Alpha shared sentence one. Beta shared sentence two! "
+           "Gamma shared sentence three? ")
+    docs = [
+        {"doc_id": 10, "text": "Own opener sentence here. " + dup + "Tail."},
+        {"doc_id": 11, "text": dup + "Unique eleven ending."},
+        {"doc_id": 12, "text": dup + "Unique twelve ending."},
+        {"doc_id": 13, "text": "No duplicate content inside. At all! Ok."},
+    ]
+
+    def run(**kw):
+        ds = ray.data.from_items(docs).repartition(2)
+        return sorted(
+            (r["doc_id"], r["text"], r["n_spans_removed"])
+            for r in span_dedup(ds, **kw).take_all())
+
+    fast = run()
+    assert fast == run(max_driver_winners=0)
+    assert fast == run(max_broadcast_losers=0)
+    assert fast == run(max_driver_winners=0, max_broadcast_losers=0)
+    by_id = {d: (t, n) for d, t, n in fast}
+    assert by_id[10][1] == 0 and by_id[11][1] == 1 and by_id[12][1] == 1
+    assert dup not in by_id[11][0] and dup not in by_id[12][0]
