@@ -2186,6 +2186,31 @@ SELECT 'props', COUNT(*), COUNT(*)-COUNT(props),
 """
 
 
+def _q_event_row_number(sf_dir: str):
+    """Global ROW_NUMBER (aggregates.global_row_number): every event
+    enumerated under the total order (ts, event_id) — range buckets +
+    driver cumsum of thin per-bucket counts + local sort, one shuffle,
+    no global sort barrier."""
+    from dataguards_ray.aggregates import global_row_number
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64())})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = global_row_number(ds, ["ts_us", "event_id"])
+    return out.select_columns(["event_id", "rn"])
+
+
+_SQL_ROW_NUMBER = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events WHERE ts IS NOT NULL
+"""
+
+
 def _q_first_last_event_type(sf_dir: str):
     """FIRST_VALUE/LAST_VALUE window (aggregates.grouped_first_last):
     each user's first and last event_type under (ts, event_id).  The
@@ -2426,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ind_fk_violations": _q_ind_fk_violations,
         "unique_violations_orders": _q_unique_violations_orders,
         "first_last_event_type": _q_first_last_event_type,
+        "event_row_number": _q_event_row_number,
         "tpch_q4_shape": _q_tpch_q4_shape,
         "tpch_q17_shape": _q_tpch_q17_shape,
         "tpch_q18_shape": _q_tpch_q18_shape,
@@ -2522,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "ind_fk_violations": _SQL_IND_FK,
         "unique_violations_orders": _SQL_UNIQUE_VIOL,
         "first_last_event_type": _SQL_FIRST_LAST,
+        "event_row_number": _SQL_ROW_NUMBER,
         "tpch_q4_shape": _SQL_TPCH_Q4,
         "tpch_q17_shape": _SQL_TPCH_Q17,
         "tpch_q18_shape": _SQL_TPCH_Q18,

@@ -893,3 +893,95 @@ def grouped_first_last(
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def global_row_number(
+    ds: Dataset,
+    order_cols: list[str],
+    *,
+    out_col: str = "rn",
+    bucket_width: int | None = None,
+    max_buckets: int = 4_000_000,
+) -> Dataset:
+    """Global ROW_NUMBER() OVER (ORDER BY order_cols) — distributed
+    enumeration without a global sort barrier.
+
+    Scale shape: rows land in coarse RANGE buckets of the leading order
+    column (``bucket_width`` units; default = span/1024 measured by a
+    thin min/max pre-pass); a thin per-bucket count groupby + a driver
+    cumsum give each bucket its global offset (one broadcast int per
+    bucket — cap ``max_buckets``); each bucket then sorts locally in
+    one ``map_groups`` and numbers its rows ``offset + 1..n``.  The
+    dataset shuffles ONCE (the bucket groupby); nothing corpus-sized
+    touches the driver.
+
+    Rows with a NULL in any order column are excluded (mirror with
+    ``WHERE ... IS NOT NULL``); order columns must be int-castable and
+    the composite must be unique for a deterministic result.  Returns
+    the input columns + ``out_col``."""
+    import ray as _ray
+
+    from .steps.dedup import get_broadcast
+
+    lead = order_cols[0]
+    if bucket_width is None:
+        def mm(b: pa.Table) -> pa.Table:
+            v = pa.compute.cast(b.column(lead), pa.int64())
+            return pa.table({"lo": pa.array([pa.compute.min(v).as_py()], type=pa.int64()),
+                             "hi": pa.array([pa.compute.max(v).as_py()], type=pa.int64())})
+
+        parts = ds.select_columns([lead]).map_batches(mm, batch_format="pyarrow").take_all()
+        los = [r["lo"] for r in parts if r["lo"] is not None]
+        his = [r["hi"] for r in parts if r["hi"] is not None]
+        if not los:
+            return ds.map_batches(
+                lambda b: b.slice(0, 0).append_column(
+                    out_col, pa.array([], type=pa.int64())),
+                batch_format="pyarrow")
+        bucket_width = max((max(his) - min(los)) // 1024, 1)
+
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = None
+        for c in order_cols:
+            v = pc.is_valid(b.column(c))
+            mask = v if mask is None else pc.and_(mask, v)
+        b = b.filter(mask)
+        v = pc.cast(b.column(lead), pa.int64())
+        bkt = _np_floor_div(v, bucket_width)
+        return b.append_column("__b", bkt)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    counts = grouped_agg(prepped.select_columns(["__b"]),
+                         ["__b"], [("__b", "count", "n")])
+    rows = sorted((r["__b"], r["n"]) for r in counts.take_all())
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"{len(rows)} row-number buckets > max_buckets={max_buckets}; "
+            f"raise bucket_width")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bkt, n in rows:
+        offsets[bkt] = acc
+        acc += n
+    ref = _ray.put(offsets)
+
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def number(group: pa.Table) -> pa.Table:
+        bkt = group.column("__b")[0].as_py()
+        g = group.drop_columns(["__b"]).sort_by(sort_keys)
+        off = get_broadcast(ref)[bkt]
+        rn = pa.array(np.arange(1, g.num_rows + 1) + off, type=pa.int64())
+        return g.append_column(out_col, rn)
+
+    return prepped.groupby("__b").map_groups(number, batch_format="pyarrow")
+
+
+def _np_floor_div(arr: pa.Array, d: int) -> pa.Array:
+    """Arrow floor division for int64 (pc.divide truncates toward zero)."""
+    v = (
+        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    ).to_numpy(zero_copy_only=False)
+    return pa.array(np.floor_divide(v, d), type=pa.int64())

@@ -1487,3 +1487,25 @@ def test_span_dedup_fallback_paths_identical():
     by_id = {d: (t, n) for d, t, n in fast}
     assert by_id[10][1] == 0 and by_id[11][1] == 1 and by_id[12][1] == 1
     assert dup not in by_id[11][0] and dup not in by_id[12][0]
+
+
+def test_global_row_number():
+    """Global ROW_NUMBER: dense 1..N under the total order, null order
+    rows excluded, stable across partitioning and bucket widths."""
+    import ray.data
+
+    from dataguards_ray.aggregates import global_row_number
+
+    rows = [{"id": i, "v": (i * 37) % 101} for i in range(200)]
+    rows[7]["v"] = None  # excluded
+    expected = [r["id"] for r in sorted(
+        (r for r in rows if r["v"] is not None),
+        key=lambda r: (r["v"], r["id"]))]
+
+    for bw in (1, 13, None):
+        ds = ray.data.from_items(rows).repartition(5)
+        out = global_row_number(ds, ["v", "id"], bucket_width=bw).take_all()
+        got = [r["id"] for r in sorted(out, key=lambda r: r["rn"])]
+        assert [r["rn"] for r in sorted(out, key=lambda r: r["rn"])] == \
+            list(range(1, len(expected) + 1))
+        assert got == expected, bw
