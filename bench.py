@@ -107,7 +107,9 @@ def run_bench() -> dict:
                      "dedup_docs_exact", "knn_embeddings", "cfd_violations",
                      "minhash_near_dups", "asof_click_purchase",
                      "median_price_by_priority", "tpch_q5_shape",
-                     "dense_rank_cust_balance"):
+                     "dense_rank_cust_balance", "span_dedup_docs",
+                     "interval_overlap_click_view", "event_row_number",
+                     "tpch_q18_shape"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):

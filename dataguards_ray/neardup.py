@@ -500,6 +500,21 @@ def verify_pairs_jaccard(
             sch.empty_table().append_column(out_col, pa.array([], type=pa.float64()))
         )
     j = hash_join(pairs_s, a_side, on=["id_a"], num_partitions=8)
+    # the first join's own finalize can emit 0-row SCHEMALESS blocks
+    # (hash_join partition-coverage caveat); they poison the second
+    # join's left side — scrub between the joins.  j is candidate-pair
+    # sized (pairs + one text), so the scrub's materialize is bounded.
+    j = scrub_empty_blocks(
+        j, num_blocks=8,
+        schema=pa.schema([("id_a", id_t), ("id_b", id_t),
+                          ("__text_a", pa.string())]),
+    )
+    if j.count() == 0:  # no candidate matched a corpus id
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pair_schema.empty_table().append_column(
+                out_col, pa.array([], type=pa.float64())))
     j = hash_join(j, b_side, on=["id_b"], num_partitions=8)
 
     def score(batch: pa.Table) -> pa.Table:
