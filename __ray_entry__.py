@@ -543,6 +543,64 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def _q_orders_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation (joins.table_diff): orders vs a
+    deterministically mutated copy (orderkey%7 rows deleted, %11 rows
+    repriced, %13 rows re-added under key+10M) — added/removed/changed
+    per key, equal rows drop.  One projected-column cogroup shuffle."""
+    from dataguards_ray.joins import table_diff
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey")
+        p = pc.cast(b.column("o_totalprice"), pa.float64())
+        keep = pc.not_equal(_pc_mod(k, 7), 0)
+        bump = pc.equal(_pc_mod(k, 11), 0)
+        upd = pa.table(
+            {"o_orderkey": k,
+             "o_totalprice": pc.if_else(bump, pc.add(p, 1.0), p)}
+        ).filter(keep)
+        extra = pa.table(
+            {"o_orderkey": pc.add(k, 10_000_000),
+             "o_totalprice": p}
+        ).filter(pc.equal(_pc_mod(k, 13), 0))
+        return pa.concat_tables([upd, extra])
+
+    mutated = base.map_batches(mutate, batch_format="pyarrow")
+    return table_diff(base, mutated, "o_orderkey").sort("o_orderkey")
+
+
+def _pc_mod(arr, d: int):
+    """Arrow int modulo (no pc.mod kernel in this pyarrow build)."""
+    import numpy as np
+
+    v = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+         ).to_numpy(zero_copy_only=False)
+    return pa.array(np.mod(v, d), type=pa.int64())
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH r AS (
+  SELECT o_orderkey,
+         o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0 END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice FROM orders
+  WHERE o_orderkey % 13 = 0
+), l AS (SELECT o_orderkey, o_totalprice FROM orders)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       CASE WHEN r.o_orderkey IS NULL THEN 'removed'
+            WHEN l.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL
+   OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+ORDER BY o_orderkey
+"""
+
+
 def _q_cube_order_counts(sf_dir: str):
     """GROUP BY CUBE (aggregates.grouping_sets with all 4 subsets of
     (status, priority)): order counts + total cents at every
@@ -2413,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_orders_per_priority": _q_top2_orders_per_priority,
         "rollup_counts": _q_rollup_counts,
         "cube_order_counts": _q_cube_order_counts,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "salted_source_counts": _q_salted_source_counts,
         "rule_range_violations": _q_rule_range_violations,
         "rule_predicate_violations": _q_rule_predicate_violations,
@@ -2510,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "top2_orders_per_priority": _SQL_TOP2_PER_GROUP,
         "rollup_counts": _SQL_ROLLUP,
         "cube_order_counts": _SQL_CUBE,
+        "orders_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "salted_source_counts": _SQL_SALTED,
         "rule_range_violations": _SQL_RULE_RANGE,
         "rule_predicate_violations": _SQL_RULE_PRED,

@@ -1100,3 +1100,68 @@ def interval_join(
         return pa.table(cols)
 
     return keyed.groupby("__gk").map_groups(kernel, batch_format="pyarrow")
+
+
+def table_diff(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    *,
+    compare_cols: "list[str] | None" = None,
+    right_suffix: str = "_r",
+) -> Dataset:
+    """Dataset reconciliation (new-snapshot vs old-snapshot): one row
+    per key present in either side whose row was added, removed, or
+    changed — SQL ``FULL OUTER JOIN … WHERE l.k IS NULL OR r.k IS NULL
+    OR any(c: l.c IS DISTINCT FROM r.c)``.  Equal rows drop.
+
+    Returns (key, status) with status ∈ {added, removed, changed}
+    ("added" = present only in ``right``).  ``compare_cols`` defaults to
+    the non-key columns shared by both schemas.  Null keys never match
+    (SQL): a null-key left row reports "removed", a null-key right row
+    "added".  Rides outer_join_by_key's tagged-union cogroup — one
+    shuffle of the PROJECTED (key + compare) columns per side, no
+    driver state; keys must be near-unique per side (the cogroup emits
+    the per-key cross product)."""
+    ls = pa.schema(left.schema().base_schema)
+    rs = pa.schema(right.schema().base_schema)
+    if compare_cols is None:
+        rnames = set(rs.names)
+        compare_cols = [n for n in ls.names if n != key and n in rnames]
+    def presence(flag: str):
+        # presence must be tested via a never-null indicator, NOT key
+        # nullness — a null-key row has null key columns on BOTH sides
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(flag, pa.array([1] * b.num_rows, type=pa.int8()))
+        return f
+
+    l2 = left.select_columns([key] + compare_cols).map_batches(
+        presence("__lp"), batch_format="pyarrow")
+    r2 = right.select_columns([key] + compare_cols).map_batches(
+        presence("__rp"), batch_format="pyarrow")
+    j = outer_join_by_key(l2, r2, key, how="full", right_suffix=right_suffix)
+    rk_out = key + right_suffix
+
+    def classify(b: pa.Table) -> pa.Table:
+        lk, rk = b.column(key), b.column(rk_out)
+        removed = pc.is_null(b.column("__rp"))
+        added = pc.is_null(b.column("__lp"))
+        changed = pa.array(np.zeros(b.num_rows, dtype=bool))
+        for c in compare_cols:
+            a, r = b.column(c), b.column(c + right_suffix)
+            # IS DISTINCT FROM: null-ness differs, or both valid and !=
+            d = pc.or_(
+                pc.xor(pc.is_null(a), pc.is_null(r)),
+                pc.fill_null(pc.not_equal(a, r), False),
+            )
+            changed = pc.or_(changed, d)
+        status = pc.if_else(
+            removed, pa.scalar("removed"),
+            pc.if_else(added, pa.scalar("added"),
+                       pc.if_else(changed, pa.scalar("changed"),
+                                  pa.scalar(None, pa.string()))),
+        )
+        out = pa.table({key: pc.coalesce(lk, rk), "status": status})
+        return out.filter(pc.is_valid(status))
+
+    return j.map_batches(classify, batch_format="pyarrow")

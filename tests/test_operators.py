@@ -1509,3 +1509,29 @@ def test_global_row_number():
         assert [r["rn"] for r in sorted(out, key=lambda r: r["rn"])] == \
             list(range(1, len(expected) + 1))
         assert got == expected, bw
+
+
+def test_table_diff_statuses_and_nulls():
+    """table_diff: added/removed/changed classification, IS DISTINCT
+    FROM null semantics, equal rows dropped, null keys never match."""
+    import ray.data
+
+    from dataguards_ray.joins import table_diff
+
+    L = [
+        {"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 3, "v": None},
+        {"k": 4, "v": 40}, {"k": None, "v": 0},
+    ]
+    R = [
+        {"k": 1, "v": 10},           # equal -> dropped
+        {"k": 2, "v": 21},           # changed (value)
+        {"k": 3, "v": 30},           # changed (null -> value)
+        {"k": 5, "v": 50},           # added
+        {"k": None, "v": 0},         # null key -> added
+    ]                                # k=4 -> removed; L null key -> removed
+    out = table_diff(ray.data.from_items(L).repartition(2),
+                     ray.data.from_items(R).repartition(3), "k")
+    got = sorted((r["k"] if r["k"] is not None else -99, r["status"])
+                 for r in out.take_all())
+    assert got == [(-99, "added"), (-99, "removed"), (2, "changed"),
+                   (3, "changed"), (4, "removed"), (5, "added")]
