@@ -1131,6 +1131,22 @@ def _web_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _q_approx_quantiles_price(sf_dir: str):
+    """Histogram approx-quantile sketch (aggregates.approx_quantile_hist):
+    p50/p90/p99 of o_totalprice within one bucket width
+    ((max-min)/8192) of the exact quantile.  Rows-only (the bound, not
+    the value, is the contract; pytest asserts it against the exact
+    operator)."""
+    from dataguards_ray.aggregates import approx_quantile_hist
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    vals = approx_quantile_hist(ds, "o_totalprice", [0.5, 0.9, 0.99])
+    return pa.table(
+        {"q": pa.array([0.5, 0.9, 0.99], type=pa.float64()),
+         "approx": pa.array(vals, type=pa.float64())}
+    )
+
+
 def _q_span_dedup_docs(sf_dir: str):
     """C4-style duplicated-span dedup (spandedup.span_dedup): remove
     repeated 3-sentence spans corpus-wide, keep the first occurrence —
@@ -2516,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_shape": _q_tpch_q18_shape,
         # rows-only (no SQL equivalent):
         "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
+        "approx_quantiles_price": _q_approx_quantiles_price,
         "minhash_near_dups": _q_minhash_near_dups,
         "span_dedup_docs": _q_span_dedup_docs,
         "line_dedup_docs": _q_line_dedup_docs,

@@ -985,3 +985,73 @@ def _np_floor_div(arr: pa.Array, d: int) -> pa.Array:
         arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     ).to_numpy(zero_copy_only=False)
     return pa.array(np.floor_divide(v, d), type=pa.int64())
+
+
+def approx_quantile_hist(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 8192,
+) -> list[float]:
+    """Approximate quantiles via a fixed uniform histogram — the fourth
+    mergeable sketch beside Bloom / HLL / approx_top_k.  Two thin
+    passes: (1) global (min, max, null-aware) partials; (2) per-batch
+    bucket counts pre-aggregated before a ≤``n_buckets``-row groupby.
+    Nothing corpus-sized moves or lands on the driver.
+
+    Returns the UPPER EDGE of the bucket holding each q-th value
+    (quantile_disc rank semantics: k = ceil(q·n)), so the true
+    quantile_disc value lies within one bucket width
+    ``(max-min)/n_buckets`` — the caller-visible error bound, exact for
+    q=1.  Deterministic (no sampling) and independent of partitioning.
+    Null values are ignored; returns [] for an all-null/empty column."""
+    import math
+
+    import pyarrow.compute as pc
+
+    def mm(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(col), pa.float64())
+        return pa.table(
+            {"lo": pa.array([pc.min(v).as_py()], type=pa.float64()),
+             "hi": pa.array([pc.max(v).as_py()], type=pa.float64()),
+             "n": pa.array([len(v) - v.null_count], type=pa.int64())}
+        )
+
+    parts = ds.select_columns([col]).map_batches(mm, batch_format="pyarrow").take_all()
+    los = [r["lo"] for r in parts if r["lo"] is not None]
+    n_total = sum(r["n"] for r in parts)
+    if not los or n_total == 0:
+        return []
+    lo = min(los)
+    hi = max(r["hi"] for r in parts if r["hi"] is not None)
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(col), pa.float64())
+        v = v.filter(pc.is_valid(v))
+        idx = np.clip(
+            np.floor((v.to_numpy(zero_copy_only=False) - lo) / width),
+            0, n_buckets - 1,
+        ).astype(np.int64)
+        cnt = np.bincount(idx, minlength=1)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"b": pa.array(nz, type=pa.int64()),
+                         "n": pa.array(cnt[nz], type=pa.int64())})
+
+    counts = grouped_agg(
+        ds.select_columns([col]).map_batches(bucketize, batch_format="pyarrow"),
+        ["b"], [("n", "sum", "n")],
+    )
+    rows = sorted((r["b"], r["n"]) for r in counts.take_all())
+    cum = 0
+    cum_by_bucket: list[tuple[int, int]] = []
+    for bkt, n in rows:
+        cum += n
+        cum_by_bucket.append((bkt, cum))
+    out: list[float] = []
+    for q in qs:
+        k = max(1, math.ceil(q * n_total))
+        bkt = next(b for b, c in cum_by_bucket if c >= k)
+        out.append(min(lo + (bkt + 1) * width, hi))
+    return out

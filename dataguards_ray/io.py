@@ -312,3 +312,16 @@ def cast_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
         return batch.select(schema.names).cast(schema)
 
     return ds.map_batches(_cast, batch_format="pyarrow")
+
+
+def read_text(path: str, **kwargs) -> Dataset:
+    """S5c: plain-text reader — one row per line, column ``text``
+    (raw-corpus ingestion; chain parse/cast stages for structure)."""
+    return ray.data.read_text(path, **kwargs)
+
+
+def write_jsonl(ds: Dataset, out_dir: str, **kwargs) -> None:
+    """JSONL sink (interchange exports — lineage samples, eval dumps).
+    One file per block, same resumable-partition layout rules as the
+    parquet writer: never one giant file."""
+    ds.write_json(out_dir, **kwargs)

@@ -1535,3 +1535,30 @@ def test_table_diff_statuses_and_nulls():
                  for r in out.take_all())
     assert got == [(-99, "added"), (-99, "removed"), (2, "changed"),
                    (3, "changed"), (4, "removed"), (5, "added")]
+
+
+def test_approx_quantile_hist_error_bound():
+    """Histogram quantile sketch: within one bucket width of the exact
+    quantile_disc value, exact at q=1, [] on all-null, and
+    partition-invariant."""
+    import ray.data
+
+    from dataguards_ray.aggregates import approx_quantile_hist
+
+    vals = [((i * 131) % 997) / 7.0 for i in range(5000)]
+    rows = [{"v": v} for v in vals] + [{"v": None}] * 20
+    qs = [0.01, 0.5, 0.9, 0.99, 1.0]
+    ds = ray.data.from_items(rows).repartition(7)
+    got = approx_quantile_hist(ds, "v", qs, n_buckets=1024)
+    width = (max(vals) - min(vals)) / 1024
+    sv = sorted(vals)
+    import math
+    for q, g in zip(qs, got):
+        exact = sv[max(1, math.ceil(q * len(sv))) - 1]
+        assert abs(g - exact) <= width + 1e-9, (q, g, exact)
+    assert got[-1] == max(vals)
+    got2 = approx_quantile_hist(ray.data.from_items(rows).repartition(1),
+                                "v", qs, n_buckets=1024)
+    assert got == got2
+    assert approx_quantile_hist(
+        ray.data.from_items([{"v": None}] * 5), "v", [0.5]) == []
