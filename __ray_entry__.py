@@ -1168,6 +1168,17 @@ def _q_span_dedup_docs(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup dedup (similarity.embedding_dedup_filter):
+    survivors after dropping cosine-≥0.4 components to their min-id
+    member.  Rows-only (components aren't SQL-expressible; the pair
+    stage is SQL-green as near_dup_embeddings)."""
+    from dataguards_ray.similarity import embedding_dedup_filter
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup_filter(ds, 0.4).select_columns(["vec_id"]).sort("vec_id")
+
+
 def _q_line_dedup_docs(sf_dir: str):
     """RefinedWeb-style corpus-wide exact line dedup
     (spandedup.line_dedup): duplicated normalized lines (≥15 chars)
@@ -2555,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "span_dedup_docs": _q_span_dedup_docs,
         "line_dedup_docs": _q_line_dedup_docs,
+        "embedding_dedup": _q_embedding_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ivf_knn_embeddings": _q_ivf_knn,

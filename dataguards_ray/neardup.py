@@ -656,7 +656,36 @@ def near_dedup_filter(
 
     pairs = minhash_pair_candidates(
         ds, text_col=text_col, id_col=id_col, threshold=threshold
-    ).materialize()
+    )
+    return drop_pair_losers(ds, pairs, id_col=id_col,
+                            distributed=distributed,
+                            max_driver_pairs=max_driver_pairs)
+
+
+def drop_pair_losers(
+    ds: Dataset,
+    pairs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    distributed: bool | None = None,
+    max_driver_pairs: int = 200_000,
+) -> Dataset:
+    """Shared dedup tail for ANY near-dup pair source (MinHash, SimHash,
+    embedding-cosine): resolve connected components over (id_a, id_b)
+    pairs and drop every non-minimum member.
+
+    Components run either on the driver (union-find — pair sets far
+    below ``max_driver_pairs``) or fully distributed
+    (``connected_components`` label propagation) when the pair set is
+    large or ``distributed=True``.  Winner per component = min id;
+    losers are filtered out vectorized (loser sets are collision-sized
+    → broadcast; swap for a hash join at extreme collision rates)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .steps.dedup import get_broadcast
+
+    pairs = pairs.materialize()
     if distributed is None:
         distributed = pairs.count() > max_driver_pairs
 

@@ -431,3 +431,28 @@ def lsh_bucket_pairs(
             "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
         }
     )
+
+
+def embedding_dedup_filter(
+    ds: Dataset,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    distributed: bool | None = None,
+    max_driver_pairs: int = 200_000,
+) -> Dataset:
+    """Embedding-cosine near-dup DEDUP (task-brief dedup family member):
+    drop every row whose vector is within ``threshold`` cosine of a
+    lower-id row's vector, transitively (connected components, min-id
+    winner).  Pair discovery = exact all-pairs baseline
+    (``near_dup_cosine``; swap in ``lsh_bucket_pairs`` / IVF buckets at
+    matrix-exceeds-broadcast scale); loser resolution = the shared
+    ``drop_pair_losers`` tail (driver union-find under the cap,
+    distributed label propagation above it)."""
+    from .neardup import drop_pair_losers
+
+    pairs = near_dup_cosine(ds, threshold, vec_col=vec_col, id_col=id_col)
+    return drop_pair_losers(ds, pairs, id_col=id_col,
+                            distributed=distributed,
+                            max_driver_pairs=max_driver_pairs)

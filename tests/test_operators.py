@@ -1562,3 +1562,116 @@ def test_approx_quantile_hist_error_bound():
     assert got == got2
     assert approx_quantile_hist(
         ray.data.from_items([{"v": None}] * 5), "v", [0.5]) == []
+
+
+def test_randomized_differential_batch4_ops():
+    """Seeded-random differential test vs DuckDB for the batch-4 family:
+    grouped FIRST/LAST_VALUE, global ROW_NUMBER, interval-overlap join,
+    and table_diff — negatives, NULLs, ties, skewed groups."""
+    import duckdb
+    import ray.data
+
+    from dataguards_ray.aggregates import global_row_number, grouped_first_last
+    from dataguards_ray.joins import interval_join, table_diff
+
+    for seed in (11, 43):
+        rng = np.random.default_rng(seed)
+        n = 300
+        g = rng.choice(["a", "b", "c"], size=n, p=[0.7, 0.2, 0.1])
+        ts = rng.integers(-500, 500, size=n)
+        tbl = pa.table({
+            "g": pa.array(g),
+            "rid": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array([None if rng.random() < 0.1 else int(v)
+                            for v in ts], type=pa.int64()),
+            "v": pa.array([None if rng.random() < 0.1 else f"s{int(v) % 7}"
+                           for v in ts], type=pa.string()),
+        })
+        con = duckdb.connect()
+        con.register("t", tbl)
+        ds = ray.data.from_arrow(tbl).repartition(5)
+
+        # FIRST/LAST_VALUE over (ts, rid), null-ts rows excluded
+        got = {(r["g"], r["f"], r["l"]) for r in grouped_first_last(
+            ds, "g", ["ts", "rid"], "v", first_name="f", last_name="l"
+        ).take_all()}
+        want = {tuple(r) for r in con.sql("""
+            SELECT DISTINCT g, FIRST_VALUE(v) OVER w, LAST_VALUE(v) OVER w
+            FROM t WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY g ORDER BY ts, rid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """).fetchall()}
+        assert got == want, ("first_last", seed)
+
+        # global ROW_NUMBER over (ts, rid)
+        for bw in (3, None):
+            got = {(r["rid"], r["rn"]) for r in global_row_number(
+                ds, ["ts", "rid"], bucket_width=bw).take_all()}
+            want = {tuple(r) for r in con.sql("""
+                SELECT rid, CAST(ROW_NUMBER() OVER (ORDER BY ts, rid)
+                  AS BIGINT) FROM t WHERE ts IS NOT NULL""").fetchall()}
+            assert got == want, ("row_number", seed, bw)
+
+        # interval-overlap join: [ts, ts+w] per side, well-formed only
+        iv = con.sql("""
+            SELECT g, rid, ts AS s, ts + 40 AS e FROM t
+            WHERE ts IS NOT NULL""").arrow()
+        jv = con.sql("""
+            SELECT g, rid AS rid_b, ts AS s, ts + 25 AS e FROM t
+            WHERE ts IS NOT NULL""").arrow()
+        got = {(r["rid"], r["rid_b"]) for r in interval_join(
+            ray.data.from_arrow(iv).repartition(4),
+            ray.data.from_arrow(jv).repartition(3),
+            key="g", left_start="s", left_end="e",
+            right_start="s", right_end="e", bucket_us=17,
+        ).take_all()}
+        want = {tuple(r) for r in con.sql("""
+            SELECT a.rid, b.rid FROM t a JOIN t b ON a.g = b.g
+            WHERE a.ts IS NOT NULL AND b.ts IS NOT NULL
+              AND a.ts <= b.ts + 25 AND b.ts <= a.ts + 40""").fetchall()}
+        assert got == want, ("interval_join", seed)
+
+        # table_diff vs a mutated copy (key = rid, compare v)
+        mut = con.sql("""
+            SELECT rid, CASE WHEN rid % 5 = 0 THEN 'CHANGED' ELSE v END AS v
+            FROM t WHERE rid % 7 <> 0
+            UNION ALL SELECT rid + 1000, v FROM t WHERE rid % 9 = 0
+        """).arrow()
+        got = {(r["rid"], r["status"]) for r in table_diff(
+            ray.data.from_arrow(tbl.select(["rid", "v"])).repartition(3),
+            ray.data.from_arrow(mut).repartition(4), "rid").take_all()}
+        con.register("m", mut)
+        want = {tuple(r) for r in con.sql("""
+            SELECT COALESCE(t.rid, m.rid),
+                   CASE WHEN m.rid IS NULL THEN 'removed'
+                        WHEN t.rid IS NULL THEN 'added'
+                        ELSE 'changed' END
+            FROM t FULL OUTER JOIN m ON t.rid = m.rid
+            WHERE m.rid IS NULL OR t.rid IS NULL
+               OR t.v IS DISTINCT FROM m.v""").fetchall()}
+        assert got == want, ("table_diff", seed)
+        con.close()
+
+
+def test_embedding_dedup_filter_components():
+    """Embedding dedup: transitive components collapse to the min id
+    (a~b, b~c but a!~c still drops both b and c); isolated vectors
+    survive; driver and distributed paths identical."""
+    import ray.data
+
+    from dataguards_ray.similarity import embedding_dedup_filter
+
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.96, 0.28, 0.0]},   # ~ 1 (cos .96)
+        {"vec_id": 3, "embedding": [0.85, 0.53, 0.0]},   # ~ 2, not ~ 1 at .95
+        {"vec_id": 4, "embedding": [0.0, 0.0, 1.0]},     # isolated
+    ]
+
+    def run(**kw):
+        ds = ray.data.from_items(rows).repartition(2)
+        return sorted(r["vec_id"] for r in
+                      embedding_dedup_filter(ds, 0.95, **kw).take_all())
+
+    assert run() == [1, 4]
+    assert run(distributed=True) == [1, 4]
