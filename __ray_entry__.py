@@ -1549,6 +1549,43 @@ FROM events
 """
 
 
+def _q_range_sum_events(sf_dir: str):
+    """Time-RANGE moving window (events.range_sum): 5-minute trailing
+    value-cents sum per user, SQL RANGE-frame peer semantics (all
+    same-ts rows included)."""
+    from dataguards_ray.events import range_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return range_sum(ds, range_us=300_000_000)
+
+
+_SQL_RANGE_SUM = f"""
+SELECT user_id, event_id,
+       CAST(SUM({_CENTS_SQL.format(x='COALESCE(value, 0)')}) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS range_cents
+FROM events WHERE ts IS NOT NULL
+"""
+
+
+def _q_rank_customer_balance(sf_dir: str):
+    """Full RANK() with gaps (aggregates.grouped_rank): customers ranked
+    by balance within their nation — ties share, gaps follow."""
+    from dataguards_ray.aggregates import grouped_rank
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    return grouped_rank(ds, ["c_nationkey"], "c_acctbal")
+
+
+_SQL_RANK_GAPS = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+         AS BIGINT) AS rnk
+FROM customer
+"""
+
+
 def _q_pivot_orders_status(sf_dir: str):
     """SQL PIVOT (aggregates.pivot): order counts per priority × status.
     Indicator columns + the pre-aggregated groupby — no extra pass."""
@@ -2505,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_click_view": _q_interval_overlap_click_view,
         "event_gap_lag": _q_event_gap_lag,
         "moving_sum_events": _q_moving_sum_events,
+        "range_sum_events": _q_range_sum_events,
+        "rank_customer_balance": _q_rank_customer_balance,
         "pivot_orders_status": _q_pivot_orders_status,
         "full_outer_nation_balance": _q_full_outer_nation_balance,
         "var_price_by_status": _q_var_price_by_status,
@@ -2605,6 +2644,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_click_view": _SQL_INTERVAL_OVERLAP,
         "event_gap_lag": _SQL_EVENT_GAP,
         "moving_sum_events": _SQL_MOVING_SUM,
+        "range_sum_events": _SQL_RANGE_SUM,
+        "rank_customer_balance": _SQL_RANK_GAPS,
         "pivot_orders_status": _SQL_PIVOT,
         "full_outer_nation_balance": _SQL_FULL_OUTER,
         "var_price_by_status": _SQL_VAR,

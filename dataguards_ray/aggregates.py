@@ -1055,3 +1055,42 @@ def approx_quantile_hist(
         bkt = next(b for b, c in cum_by_bucket if c >= k)
         out.append(min(lo + (bkt + 1) * width, hi))
     return out
+
+
+def grouped_rank(
+    ds: Dataset,
+    keys: list[str],
+    val_col: str,
+    *,
+    descending: bool = True,
+    out: str = "rnk",
+) -> Dataset:
+    """Full RANK() window with gaps — SQL ``RANK() OVER (PARTITION BY
+    keys ORDER BY val [DESC])`` with DuckDB's default NULLS LAST.  Ties
+    share a rank; the next distinct value skips ahead (gaps) — unlike
+    dense_rank_top this keeps every row and the SQL gap semantics.
+    One co-location groupby of the (keys, val) projection; a sorted
+    run-start scan per group."""
+    import pyarrow.compute as pc
+
+    order = "descending" if descending else "ascending"
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__gk"])
+        idx = pc.sort_indices(g, sort_keys=[(val_col, order)],
+                              null_placement="at_end")
+        g = g.take(idx)
+        isnull = np.asarray(
+            pc.is_null(g.column(val_col)).to_numpy(zero_copy_only=False))
+        v = pc.fill_null(pc.cast(g.column(val_col), pa.float64()), 0.0
+                         ).to_numpy(zero_copy_only=False)
+        n = len(v)
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            change[1:] = (isnull[1:] != isnull[:-1]) | (
+                ~isnull[1:] & (v[1:] != v[:-1]))
+        starts = np.flatnonzero(change)
+        rnk = np.repeat(starts + 1, np.diff(np.append(starts, n)))
+        return g.append_column(out, pa.array(rnk, type=pa.int64()))
+
+    return keyed_map_groups(ds, keys, per_group)

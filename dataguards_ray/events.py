@@ -284,3 +284,58 @@ def hopping_window(
         .groupby(keys + ["win"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents"))
     )
+
+
+def range_sum(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    range_us: int = 300_000_000,  # 5 min
+    out_col: str = "range_cents",
+) -> Dataset:
+    """Per-key time-RANGE moving window: SQL ``SUM(cents) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN range_us PRECEDING AND
+    CURRENT ROW)`` — includes every PEER row sharing the current ts
+    (SQL RANGE frame semantics), which a rows-frame can't express.
+    Values accumulate as integer cents of COALESCE(value, 0) (callers
+    mirror the COALESCE in SQL — avoids SQL's all-null-window NULL).
+    Null-ts rows are excluded.  Prefix sums + two searchsorted per
+    sorted group — O(n log n) per key.  Returns (key, tiebreak,
+    out_col)."""
+    import pyarrow.compute as pc
+
+    def per_key(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (order_tiebreak, "ascending")]
+        )
+        g = group.take(idx)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(
+            pc.cast(g.column(value_col), pa.float64()), 0.0
+        ).to_numpy(zero_copy_only=False)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.searchsorted(ts, ts - range_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # peers included
+        return pa.table(
+            {
+                key: g.column(key),
+                order_tiebreak: g.column(order_tiebreak),
+                out_col: pa.array(csum[hi] - csum[lo], type=pa.int64()),
+            }
+        )
+
+    from .aggregates import encoded_group_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(ts_col)))
+        return b.append_column("__gk", encoded_group_key(b, [key]))
+
+    keyed = ds.select_columns([key, ts_col, order_tiebreak, value_col]).map_batches(
+        prep, batch_format="pyarrow",
+    )
+    return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")

@@ -1571,7 +1571,9 @@ def test_randomized_differential_batch4_ops():
     import duckdb
     import ray.data
 
-    from dataguards_ray.aggregates import global_row_number, grouped_first_last
+    from dataguards_ray.aggregates import (global_row_number,
+                                           grouped_first_last, grouped_rank)
+    from dataguards_ray.events import range_sum
     from dataguards_ray.joins import interval_join, table_diff
 
     for seed in (11, 43):
@@ -1650,6 +1652,35 @@ def test_randomized_differential_batch4_ops():
             WHERE m.rid IS NULL OR t.rid IS NULL
                OR t.v IS DISTINCT FROM m.v""").fetchall()}
         assert got == want, ("table_diff", seed)
+
+        # RANK with gaps (ties from ts % 50, DESC NULLS LAST)
+        rtbl = con.sql("SELECT g, rid, ts % 50 AS b FROM t").arrow()
+        got = {(r["g"], r["rid"], r["rnk"]) for r in grouped_rank(
+            ray.data.from_arrow(rtbl).repartition(4), ["g"], "b").take_all()}
+        want = {tuple(r) for r in con.sql("""
+            SELECT g, rid, CAST(RANK() OVER (
+              PARTITION BY g ORDER BY ts % 50 DESC) AS BIGINT)
+            FROM t""").fetchall()}
+        assert got == want, ("rank_gaps", seed)
+
+        # time-RANGE moving sum with peer rows (duplicate ts)
+        etbl = con.sql("""
+            SELECT g AS user_id, rid AS event_id, ts % 60 AS ts,
+                   CAST(ts AS DOUBLE)/7 AS value FROM t""").arrow()
+        con.register("etbl", etbl)
+        got = {(r["user_id"], r["event_id"], r["range_cents"])
+               for r in range_sum(
+                   ray.data.from_arrow(etbl).repartition(4),
+                   range_us=10).take_all()}
+        want = {tuple(r) for r in con.sql("""
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(FLOOR(COALESCE(value,0)*100+0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+                     AS BIGINT)
+            FROM (SELECT user_id, event_id, ts, value
+                  FROM etbl WHERE ts IS NOT NULL)""").fetchall()}
+        assert got == want, ("range_sum", seed)
         con.close()
 
 
