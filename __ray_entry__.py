@@ -1168,6 +1168,17 @@ def _q_span_dedup_docs(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_compression_ratio_docs(sf_dir: str):
+    """zlib repetition signal (textstats.compression_ratios): compressed
+    over raw size per doc — the Gopher/MassiveText boilerplate gate.
+    Rows-only (no zlib in SQL); pytest pins repetitive ≪ prose and
+    determinism."""
+    from dataguards_ray.textstats import compression_ratios
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return compression_ratios(docs).sort("doc_id")
+
+
 def _q_embedding_dedup(sf_dir: str):
     """Embedding-cosine near-dup dedup (similarity.embedding_dedup_filter):
     survivors after dropping cosine-≥0.4 components to their min-id
@@ -2606,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_docs": _q_span_dedup_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "embedding_dedup": _q_embedding_dedup,
+        "compression_ratio_docs": _q_compression_ratio_docs,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ivf_knn_embeddings": _q_ivf_knn,

@@ -106,3 +106,30 @@ def add_lang_guess(ds: Dataset, col: str = "text", out: str = "lang_guess") -> D
         return batch.append_column(out, pa.array(guesses, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def compression_ratios(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", level: int = 6,
+):
+    """Gopher/MassiveText-style repetition signal: zlib(level)-compressed
+    size over raw UTF-8 size per doc.  Boilerplate/template pages
+    compress far below prose (~0.3 vs ~0.6) — a standard web-filter
+    gate.  Deterministic (zlib output is stable for fixed level/input);
+    per-doc loop is C-speed zlib, same cost class as the fingerprint
+    pass.  Empty docs get a NULL ratio."""
+    import zlib
+
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            raw = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw)
+                       if raw else None)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "compression_ratio": pa.array(out, type=pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

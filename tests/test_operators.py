@@ -1706,3 +1706,29 @@ def test_embedding_dedup_filter_components():
 
     assert run() == [1, 4]
     assert run(distributed=True) == [1, 4]
+
+
+def test_compression_ratio_signal():
+    """zlib repetition signal: repetitive text compresses far below
+    prose, empty -> NULL, deterministic across partitioning."""
+    import ray.data
+
+    from dataguards_ray.textstats import compression_ratios
+
+    prose = ("The quick brown fox jumps over seventeen lazy dogs while "
+             "unusual zebras quietly examine fjords beyond the valley.")
+    rows = [
+        {"doc_id": 1, "text": prose * 2},
+        {"doc_id": 2, "text": "spam " * 50},
+        {"doc_id": 3, "text": ""},
+    ]
+
+    def run(n):
+        ds = ray.data.from_items(rows).repartition(n)
+        return {r["doc_id"]: r["compression_ratio"]
+                for r in compression_ratios(ds).take_all()}
+
+    out = run(3)
+    assert out[3] is None
+    assert 0.0 < out[2] < out[1] < 1.0  # repetitive compresses far below prose
+    assert out == run(1)
