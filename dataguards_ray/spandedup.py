@@ -73,15 +73,23 @@ def line_segments(text: str) -> list[str]:
     return text.splitlines(keepends=True)
 
 
-def _span_digest(segs: list[str], min_norm_chars: int = 1) -> str | None:
+def _span_digest_norm(norm_segs: list[str], min_norm_chars: int = 1) -> str | None:
     """Hex of the 128-bit digest of the normalized span; None below
     ``min_norm_chars`` normalized chars (an empty/trivial key would
     cross-match unrelated docs — line dedup raises the floor so
-    boilerplate one-worders like "Home" aren't nuked corpus-wide)."""
-    norm = " ".join(" ".join(s.split()).lower() for s in segs).strip()
+    boilerplate one-worders like "Home" aren't nuked corpus-wide).
+    Takes PRE-normalized segments (each = " ".join(s.split()).lower())
+    so sliding windows don't re-normalize every segment n_sent times."""
+    norm = " ".join(norm_segs).strip()
     if len(norm) < min_norm_chars:
         return None
     return hashlib.blake2b(norm.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def _span_digest(segs: list[str], min_norm_chars: int = 1) -> str | None:
+    """Digest of RAW segments (normalizes first) — test/one-off helper."""
+    return _span_digest_norm(
+        [" ".join(s.split()).lower() for s in segs], min_norm_chars)
 
 
 def span_occurrences(
@@ -91,6 +99,11 @@ def span_occurrences(
     """Stage 1: thin (h, doc_id, start) rows, one per n_sent-segment
     window.  Per-doc Python loop is inherent (regex segmentation), same
     cost class as the MinHash shingle pass."""
+    tcol = pa.schema(docs.schema().base_schema).field(text_col).type
+    if not (pa.types.is_string(tcol) or pa.types.is_large_string(tcol)):
+        raise ValueError(
+            f"span dedup needs a string {text_col!r} column, got {tcol} "
+            f"(decode/extract binary payloads first)")
 
     def emit(batch: pa.Table) -> pa.Table:
         hs: list[str] = []
@@ -102,8 +115,9 @@ def span_occurrences(
             if not text:
                 continue
             segs = segmenter(text)
+            norm = [" ".join(s.split()).lower() for s in segs]
             for i in range(len(segs) - n_sent + 1):
-                h = _span_digest(segs[i:i + n_sent], min_norm_chars)
+                h = _span_digest_norm(norm[i:i + n_sent], min_norm_chars)
                 if h is None:
                     continue
                 hs.append(h)
@@ -179,12 +193,39 @@ def losing_spans(
         return g.rename_columns(["h", "lo", "n"])
 
     partials = occ2.map_batches(partial, batch_format="pyarrow")
-    table, _ = driver_merge_or_none(
+    table, mat = driver_merge_or_none(
         partials, ["h"], [("lo", "min", "lo"), ("n", "sum", "n")],
         max_driver_rows=max_driver_winners,
     )
     if table is None:
-        return _losing_spans_gb(occ2, id_col)
+        # distinct-span count exceeds the driver cap: merge with Ray's
+        # NATIVE vectorized groupby-aggregate (hash shuffle of thin
+        # partials — never per-group Python over corpus-sized tiny
+        # groups), then keep only CONTESTED hashes, which collapse to
+        # the duplicated-span count (tiny in practice).
+        from ray.data.aggregate import Min as RMin
+        from ray.data.aggregate import Sum as RSum
+
+        contested_ds = (
+            mat.groupby("h")
+            .aggregate(RMin("lo", alias_name="lo"), RSum("n", alias_name="n"))
+            .filter(expr="n > 1")
+            .materialize()
+        )
+        if contested_ds.count() > max_driver_winners:
+            # even the contested set exceeds the driver: stay fully
+            # distributed (exact groupby fallback, zero driver state)
+            return _losing_spans_gb(occ2, id_col)
+        import pyarrow as _pa
+
+        tables = [t for t in ray.get(contested_ds.to_arrow_refs())
+                  if t.num_rows and t.schema.names]
+        table = (_pa.concat_tables(tables, promote_options="default")
+                 if tables else None)
+        if table is None:
+            table = pa.table({"h": pa.array([], type=pa.string()),
+                              "lo": pa.array([], type=pa.string()),
+                              "n": pa.array([], type=pa.int64())})
 
     contested = (table.filter(pc.greater(table.column("n"), 1))
                  if table.num_rows else table)
