@@ -1168,6 +1168,18 @@ def _q_span_dedup_docs(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_event_key_skew(sf_dir: str):
+    """Shuffle-skew profiler (profile.key_skew_report): hot event_type
+    keys + HLL distinct estimate + max/mean ratio — the pre-flight
+    check before any groupby/join on the key.  Rows-only (the HLL
+    estimate has no SQL twin; the exact hot-key counts are SQL-green
+    via top_sources/salted_source_counts)."""
+    from dataguards_ray.profile import key_skew_report
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return key_skew_report(ds, "event_type", top=5)
+
+
 def _q_compression_ratio_docs(sf_dir: str):
     """zlib repetition signal (textstats.compression_ratios): compressed
     over raw size per doc — the Gopher/MassiveText boilerplate gate.
@@ -2618,6 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": _q_line_dedup_docs,
         "embedding_dedup": _q_embedding_dedup,
         "compression_ratio_docs": _q_compression_ratio_docs,
+        "event_key_skew": _q_event_key_skew,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ivf_knn_embeddings": _q_ivf_knn,

@@ -77,3 +77,40 @@ def profile_table(ds: Dataset, cols: list[str]) -> Dataset:
          "n_distinct": pa.array([dmap.get(c, 0) for c in cols], type=pa.int64())}
     )
     return ray.data.from_arrow(out)
+
+
+def key_skew_report(
+    ds, key: str, *, top: int = 10, hll_p: int = 12,
+):
+    """Shuffle-skew profiler for a prospective groupby/join key: per-key
+    hot-key counts (exact, via pre-aggregated partials + top-k), an HLL
+    distinct estimate, total rows, and the max/mean skew ratio — the
+    number that predicts whether a ``groupby(key)`` will strand one
+    aggregator with a hot key's entire payload (salt/bucket when
+    ratio ≫ 1).  Two thin passes; nothing corpus-sized on the driver.
+
+    Returns an Arrow table: (key_value, n, frac_of_total, skew_ratio,
+    n_distinct_est) — one row per hot key, the scalars repeated."""
+    import pyarrow as pa
+
+    from .aggregates import grouped_agg, topk
+    from .hll import approx_count_distinct
+
+    counts = grouped_agg(ds.select_columns([key]), [key],
+                         [(key, "count", "n")]).materialize()
+    hot = topk(counts, [("n", True), (key, False)], top).take_all()
+    total = counts.sum("n") or 0
+    est_rows = approx_count_distinct(ds, key, p=hll_p).take_all()
+    n_distinct = int(est_rows[0]["approx_distinct"]) if est_rows else 0
+    mean = (total / n_distinct) if n_distinct else 0.0
+    return pa.table(
+        {"key_value": pa.array([str(r[key]) for r in hot], type=pa.string()),
+         "n": pa.array([r["n"] for r in hot], type=pa.int64()),
+         "frac_of_total": pa.array(
+             [r["n"] / total if total else 0.0 for r in hot],
+             type=pa.float64()),
+         "skew_ratio": pa.array(
+             [r["n"] / mean if mean else 0.0 for r in hot],
+             type=pa.float64()),
+         "n_distinct_est": pa.array([n_distinct] * len(hot), type=pa.int64())}
+    )

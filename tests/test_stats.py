@@ -35,3 +35,19 @@ def test_lineage_stats_match_oracle(tmp_path):
     # registered-domain report collapses to those two
     top = domain_stats(out, 5)
     assert top and top[0][0] == "example.com" and all(n > 0 for _, n in top)
+
+
+def test_key_skew_report(ray_session):
+    """Skew profiler: a hot key dominates frac_of_total and skew_ratio;
+    distinct estimate is near-exact at tiny cardinality."""
+    import ray.data
+
+    from dataguards_ray.profile import key_skew_report
+
+    rows = [{"k": "hot"}] * 80 + [{"k": f"cold{i}"} for i in range(20)]
+    t = key_skew_report(ray.data.from_items(rows).repartition(4), "k", top=3)
+    d = {r["key_value"]: r for r in t.to_pylist()}
+    assert d["hot"]["n"] == 80
+    assert abs(d["hot"]["frac_of_total"] - 0.8) < 1e-9
+    assert d["hot"]["n_distinct_est"] == 21
+    assert d["hot"]["skew_ratio"] > 10  # 80 vs mean 100/21
