@@ -854,6 +854,26 @@ def _q_dedup_docs_exact(sf_dir: str):
 _SQL_DEDUP_DOCS = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
 
 
+def _q_dedup_docs_keep_longest(sf_dir: str):
+    """Exact dedup with a QUALITY winner (neardup.exact_dedup_filter
+    keep_by): per duplicate group keep the LONGEST doc (ties → min id)
+    — real pipelines keep the best duplicate, not the lowest id."""
+    from dataguards_ray.neardup import exact_dedup_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = exact_dedup_filter(ds, keep_by=("n_chars", True))
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+_SQL_DEDUP_KEEP_LONGEST = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (
+      PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def _q_top_sources(sf_dir: str):
     from dataguards_ray.aggregates import grouped_agg, topk
 
@@ -2591,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dc_pair_violations": _q_dc_pair_violations,
         "dc_pair_ineq": _q_dc_pair_ineq,
         "dedup_docs_exact": _q_dedup_docs_exact,
+        "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
         "top_sources": _q_top_sources,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -2695,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "dc_pair_violations": _SQL_DC_PAIR,
         "dc_pair_ineq": _SQL_DC_PAIR_INEQ,
         "dedup_docs_exact": _SQL_DEDUP_DOCS,
+        "dedup_docs_keep_longest": _SQL_DEDUP_KEEP_LONGEST,
         "top_sources": _SQL_TOP_SOURCES,
         "token_counts": _SQL_TOKENS,
         "quality_scores": _SQL_QUALITY,

@@ -610,19 +610,39 @@ def exact_dedup_filter(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_by: "tuple[str, bool] | None" = None,
 ) -> Dataset:
     """Generic exact dedup (hash-partition + per-group winner): one row
-    per distinct ``text_col`` fingerprint, winner = min ``id_col``.
-    One digest-keyed all-to-all; deterministic and parallelism-
-    invariant.  (The flagship uses the specialized thin-winner variant
+    per distinct ``text_col`` fingerprint.  Winner = min ``id_col``, or
+    with ``keep_by=(col, descending)`` the BEST row by that column
+    (real pipelines keep the longest/highest-quality duplicate, not the
+    lowest id) — NULLs lose, ties break to min id, so the choice stays
+    deterministic and parallelism-invariant.  One digest-keyed
+    all-to-all.  (The flagship uses the specialized thin-winner variant
     in steps/dedup.py that rides the partition-write shuffle.)"""
+    import pyarrow.compute as pc
+
     from .textstats import add_fingerprint
 
     withfp = add_fingerprint(ds, text_col, "__fp")
 
     def pick(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        return group.take(pa.array([int(np.argmin(ids))], type=pa.int64()))
+        if keep_by is None:
+            w = int(np.argmin(ids))
+        else:
+            col, desc = keep_by
+            vcol = group.column(col)
+            isnull = np.asarray(
+                pc.is_null(vcol).to_numpy(zero_copy_only=False))
+            v = pc.fill_null(pc.cast(vcol, pa.float64()), 0.0).to_numpy(
+                zero_copy_only=False)
+            if desc:
+                v = -v
+            # lexsort: last key is primary — nulls lose, then best value,
+            # then min id
+            w = int(np.lexsort((ids, v, isnull))[0])
+        return group.take(pa.array([w], type=pa.int64()))
 
     return (
         withfp.groupby("__fp")

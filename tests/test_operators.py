@@ -1732,3 +1732,26 @@ def test_compression_ratio_signal():
     assert out[3] is None
     assert 0.0 < out[2] < out[1] < 1.0  # repetitive compresses far below prose
     assert out == run(1)
+
+
+def test_exact_dedup_keep_by():
+    """keep_by winner: best value wins, NULLs lose, ties break to min
+    id; default (min id) unchanged."""
+    import ray.data
+
+    from dataguards_ray.neardup import exact_dedup_filter
+
+    rows = [
+        {"doc_id": 1, "text": "same", "q": 5.0},
+        {"doc_id": 2, "text": "same", "q": 9.0},   # best q -> wins
+        {"doc_id": 3, "text": "same", "q": None},  # null loses
+        {"doc_id": 4, "text": "other", "q": 1.0},
+        {"doc_id": 5, "text": "tied", "q": 2.0},
+        {"doc_id": 6, "text": "tied", "q": 2.0},   # tie -> min id (5)
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    best = sorted(r["doc_id"] for r in exact_dedup_filter(
+        ds, keep_by=("q", True)).take_all())
+    assert best == [2, 4, 5]
+    default = sorted(r["doc_id"] for r in exact_dedup_filter(ds).take_all())
+    assert default == [1, 4, 5]
