@@ -1030,6 +1030,36 @@ ASOF LEFT JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type='purch
 """
 
 
+def _q_asof_next_purchase(sf_dir: str):
+    """Forward as-of join (joins.asof_join_forward): each click matched
+    to the user's EARLIEST following purchase — the backward kernel on
+    negated timestamps (inherits salting/carry-in unchanged)."""
+    from dataguards_ray.joins import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "ts", "user_id"])
+    purch = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"])
+    out = asof_join_forward(clicks, purch, key="user_id", ts_col="ts")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"click_id": b.column("event_id"),
+             "purchase_id": pc.cast(b.column("event_id_r"), pa.int64())}
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+_SQL_ASOF_FWD = """
+SELECT c.event_id AS click_id, CAST(p.event_id AS BIGINT) AS purchase_id
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type='click') c
+ASOF LEFT JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type='purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def _q_hash_sample(sf_dir: str):
     """T3: deterministic hash-based sampling (parallelism-invariant —
     NOT ds.random_sample); md5-prefix mod 1000 < 200 → ~20% of docs."""
@@ -2577,6 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_without_suppliers_negbal": _q_nations_without_negbal_suppliers,
         "latest_event_per_user": _q_latest_event_per_user,
         "asof_click_purchase": _q_asof_click_purchase,
+        "asof_next_purchase": _q_asof_next_purchase,
         "json_props_stats": _q_json_props_stats,
         "window_tumbling_events": _q_window_tumbling,
         "window_hopping_events": _q_window_hopping,
@@ -2682,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "nations_without_suppliers_negbal": _SQL_EXCEPT,
         "latest_event_per_user": _SQL_LATEST_EVENT,
         "asof_click_purchase": _SQL_ASOF,
+        "asof_next_purchase": _SQL_ASOF_FWD,
         "json_props_stats": _SQL_JSON,
         "window_tumbling_events": _SQL_WINDOW,
         "window_hopping_events": _SQL_WINDOW_HOP,

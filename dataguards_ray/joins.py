@@ -1165,3 +1165,45 @@ def table_diff(
         return out.filter(pc.is_valid(status))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def asof_join_forward(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    right_suffix: str = "_r",
+    **kw,
+) -> Dataset:
+    """Forward as-of join: for each left row, the EARLIEST right row of
+    the same key with right.ts ≥ left.ts (inclusive) — DuckDB
+    ``ASOF JOIN … ON l.ts <= r.ts``.  Implemented as the backward join
+    on NEGATED epoch-µs timestamps (pure order reversal), so it
+    inherits asof_join's salting / carry-in machinery and exactness
+    proofs unchanged.  Both ts columns come back as positive epoch-µs
+    int64 (the negation round-trips; unmatched rows keep null)."""
+
+    def neg(ds: Dataset) -> Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            ts = pc.multiply(pc.cast(b.column(ts_col), pa.int64()),
+                             pa.scalar(-1, pa.int64()))
+            return b.set_column(b.schema.get_field_index(ts_col), ts_col, ts)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = asof_join(neg(left), neg(right), key=key, ts_col=ts_col,
+                    right_suffix=right_suffix, **kw)
+    rts = ts_col + right_suffix
+
+    def unneg(b: pa.Table) -> pa.Table:
+        t = pc.multiply(pc.cast(b.column(ts_col), pa.int64()),
+                        pa.scalar(-1, pa.int64()))
+        b = b.set_column(b.schema.get_field_index(ts_col), ts_col, t)
+        if rts in b.schema.names:
+            r = pc.multiply(pc.cast(b.column(rts), pa.int64()),
+                            pa.scalar(-1, pa.int64()))
+            b = b.set_column(b.schema.get_field_index(rts), rts, r)
+        return b
+
+    return out.map_batches(unneg, batch_format="pyarrow")

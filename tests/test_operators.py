@@ -1755,3 +1755,23 @@ def test_exact_dedup_keep_by():
     assert best == [2, 4, 5]
     default = sorted(r["doc_id"] for r in exact_dedup_filter(ds).take_all())
     assert default == [1, 4, 5]
+
+
+def test_asof_join_forward_semantics():
+    """Forward as-of: earliest right with ts >= left ts (inclusive),
+    unmatched -> null, per-key isolation, negative timestamps safe."""
+    import ray.data
+
+    from dataguards_ray.joins import asof_join_forward
+
+    L = [{"k": 1, "lid": 1, "ts": -50}, {"k": 1, "lid": 2, "ts": 10},
+         {"k": 1, "lid": 3, "ts": 100}, {"k": 2, "lid": 4, "ts": 0}]
+    R = [{"k": 1, "rid": 7, "ts": -50},   # ties with lid1 (inclusive)
+         {"k": 1, "rid": 8, "ts": 60},    # next after lid2
+         {"k": 2, "rid": 9, "ts": -5}]    # before lid4 -> no match
+    out = asof_join_forward(
+        ray.data.from_items(L).repartition(2),
+        ray.data.from_items(R).repartition(2), key="k", ts_col="ts")
+    got = {r["lid"]: r["rid_r"] if "rid_r" in r else r["rid"]
+           for r in out.take_all()}
+    assert got == {1: 7, 2: 8, 3: None, 4: None}
