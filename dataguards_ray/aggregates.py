@@ -1080,15 +1080,18 @@ def grouped_rank(
         idx = pc.sort_indices(g, sort_keys=[(val_col, order)],
                               null_placement="at_end")
         g = g.take(idx)
-        isnull = np.asarray(
-            pc.is_null(g.column(val_col)).to_numpy(zero_copy_only=False))
-        v = pc.fill_null(pc.cast(g.column(val_col), pa.float64()), 0.0
-                         ).to_numpy(zero_copy_only=False)
-        n = len(v)
+        n = g.num_rows
         change = np.ones(n, dtype=bool)
         if n > 1:
-            change[1:] = (isnull[1:] != isnull[:-1]) | (
-                ~isnull[1:] & (v[1:] != v[:-1]))
+            # adjacent-inequality ARROW-side (no float cast: int64 past
+            # 2^53 must not collide); null-run boundary via is_null xor
+            s = g.column(val_col).combine_chunks()
+            a, b = s.slice(1), s.slice(0, n - 1)
+            diff = pc.or_(
+                pc.xor(pc.is_null(a), pc.is_null(b)),
+                pc.fill_null(pc.not_equal(a, b), False),
+            )
+            change[1:] = diff.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(change)
         rnk = np.repeat(starts + 1, np.diff(np.append(starts, n)))
         return g.append_column(out, pa.array(rnk, type=pa.int64()))
