@@ -1005,17 +1005,22 @@ def approx_quantile_hist(
     quantile_disc value lies within one bucket width
     ``(max-min)/n_buckets`` — the caller-visible error bound, exact for
     q=1.  Deterministic (no sampling) and independent of partitioning.
-    Null values are ignored; returns [] for an all-null/empty column."""
+    Null AND NaN values are ignored (NaN is a value to Arrow min/max
+    and would poison the range); returns [] for an all-null/empty
+    column."""
     import math
 
     import pyarrow.compute as pc
 
     def mm(b: pa.Table) -> pa.Table:
         v = pc.cast(b.column(col), pa.float64())
+        # drop NULLs and NaNs (NaN is a VALUE to Arrow min/max and would
+        # poison the histogram range; is_finite(null) is null → dropped)
+        v = v.filter(pc.fill_null(pc.is_finite(v), False))
         return pa.table(
             {"lo": pa.array([pc.min(v).as_py()], type=pa.float64()),
              "hi": pa.array([pc.max(v).as_py()], type=pa.float64()),
-             "n": pa.array([len(v) - v.null_count], type=pa.int64())}
+             "n": pa.array([len(v)], type=pa.int64())}
         )
 
     parts = ds.select_columns([col]).map_batches(mm, batch_format="pyarrow").take_all()
@@ -1029,7 +1034,7 @@ def approx_quantile_hist(
 
     def bucketize(b: pa.Table) -> pa.Table:
         v = pc.cast(b.column(col), pa.float64())
-        v = v.filter(pc.is_valid(v))
+        v = v.filter(pc.fill_null(pc.is_finite(v), False))
         idx = np.clip(
             np.floor((v.to_numpy(zero_copy_only=False) - lo) / width),
             0, n_buckets - 1,

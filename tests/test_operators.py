@@ -1546,7 +1546,8 @@ def test_approx_quantile_hist_error_bound():
     from dataguards_ray.aggregates import approx_quantile_hist
 
     vals = [((i * 131) % 997) / 7.0 for i in range(5000)]
-    rows = [{"v": v} for v in vals] + [{"v": None}] * 20
+    rows = ([{"v": v} for v in vals] + [{"v": None}] * 20
+            + [{"v": float("nan")}] * 5)  # NaN ignored like NULL
     qs = [0.01, 0.5, 0.9, 0.99, 1.0]
     ds = ray.data.from_items(rows).repartition(7)
     got = approx_quantile_hist(ds, "v", qs, n_buckets=1024)
