@@ -349,6 +349,32 @@ def _q_window_tumbling(sf_dir: str):
                        [("value_c", "sum", "sum_value_cents"), ("value_c", "count", "n")])
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Per-window COUNT(DISTINCT user): tumbling 1 h windows ×
+    aggregates.grouped_count_distinct — the windowed-dedup combo (two
+    thin pre-aggregated passes, no raw-row shuffle)."""
+    from dataguards_ray.aggregates import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        win = pc.cast(pc.floor(pc.divide(
+            pc.cast(us, pa.float64()), 3600000000.0)), pa.int64())
+        return pa.table({"win": win, "user_id": b.column("user_id")})
+
+    return grouped_count_distinct(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["win"], "user_id", "n_users")
+
+
+_SQL_WINDOW_DISTINCT = """
+SELECT CAST(FLOOR(epoch_us(ts)/3600000000.0) AS BIGINT) AS win,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY win
+"""
+
+
 _SQL_WINDOW = f"""
 SELECT event_type, CAST(FLOOR(epoch_us(ts)/3600000000.0) AS BIGINT) AS win,
        CAST(SUM({_CENTS_SQL.format(x='value')}) AS BIGINT) AS sum_value_cents,
@@ -2611,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": _q_json_props_stats,
         "window_tumbling_events": _q_window_tumbling,
         "window_hopping_events": _q_window_hopping,
+        "window_distinct_users": _q_window_distinct_users,
         "running_total_per_user": _q_running_total,
         "range_join_click_purchase": _q_range_join_click_purchase,
         "interval_overlap_click_view": _q_interval_overlap_click_view,
@@ -2717,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": _SQL_JSON,
         "window_tumbling_events": _SQL_WINDOW,
         "window_hopping_events": _SQL_WINDOW_HOP,
+        "window_distinct_users": _SQL_WINDOW_DISTINCT,
         "running_total_per_user": _SQL_RUNNING_TOTAL,
         "range_join_click_purchase": _SQL_RANGE_JOIN,
         "interval_overlap_click_view": _SQL_INTERVAL_OVERLAP,
