@@ -900,6 +900,33 @@ ORDER BY doc_id
 """
 
 
+def _q_regex_extract_source(sf_dir: str):
+    """Vectorized regexp capture (M-family): pc.extract_regex pulls the
+    numeric id out of `source` (both engines run RE2), docs counted per
+    id.  Non-matching rows drop (mirrored by WHERE regexp_matches)."""
+    from dataguards_ray.aggregates import grouped_agg
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("source"), pattern=r"^src(?P<num>\d+)$")
+        num = pc.cast(pc.struct_field(ex, "num"), pa.int64())
+        t = pa.table({"num": num})
+        return t.filter(pc.is_valid(num))
+
+    out = grouped_agg(ds.map_batches(f, batch_format="pyarrow"),
+                      ["num"], [("num", "count", "n")])
+    return out.sort("num")
+
+
+_SQL_REGEX_EXTRACT = r"""
+SELECT CAST(regexp_extract(source, '^src(\d+)$', 1) AS BIGINT) AS num,
+       COUNT(*) AS n
+FROM documents WHERE regexp_matches(source, '^src(\d+)$')
+GROUP BY num ORDER BY num
+"""
+
+
 def _q_top_sources(sf_dir: str):
     from dataguards_ray.aggregates import grouped_agg, topk
 
@@ -2671,6 +2698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": _q_dedup_docs_exact,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
         "top_sources": _q_top_sources,
+        "regex_extract_source": _q_regex_extract_source,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -2778,6 +2806,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_exact": _SQL_DEDUP_DOCS,
         "dedup_docs_keep_longest": _SQL_DEDUP_KEEP_LONGEST,
         "top_sources": _SQL_TOP_SOURCES,
+        "regex_extract_source": _SQL_REGEX_EXTRACT,
         "token_counts": _SQL_TOKENS,
         "quality_scores": _SQL_QUALITY,
         "doc_fingerprints": _SQL_FINGERPRINT,
