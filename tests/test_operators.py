@@ -1776,3 +1776,28 @@ def test_asof_join_forward_semantics():
     got = {r["lid"]: r["rid_r"] if "rid_r" in r else r["rid"]
            for r in out.take_all()}
     assert got == {1: 7, 2: 8, 3: None, 4: None}
+
+
+def test_interval_join_edges():
+    """Empty side -> no rows (no crash); degenerate hot bucket trips the
+    max_group_pairs guard instead of OOMing a task."""
+    import pytest
+    import ray.data
+
+    from dataguards_ray.joins import interval_join
+
+    L = [{"k": 1, "lid": i, "s": 0, "e": 5} for i in range(40)]
+    empty = ray.data.from_items(L).filter(expr="lid > 1000")
+    out = interval_join(
+        ray.data.from_items(L).repartition(2), empty,
+        key="k", left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket_us=10)
+    assert out.take_all() == []
+
+    hot = interval_join(
+        ray.data.from_items(L).repartition(2),
+        ray.data.from_items(L).repartition(2),
+        key="k", left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket_us=10, max_group_pairs=100)
+    with pytest.raises(Exception, match="max_group_pairs"):
+        hot.take_all()
