@@ -1583,6 +1583,46 @@ FROM events c JOIN events p
 """
 
 
+def _q_funnel_depths(sf_dir: str):
+    """Ordered conversion funnel (events.funnel): per user, how many of
+    view → click → purchase completed in order within a 1-hour
+    conversion window per step (stage i+1 counts only at/after stage
+    i's earliest qualifying time); users counted per depth."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.events import funnel
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    d = funnel(ds, ["view", "click", "purchase"], within_us=3_600_000_000)
+    out = grouped_agg(d, ["depth"], [("depth", "count", "n_users")])
+    return out.sort("depth")
+
+
+_SQL_FUNNEL = """
+WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+        AND epoch_us(e.ts) <= v.t1 + 3600000000
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+        AND epoch_us(e.ts) <= c.t2 + 3600000000
+      GROUP BY e.user_id)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+  FROM (SELECT DISTINCT user_id FROM events WHERE ts IS NOT NULL) u
+  LEFT JOIN v ON v.user_id = u.user_id
+  LEFT JOIN c ON c.user_id = u.user_id
+  LEFT JOIN p ON p.user_id = u.user_id)
+GROUP BY depth ORDER BY depth
+"""
+
+
 def _q_interval_overlap_click_view(sf_dir: str):
     """Interval-overlap join (joins.interval_join): click activity
     windows [ts, ts+30 min] × view windows [ts, ts+20 min] per user.
@@ -2705,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "token_histogram": _q_token_histogram,
         "sessionize_events": _q_sessionize_events,
+        "funnel_depths": _q_funnel_depths,
         "bpe_token_counts": _q_bpe_token_counts,
         "knn_embeddings": _q_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
@@ -2813,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _SQL_HASH_SAMPLE,
         "token_histogram": _SQL_TOKEN_HIST,
         "sessionize_events": _SQL_SESSIONIZE,
+        "funnel_depths": _SQL_FUNNEL,
         "bpe_token_counts": _SQL_BPE_TOKENS,
         "knn_embeddings": _SQL_KNN,
         "near_dup_embeddings": _SQL_NEAR_DUP_EMB,

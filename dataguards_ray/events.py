@@ -339,3 +339,59 @@ def range_sum(
         prep, batch_format="pyarrow",
     )
     return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")
+
+
+def funnel(
+    ds: Dataset,
+    stages: list[str],
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    out_col: str = "depth",
+    within_us: int | None = None,
+) -> Dataset:
+    """Ordered funnel per key: depth = how many of ``stages`` the key
+    completed IN ORDER, where stage i+1 counts only at/after the
+    earliest qualifying time of stage i (inclusive — SQL MIN(ts) ≥
+    chain), and — with ``within_us`` — no more than that many µs after
+    it (conversion window).  Classic conversion analysis
+    (view → click → purchase within 1 h).
+
+    One co-location groupby of the (key, ts, type) projection; per
+    sorted group one searchsorted per stage.  Null-ts rows are
+    excluded.  Returns (key, out_col) with depth ∈ 0..len(stages)."""
+    import pyarrow.compute as pc
+
+    def per_key(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gk"])
+        ts = pc.cast(group.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        types = group.column(type_col).to_pylist()
+        depth = 0
+        t_prev = -(1 << 62)
+        for si, st in enumerate(stages):
+            st_ts = np.sort(ts[np.fromiter(
+                (t == st for t in types), dtype=bool, count=len(types))])
+            i = np.searchsorted(st_ts, t_prev, side="left")
+            if i >= len(st_ts):
+                break
+            t = int(st_ts[i])
+            if within_us is not None and si > 0 and t > t_prev + within_us:
+                break
+            t_prev = t
+            depth += 1
+        return pa.table(
+            {key: group.column(key).slice(0, 1),
+             out_col: pa.array([depth], type=pa.int64())}
+        )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.select([key, ts_col, type_col]).filter(
+            pc.is_valid(b.column(ts_col)))
+        from .aggregates import encoded_group_key
+
+        return b.append_column("__gk", encoded_group_key(b, [key]))
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+    return keyed.groupby("__gk").map_groups(per_key, batch_format="pyarrow")

@@ -1801,3 +1801,36 @@ def test_interval_join_edges():
         right_start="s", right_end="e", bucket_us=10, max_group_pairs=100)
     with pytest.raises(Exception, match="max_group_pairs"):
         hot.take_all()
+
+
+def test_funnel_ordered_depth():
+    """Funnel: stages must occur in order (a later-stage event BEFORE
+    the prior stage doesn't count), the conversion window caps each
+    step, depth 0 when stage 1 absent; partition-invariant."""
+    import ray.data
+
+    from dataguards_ray.events import funnel
+
+    rows = [
+        # u1: view@10 -> click@20 -> purchase@25 = depth 3
+        {"user_id": 1, "event_id": 1, "ts": 10, "event_type": "view"},
+        {"user_id": 1, "event_id": 2, "ts": 20, "event_type": "click"},
+        {"user_id": 1, "event_id": 3, "ts": 25, "event_type": "purchase"},
+        # u2: click BEFORE view only -> depth 1 (view@30, no later click)
+        {"user_id": 2, "event_id": 4, "ts": 5, "event_type": "click"},
+        {"user_id": 2, "event_id": 5, "ts": 30, "event_type": "view"},
+        # u3: click too late for the window -> depth 1
+        {"user_id": 3, "event_id": 6, "ts": 0, "event_type": "view"},
+        {"user_id": 3, "event_id": 7, "ts": 500, "event_type": "click"},
+        # u4: no view at all -> depth 0
+        {"user_id": 4, "event_id": 8, "ts": 1, "event_type": "purchase"},
+    ]
+
+    def run(n):
+        ds = ray.data.from_items(rows).repartition(n)
+        return {r["user_id"]: r["depth"] for r in funnel(
+            ds, ["view", "click", "purchase"], within_us=100).take_all()}
+
+    out = run(3)
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+    assert out == run(1)
