@@ -420,6 +420,40 @@ GROUP BY event_type, win
 """
 
 
+def _q_mad_price_by_priority(sf_dir: str):
+    """Robust dispersion (aggregates.grouped_mad): exact median absolute
+    deviation of price cents per priority — two discrete-median passes,
+    group medians broadcast between them."""
+    from dataguards_ray.aggregates import grouped_mad
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b.column("o_orderpriority"),
+             "price_c": _cents(b.column("o_totalprice"))}
+        )
+
+    return grouped_mad(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"], "price_c", "mad_price_cents",
+    )
+
+
+_SQL_MAD = f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         quantile_disc({_CENTS_SQL.format(x='o_totalprice')}, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority,
+       CAST(quantile_disc(
+            abs({_CENTS_SQL.format(x='o_totalprice')} - m.med), 0.5)
+         AS BIGINT) AS mad_price_cents
+FROM orders o JOIN m ON m.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
 def _q_median_price_by_priority(sf_dir: str):
     """Exact per-group discrete median (aggregates.grouped_median) —
     order statistics need co-located groups, so this is the one
@@ -2718,6 +2752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "tpch_q3": _q_tpch_q3,
         "median_price_by_priority": _q_median_price_by_priority,
+        "mad_price_by_priority": _q_mad_price_by_priority,
         "p90_price_by_priority": _q_p90_price_by_priority,
         "distinct_customers_by_priority": _q_distinct_customers_by_priority,
         "stratified_sample_docs": _q_stratified_sample_docs,
@@ -2827,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _SQL_TOP_TOKENS,
         "tpch_q3": _SQL_TPCH_Q3,
         "median_price_by_priority": _SQL_MEDIAN,
+        "mad_price_by_priority": _SQL_MAD,
         "p90_price_by_priority": _SQL_P90,
         "distinct_customers_by_priority": _SQL_COUNT_DISTINCT,
         "stratified_sample_docs": _SQL_STRATIFIED,

@@ -1102,3 +1102,47 @@ def grouped_rank(
         return g.append_column(out, pa.array(rnk, type=pa.int64()))
 
     return keyed_map_groups(ds, keys, per_group)
+
+
+def grouped_mad(
+    ds: Dataset,
+    keys: list[str],
+    col: str,
+    out: str,
+    *,
+    max_broadcast_groups: int = 2_000_000,
+    max_group: int = 50_000_000,
+) -> Dataset:
+    """Exact per-group MEDIAN ABSOLUTE DEVIATION (discrete-median
+    semantics both passes): mad = median(|x − median(x)|) — the robust
+    dispersion statistic.  Two passes: the per-group median shuffle,
+    then the medians broadcast (one entry per group — capped) and a
+    second median over the vectorized |x − med| column.  SQL mirror:
+    CTE-join quantile_disc(|x − quantile_disc(x, .5)|, .5).  Rows of
+    all-null groups yield a null mad; integer inputs stay integer."""
+    import ray as _ray
+
+    from .steps.dedup import get_broadcast
+
+    meds = grouped_quantile(ds, keys, col, "__med", 0.5, max_group=max_group)
+    rows = meds.take_all()
+    if len(rows) > max_broadcast_groups:
+        raise ValueError(
+            f"{len(rows)} groups exceed max_broadcast_groups="
+            f"{max_broadcast_groups}; shard by a key prefix")
+    mmap = {tuple(r[k] for k in keys): r["__med"] for r in rows}
+    ref = _ray.put(mmap)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        m = get_broadcast(ref)
+        kcols = [b.column(k).to_pylist() for k in keys]
+        meds_col = pa.array(
+            [m.get(t) for t in zip(*kcols)] if kcols else [],
+            type=b.schema.field(col).type,
+        )
+        dev = pa.compute.abs(pa.compute.subtract(b.column(col), meds_col))
+        return pa.table({k: b.column(k) for k in keys} | {col: dev})
+
+    dev_ds = ds.select_columns(keys + [col]).map_batches(
+        absdev, batch_format="pyarrow")
+    return grouped_quantile(dev_ds, keys, col, out, 0.5, max_group=max_group)

@@ -1834,3 +1834,24 @@ def test_funnel_ordered_depth():
     out = run(3)
     assert out == {1: 3, 2: 1, 3: 1, 4: 0}
     assert out == run(1)
+
+
+def test_grouped_mad_semantics():
+    """MAD: median(|x - median|) with discrete-median (lower) semantics,
+    nulls ignored, all-null group -> null; partition-invariant."""
+    import ray.data
+
+    from dataguards_ray.aggregates import grouped_mad
+
+    rows = ([{"g": "a", "v": v} for v in (1, 2, 4, 100)]   # med 2, devs 1,0,2,98 -> mad 1
+            + [{"g": "b", "v": 7}]                          # single -> mad 0
+            + [{"g": "c", "v": None}, {"g": "c", "v": None}])
+
+    def run(n):
+        ds = ray.data.from_items(rows).repartition(n)
+        return {r["g"]: r["mad"] for r in grouped_mad(
+            ds, ["g"], "v", "mad").take_all()}
+
+    out = run(3)
+    assert out == {"a": 1, "b": 0, "c": None}
+    assert out == run(1)
