@@ -1682,6 +1682,19 @@ def test_randomized_differential_batch4_ops():
             FROM (SELECT user_id, event_id, ts, value
                   FROM etbl WHERE ts IS NOT NULL)""").fetchall()}
         assert got == want, ("range_sum", seed)
+
+        # grouped MAD (negatives, nulls, discrete-median both passes)
+        from dataguards_ray.aggregates import grouped_mad
+
+        got = {(r["g"], r["mad"]) for r in grouped_mad(
+            ray.data.from_arrow(tbl.select(["g", "ts"])).repartition(4),
+            ["g"], "ts", "mad").take_all()}
+        want = {tuple(r) for r in con.sql("""
+            WITH m AS (SELECT g, quantile_disc(ts, 0.5) AS med
+                       FROM t GROUP BY g)
+            SELECT t.g, CAST(quantile_disc(abs(ts - m.med), 0.5) AS BIGINT)
+            FROM t JOIN m ON m.g = t.g GROUP BY t.g""").fetchall()}
+        assert got == want, ("mad", seed)
         con.close()
 
 
