@@ -627,28 +627,25 @@ def exact_dedup_filter(
     withfp = add_fingerprint(ds, text_col, "__fp")
 
     def pick(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        # type-agnostic ARROW sort (string/int ids, null ids LOSE — a
+        # numpy argmin over an object array with None raises TypeError)
+        group = group.drop_columns(["__gk"])
         if keep_by is None:
-            w = int(np.argmin(ids))
+            keys = [(id_col, "ascending")]
         else:
             col, desc = keep_by
-            vcol = group.column(col)
-            isnull = np.asarray(
-                pc.is_null(vcol).to_numpy(zero_copy_only=False))
-            v = pc.fill_null(pc.cast(vcol, pa.float64()), 0.0).to_numpy(
-                zero_copy_only=False)
-            if desc:
-                v = -v
-            # lexsort: last key is primary — nulls lose, then best value,
-            # then min id
-            w = int(np.lexsort((ids, v, isnull))[0])
+            keys = [(col, "descending" if desc else "ascending"),
+                    (id_col, "ascending")]
+        idx = pc.sort_indices(group, sort_keys=keys, null_placement="at_end")
+        w = int(idx[0].as_py())
         return group.take(pa.array([w], type=pa.int64()))
 
-    return (
-        withfp.groupby("__fp")
-        .map_groups(pick, batch_format="pyarrow")
-        .drop_columns(["__fp"])
-    )
+    from .aggregates import keyed_map_groups
+
+    # group on the ENCODED fingerprint: a null text yields a null __fp
+    # (SQL GROUP BY md5(text): one NULL group) and Ray's sort groupby
+    # cannot order mixed null/value keys
+    return keyed_map_groups(withfp, ["__fp"], pick).drop_columns(["__fp"])
 
 
 def near_dedup_filter(

@@ -1868,3 +1868,24 @@ def test_grouped_mad_semantics():
     out = run(3)
     assert out == {"a": 1, "b": 0, "c": None}
     assert out == run(1)
+
+
+def test_exact_dedup_null_text_and_string_ids():
+    """Regression: exact dedup with STRING ids and NULL text/ids must
+    not crash Ray's sort groupby (encoded fingerprint key) nor numpy id
+    comparison; null texts form ONE group (SQL GROUP BY md5(text)),
+    null ids lose."""
+    import ray.data
+
+    from dataguards_ray.neardup import exact_dedup_filter
+
+    rows = [
+        {"doc_id": "b", "text": "same"},
+        {"doc_id": "a", "text": "same"},     # min string id wins
+        {"doc_id": "x", "text": None},
+        {"doc_id": None, "text": None},      # null id loses
+        {"doc_id": "z", "text": "unique"},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = sorted(str(r["doc_id"]) for r in exact_dedup_filter(ds).take_all())
+    assert got == ["a", "x", "z"]
