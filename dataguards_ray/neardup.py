@@ -97,7 +97,13 @@ def minhash_candidates(
         ids = batch.column(id_col).to_pylist()
         bands, hashes, out_ids, sigs = [], [], [], []
         for did, t in zip(ids, texts):
-            sig = minhash_signature(t or "")
+            if not t or len(t) < SHINGLE_K:
+                # no shingles → the all-sentinel signature: such docs
+                # carry NO similarity evidence and must not bucket
+                # together (every empty/short doc would otherwise pair
+                # with every other one) — emit no candidates
+                continue
+            sig = minhash_signature(t)
             for b in range(N_BANDS):
                 chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
                 h = int(spec.fnv1a64(chunk.tobytes()))
@@ -354,8 +360,12 @@ def simhash64(text: str) -> int:
 
 def add_simhash(ds: Dataset, *, text_col: str = "text", out: str = "simhash") -> Dataset:
     def f(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-        return batch.append_column(out, pa.array(hs, type=pa.uint64()))
+        texts = batch.column(text_col).to_pylist()
+        hs = [simhash64(t) for t in texts]
+        ntok = [len(spec.lm_tokens(t or "")) for t in texts]
+        return batch.append_column(out, pa.array(hs, type=pa.uint64())
+                                   ).append_column("__ntok",
+                                                   pa.array(ntok, type=pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -393,8 +403,14 @@ def _simhash_explode(id_col: str):
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         hs = batch.column("__sh").to_pylist()
+        toks = batch.column("__ntok").to_pylist()
         blk, val, oid, full = [], [], [], []
-        for did, h in zip(ids, hs):
+        for did, h, nt in zip(ids, hs, toks):
+            if nt == 0:
+                # token-less doc → simhash 0 carries no evidence; every
+                # empty doc would otherwise match every other at
+                # hamming 0 — emit no candidates
+                continue
             for b in range(4):
                 blk.append(b)
                 val.append((h >> (16 * b)) & 0xFFFF)

@@ -1889,3 +1889,31 @@ def test_exact_dedup_null_text_and_string_ids():
     ds = ray.data.from_items(rows).repartition(3)
     got = sorted(str(r["doc_id"]) for r in exact_dedup_filter(ds).take_all())
     assert got == ["a", "x", "z"]
+
+
+def test_near_dup_no_evidence_docs_never_pair():
+    """Docs with no shingles (empty/short text) or no tokens share the
+    sentinel MinHash signature / zero SimHash — they carry no similarity
+    evidence and must emit NO candidate pairs (previously every empty
+    doc 'matched' every other one)."""
+    import ray.data
+
+    from dataguards_ray.neardup import (minhash_pair_candidates,
+                                        simhash_pair_candidates)
+
+    long_a = "a genuinely long duplicated document body with many words. " * 3
+    rows = [
+        {"doc_id": 1, "text": long_a},
+        {"doc_id": 2, "text": long_a},        # true near-dup pair
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "tiny"},        # < shingle window
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_pair_candidates(
+        ds, threshold=0.5).take_all()}
+    assert mh == {(1, 2)}
+    sh = {(r["id_a"], r["id_b"]) for r in simhash_pair_candidates(
+        ds, max_hamming=3).take_all()}
+    assert (1, 2) in sh and all(a not in (3, 4) and b not in (3, 4)
+                                for a, b in sh)
