@@ -2720,7 +2720,71 @@ LIMIT 100
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING CONTRACT: the driver verifies the FIRST 50 entries of this
+    # dict against oracle_sql() (rows+schema+hash; rows-only when no SQL
+    # entry exists).  Round 2's driver window covered registry entries
+    # 1-50; the 54 entries it never reached are placed FIRST here so
+    # CORRECTNESS_r03 verifies them (VERDICT r02 "Next round" item #3).
+    # The 50 round-2 driver-green entries follow as the regression tail.
     return {
+        # --- 34 SQL-backed queries unchecked by the r02 driver window ---
+        "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
+        "top_sources": _q_top_sources,
+        "regex_extract_source": _q_regex_extract_source,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "hash_sample": _q_hash_sample,
+        "token_histogram": _q_token_histogram,
+        "sessionize_events": _q_sessionize_events,
+        "funnel_depths": _q_funnel_depths,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "knn_embeddings": _q_knn_embeddings,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "covar_qty_price_by_status": _q_covar_qty_price_by_status,
+        "dense_rank_cust_balance": _q_dense_rank_cust_balance,
+        "nations_with_cust_and_supp": _q_nations_with_cust_and_supp,
+        "orders_per_month": _q_orders_per_month,
+        "priorities_by_status": _q_priorities_by_status,
+        "tpch_q12_shape": _q_tpch_q12_shape,
+        "ntile_customer_balance": _q_ntile_customer_balance,
+        "tpch_q5_shape": _q_tpch_q5_shape,
+        "balance_histogram": _q_balance_histogram,
+        "nations_cust_except_supp": _q_nations_cust_except_supp,
+        "p75_cont_price_by_priority": _q_p75_cont_price_by_priority,
+        "event_gap_lead": _q_event_gap_lead,
+        "mode_priority_by_status": _q_mode_priority_by_status,
+        "profile_events": _q_profile_events,
+        "ind_fk_violations": _q_ind_fk_violations,
+        "unique_violations_orders": _q_unique_violations_orders,
+        "first_last_event_type": _q_first_last_event_type,
+        "event_row_number": _q_event_row_number,
+        "tpch_q4_shape": _q_tpch_q4_shape,
+        "tpch_q17_shape": _q_tpch_q17_shape,
+        "tpch_q18_shape": _q_tpch_q18_shape,
+        # --- 16 rows-only queries unchecked by the r02 driver window ---
+        "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
+        "approx_quantiles_price": _q_approx_quantiles_price,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "span_dedup_docs": _q_span_dedup_docs,
+        "line_dedup_docs": _q_line_dedup_docs,
+        "embedding_dedup": _q_embedding_dedup,
+        "compression_ratio_docs": _q_compression_ratio_docs,
+        "event_key_skew": _q_event_key_skew,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_ann_pairs": _q_lsh_ann_pairs,
+        "ivf_knn_embeddings": _q_ivf_knn,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "lang_guess": _q_lang_guess,
+        "scrub_documents": _q_scrub_documents,
+        "flagship_pipeline": _q_flagship,
+        "lang_retention": _q_lang_retention,
+        # --------------- driver window boundary (50) -------------------
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio_features": _q_multimodal_audio,
+        "multimodal_video_frames": _q_multimodal_frames,
+        "rule_drop_stats": _q_rule_drop_stats,
+        # --- the 50 entries driver-verified green in CORRECTNESS_r02 ---
         "tpch_q1": _q_tpch_q1,
         "filter_project": _q_filter_project,
         "join_customer_orders": _q_join_customer_orders,
@@ -2771,61 +2835,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dc_pair_violations": _q_dc_pair_violations,
         "dc_pair_ineq": _q_dc_pair_ineq,
         "dedup_docs_exact": _q_dedup_docs_exact,
-        "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
-        "top_sources": _q_top_sources,
-        "regex_extract_source": _q_regex_extract_source,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality_scores,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "hash_sample": _q_hash_sample,
-        "token_histogram": _q_token_histogram,
-        "sessionize_events": _q_sessionize_events,
-        "funnel_depths": _q_funnel_depths,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "knn_embeddings": _q_knn_embeddings,
-        "near_dup_embeddings": _q_near_dup_embeddings,
-        "covar_qty_price_by_status": _q_covar_qty_price_by_status,
-        "dense_rank_cust_balance": _q_dense_rank_cust_balance,
-        "nations_with_cust_and_supp": _q_nations_with_cust_and_supp,
-        "orders_per_month": _q_orders_per_month,
-        "priorities_by_status": _q_priorities_by_status,
-        "tpch_q12_shape": _q_tpch_q12_shape,
-        "ntile_customer_balance": _q_ntile_customer_balance,
-        "tpch_q5_shape": _q_tpch_q5_shape,
-        "balance_histogram": _q_balance_histogram,
-        "nations_cust_except_supp": _q_nations_cust_except_supp,
-        "p75_cont_price_by_priority": _q_p75_cont_price_by_priority,
-        "event_gap_lead": _q_event_gap_lead,
-        "mode_priority_by_status": _q_mode_priority_by_status,
-        "profile_events": _q_profile_events,
-        "ind_fk_violations": _q_ind_fk_violations,
-        "unique_violations_orders": _q_unique_violations_orders,
-        "first_last_event_type": _q_first_last_event_type,
-        "event_row_number": _q_event_row_number,
-        "tpch_q4_shape": _q_tpch_q4_shape,
-        "tpch_q17_shape": _q_tpch_q17_shape,
-        "tpch_q18_shape": _q_tpch_q18_shape,
-        # rows-only (no SQL equivalent):
-        "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
-        "approx_quantiles_price": _q_approx_quantiles_price,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "span_dedup_docs": _q_span_dedup_docs,
-        "line_dedup_docs": _q_line_dedup_docs,
-        "embedding_dedup": _q_embedding_dedup,
-        "compression_ratio_docs": _q_compression_ratio_docs,
-        "event_key_skew": _q_event_key_skew,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "lsh_ann_pairs": _q_lsh_ann_pairs,
-        "ivf_knn_embeddings": _q_ivf_knn,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio_features": _q_multimodal_audio,
-        "multimodal_video_frames": _q_multimodal_frames,
-        "lang_guess": _q_lang_guess,
-        "scrub_documents": _q_scrub_documents,
-        "flagship_pipeline": _q_flagship,
-        "rule_drop_stats": _q_rule_drop_stats,
-        "lang_retention": _q_lang_retention,
     }
 
 
