@@ -1917,3 +1917,89 @@ def test_near_dup_no_evidence_docs_never_pair():
         ds, max_hamming=3).take_all()}
     assert (1, 2) in sh and all(a not in (3, 4) and b not in (3, 4)
                                 for a, b in sh)
+
+
+def test_embedding_dedup_lsh_matches_exact():
+    """Round-3 verdict item #1: the LSH discovery path must yield the
+    same survivor set as the exact all-pairs path on a corpus with
+    planted high-cosine duplicates (LSH recall at cos>=0.998 with
+    8 planes x 12 tables is ~1 - 1e-10; seed is fixed so the outcome
+    is deterministic)."""
+    import ray.data
+
+    from dataguards_ray.similarity import embedding_dedup_filter
+
+    rng = np.random.RandomState(7)
+    n, d = 200, 16
+    V = rng.standard_normal((n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    # planted near-identical groups: (10,190,191) and (50,192)
+    for src, dst in [(10, 190), (10, 191), (50, 192)]:
+        V[dst] = V[src] + rng.standard_normal(d) * 1e-3
+    tbl = pa.table(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": pa.array(V.tolist(), type=pa.list_(pa.float64()))}
+    )
+
+    def run(**kw):
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = embedding_dedup_filter(ds, 0.998, **kw)
+        return sorted(r["vec_id"] for r in out.take_all())
+
+    exact = run(discovery="exact")
+    lsh = run(discovery="lsh", n_planes=8, n_tables=12)
+    assert exact == lsh
+    assert 190 not in exact and 191 not in exact and 192 not in exact
+    assert 10 in exact and 50 in exact and len(exact) == n - 3
+
+
+def test_embedding_dedup_auto_switches_to_lsh():
+    """auto discovery must flip to the LSH path above max_exact_vectors
+    (here forced tiny) and still resolve the planted component."""
+    import ray.data
+
+    from dataguards_ray.similarity import embedding_dedup_filter
+
+    rng = np.random.RandomState(11)
+    n, d = 64, 12
+    V = rng.standard_normal((n, d))
+    V[63] = V[5] * 2.0  # exact duplicate direction (cos = 1)
+    tbl = pa.table(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": pa.array(V.tolist(), type=pa.list_(pa.float64()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = embedding_dedup_filter(
+        ds, 0.999, discovery="auto", max_exact_vectors=8,
+        n_planes=8, n_tables=12,
+    )
+    got = sorted(r["vec_id"] for r in out.take_all())
+    assert 63 not in got and 5 in got and len(got) == n - 1
+
+
+def test_ivf_train_capped_sample():
+    """Round-3 verdict item #2: ivf_train must bound its driver pull.
+    With max_train_vectors far below the corpus size the derived
+    sample_mod kicks in, and the trained index still recalls the
+    well-separated clusters."""
+    import ray.data
+
+    from dataguards_ray.similarity import ivf_assign, ivf_knn, ivf_train, knn_cosine
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 8)) * 5
+    V = np.vstack([c + rng.standard_normal((500, 8)) * 0.3 for c in centers])
+    tbl = pa.table(
+        {"vec_id": np.arange(len(V), dtype=np.int64),
+         "embedding": pa.array(V.tolist(), type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4).materialize()
+    cents = ivf_train(ds, 4, max_train_vectors=128)  # 2000 vectors -> mod 16
+    cells = [r["cluster"] for r in ivf_assign(ds, cents).take_all()]
+    assert len(set(cells)) == 4
+    queries = V[[0, 500, 1000, 1500]]
+    exact = knn_cosine(ds, queries, 5)
+    approx = ivf_knn(ds, cents, queries, 5, nprobe=1)
+    e = set(zip(exact.column("query_id").to_pylist(), exact.column("vec_id").to_pylist()))
+    a = set(zip(approx.column("query_id").to_pylist(), approx.column("vec_id").to_pylist()))
+    assert len(e & a) / len(e) >= 0.95
