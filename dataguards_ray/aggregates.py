@@ -902,6 +902,8 @@ def global_row_number(
     out_col: str = "rn",
     bucket_width: int | None = None,
     max_buckets: int = 4_000_000,
+    max_bucket_frac: float = 0.5,
+    guard_rows: int = 1_000_000,
 ) -> Dataset:
     """Global ROW_NUMBER() OVER (ORDER BY order_cols) — distributed
     enumeration without a global sort barrier.
@@ -918,7 +920,17 @@ def global_row_number(
     Rows with a NULL in any order column are excluded (mirror with
     ``WHERE ... IS NOT NULL``); order columns must be int-castable and
     the composite must be unique for a deterministic result.  Returns
-    the input columns + ``out_col``."""
+    the input columns + ``out_col``.
+
+    The LEADING order column must have spread: a constant or
+    outlier-skewed lead collapses every row into one range bucket and
+    a single ``map_groups`` task then sorts the whole dataset —
+    silently defeating the no-global-sort design (ADVICE r02).  The
+    per-bucket count pass now guards this: when the largest bucket
+    holds more than ``max_bucket_frac`` of the rows it logs a warning,
+    and raises once the dataset is big enough (> ``guard_rows`` rows)
+    that one task sorting it is a real stall — pick a leading column
+    with spread or pass a composite/scaled lead instead."""
     import ray as _ray
 
     from .steps.dedup import get_broadcast
@@ -960,6 +972,24 @@ def global_row_number(
         raise ValueError(
             f"{len(rows)} row-number buckets > max_buckets={max_buckets}; "
             f"raise bucket_width")
+    total_n = sum(n for _, n in rows)
+    biggest = max((n for _, n in rows), default=0)
+    # a constant lead yields exactly ONE bucket — that IS the degenerate
+    # case, so the guard must not require multiple buckets; tiny inputs
+    # (where one sort task is fine) stay quiet
+    if total_n > 10_000 and biggest > max_bucket_frac * total_n:
+        msg = (
+            f"global_row_number: the hottest range bucket holds {biggest}/"
+            f"{total_n} rows ({biggest / total_n:.0%}) — the leading order "
+            f"column '{lead}' has too little spread for range bucketing; "
+            "one task would sort (nearly) everything. Use a leading column "
+            "with spread, or pass a smaller bucket_width."
+        )
+        if total_n > guard_rows:
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     offsets: dict[int, int] = {}
     acc = 0
     for bkt, n in rows:

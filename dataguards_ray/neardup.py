@@ -343,11 +343,11 @@ def minhash_near_dup_pairs(
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (frozen tokenizer spec.lm_tokens)."""
+def _simhash_ntok(text: str) -> tuple[int, int]:
+    """(simhash64, token count) in one tokenization pass."""
     toks = spec.lm_tokens(text or "")
     if not toks:
-        return 0
+        return 0, 0
     hashes = np.fromiter(
         (spec.fnv1a64(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
     )
@@ -355,17 +355,36 @@ def simhash64(text: str) -> int:
         np.int64
     )
     v = (2 * bits - 1).sum(axis=0)
-    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    h = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return h, len(toks)
 
 
-def add_simhash(ds: Dataset, *, text_col: str = "text", out: str = "simhash") -> Dataset:
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (frozen tokenizer spec.lm_tokens)."""
+    return _simhash_ntok(text)[0]
+
+
+def add_simhash(
+    ds: Dataset, *, text_col: str = "text", out: str = "simhash",
+    emit_ntok: bool = False,
+) -> Dataset:
+    """Append a ``simhash64`` column.  Output schema = input + ``out``
+    — nothing else (ADVICE r02 item #4: this is a public feature
+    transform; the internal ``__ntok`` token count that the pair
+    pipelines' no-evidence guard needs is only emitted when
+    ``emit_ntok=True``)."""
+
     def f(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        hs = [simhash64(t) for t in texts]
-        ntok = [len(spec.lm_tokens(t or "")) for t in texts]
-        return batch.append_column(out, pa.array(hs, type=pa.uint64())
-                                   ).append_column("__ntok",
-                                                   pa.array(ntok, type=pa.int64()))
+        pairs = [_simhash_ntok(t) for t in texts]
+        b = batch.append_column(
+            out, pa.array([h for h, _ in pairs], type=pa.uint64())
+        )
+        if emit_ntok:
+            b = b.append_column(
+                "__ntok", pa.array([n for _, n in pairs], type=pa.int64())
+            )
+        return b
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -384,7 +403,7 @@ def simhash_pair_candidates(
     4-block bucketing (a pair within distance 3 agrees on ≥1 of 4
     16-bit blocks) → groupby block value → degenerate-safe exact verify
     → distributed cross-bucket dedup."""
-    with_h = add_simhash(ds, text_col=text_col, out="__sh")
+    with_h = add_simhash(ds, text_col=text_col, out="__sh", emit_ntok=True)
     explode = _simhash_explode(id_col)
     caps = {"max_clique": max_clique, "max_expand": max_expand, "max_bucket": max_bucket}
 
@@ -460,7 +479,7 @@ def simhash_near_dup_pairs(
 ) -> pa.Table:
     """Driver-side convenience: sorted deduped pair set via the adaptive
     merge; ``simhash_pair_candidates`` is the always-distributed API."""
-    with_h = add_simhash(ds, text_col=text_col, out="__sh")
+    with_h = add_simhash(ds, text_col=text_col, out="__sh", emit_ntok=True)
     explode = _simhash_explode(id_col)
 
     def pairs(group: pa.Table) -> pa.Table:

@@ -91,18 +91,35 @@ def key_skew_report(
 
     Returns an Arrow table: (key_value, n, frac_of_total, skew_ratio,
     n_distinct_est) — one row per hot key, the scalars repeated."""
+    import numpy as np
     import pyarrow as pa
 
     from .aggregates import grouped_agg, topk
     from .hll import approx_count_distinct
 
-    counts = grouped_agg(ds.select_columns([key]), [key],
-                         [(key, "count", "n")]).materialize()
+    # Count a never-null indicator, NOT the key itself: COUNT(key) would
+    # report n=0 for the null-key group, hiding a hot null key from both
+    # the hot list and the total — the exact skew this profiler exists
+    # to catch (the engine's encoded-key groupbys DO send the null group
+    # to one reducer).  ADVICE r02 item #1.
+    def _with_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+
+    counts = grouped_agg(
+        ds.select_columns([key]).map_batches(_with_one, batch_format="pyarrow"),
+        [key], [("__one", "count", "n")],
+    ).materialize()
     hot = topk(counts, [("n", True), (key, False)], top).take_all()
     total = counts.sum("n") or 0
     est_rows = approx_count_distinct(ds, key, p=hll_p).take_all()
     n_distinct = int(est_rows[0]["approx_distinct"]) if est_rows else 0
-    mean = (total / n_distinct) if n_distinct else 0.0
+    # HLL excludes nulls (SQL semantics); count the null group as one
+    # more key for the mean so a hot null key gets an honest skew_ratio
+    has_null_key = any(r[key] is None for r in hot)
+    mean_keys = n_distinct + (1 if has_null_key else 0)
+    mean = (total / mean_keys) if mean_keys else 0.0
     return pa.table(
         {"key_value": pa.array([str(r[key]) for r in hot], type=pa.string()),
          "n": pa.array([r["n"] for r in hot], type=pa.int64()),

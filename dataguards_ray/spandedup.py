@@ -347,18 +347,23 @@ def span_dedup(
                 {id_col: group.column(id_col).slice(0, 0),
                  text_col: pa.array([], type=pa.string()),
                  "n_spans_removed": pa.array([], type=pa.int64())})
-        did = group.column(id_col)[0]
-        text = group.column(text_col)[doc_rows[0]].as_py()
         lose_starts = sorted(int(s) for s in starts if s >= 0)
-        if not lose_starts or not text:
-            out_text, n_removed = text, 0
-        else:
-            out_text, n_removed = _surgery(text, lose_starts), len(lose_starts)
+        # one output row PER doc row (a duplicated doc_id keeps all its
+        # rows, each rewritten with the same loser starts) — mirrors the
+        # broadcast fast path byte-for-byte, ADVICE r02 item #3
+        out_t, n_rm = [], []
+        for i in doc_rows:
+            text = group.column(text_col)[i].as_py()
+            if not lose_starts or not text:
+                out_t.append(text)
+                n_rm.append(0)
+            else:
+                out_t.append(_surgery(text, lose_starts))
+                n_rm.append(len(lose_starts))
         return pa.table(
-            {id_col: pa.array([did.as_py()],
-                              type=group.schema.field(id_col).type),
-             text_col: pa.array([out_text], type=pa.string()),
-             "n_spans_removed": pa.array([n_removed], type=pa.int64())}
+            {id_col: group.column(id_col).take(pa.array(doc_rows)),
+             text_col: pa.array(out_t, type=pa.string()),
+             "n_spans_removed": pa.array(n_rm, type=pa.int64())}
         )
 
     from .aggregates import keyed_map_groups

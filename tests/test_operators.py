@@ -2003,3 +2003,69 @@ def test_ivf_train_capped_sample():
     e = set(zip(exact.column("query_id").to_pylist(), exact.column("vec_id").to_pylist()))
     a = set(zip(approx.column("query_id").to_pylist(), approx.column("vec_id").to_pylist()))
     assert len(e & a) / len(e) >= 0.95
+
+
+def test_span_dedup_fallback_duplicate_doc_ids():
+    """ADVICE r02 item #3: duplicated doc_ids must yield identical
+    output on the broadcast fast path and the cogroup fallback — one
+    output row PER input row on both."""
+    import ray.data
+
+    from dataguards_ray.spandedup import span_dedup
+
+    body = ("First unique sentence alpha. Second unique sentence beta. "
+            "Third unique sentence gamma. ")
+    dup = ("Copied sentence one here. Copied sentence two here. "
+           "Copied sentence three here. ")
+    rows = [
+        {"doc_id": 1, "text": body + dup},
+        {"doc_id": 2, "text": dup + "And a trailing original sentence."},
+        {"doc_id": 2, "text": dup + "And a trailing original sentence."},  # dup id
+    ]
+
+    def run(**kw):
+        ds = ray.data.from_items(rows).repartition(2)
+        return sorted(
+            (r["doc_id"], r["text"], r["n_spans_removed"])
+            for r in span_dedup(ds, **kw).take_all()
+        )
+
+    fast = run()
+    fallback = run(max_broadcast_losers=0)
+    assert fast == fallback
+    assert len(fast) == 3  # one row per input row, duplicate id kept twice
+    assert [d for d, _, _ in fast] == [1, 2, 2]
+
+
+def test_add_simhash_output_schema_unchanged():
+    """ADVICE r02 item #4: add_simhash is a public feature transform —
+    output schema must be input + the simhash column, nothing else."""
+    import ray.data
+
+    from dataguards_ray.neardup import add_simhash
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "hello world"}])
+    out = add_simhash(ds, text_col="text")
+    assert set(out.schema().names) == {"doc_id", "text", "simhash"}
+    internal = add_simhash(ds, text_col="text", emit_ntok=True)
+    assert set(internal.schema().names) == {"doc_id", "text", "simhash", "__ntok"}
+
+
+def test_global_row_number_degenerate_lead_guard():
+    """ADVICE r02 item #2: a constant leading order column collapses all
+    rows into one range bucket; above the guard threshold that must
+    raise instead of silently serializing the sort."""
+    import pytest as _pytest
+    import ray.data
+
+    from dataguards_ray.aggregates import global_row_number
+
+    n = 20_000
+    tbl = pa.table({"v": np.zeros(n, dtype=np.int64),
+                    "id": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    with _pytest.raises(ValueError, match="spread"):
+        global_row_number(ds, ["v", "id"], guard_rows=10_000).take_all()
+    # under guard_rows it only warns and still numbers correctly
+    out = global_row_number(ds, ["v", "id"], guard_rows=10 ** 9).take_all()
+    assert sorted(r["rn"] for r in out) == list(range(1, n + 1))

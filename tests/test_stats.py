@@ -51,3 +51,19 @@ def test_key_skew_report(ray_session):
     assert abs(d["hot"]["frac_of_total"] - 0.8) < 1e-9
     assert d["hot"]["n_distinct_est"] == 21
     assert d["hot"]["skew_ratio"] > 10  # 80 vs mean 100/21
+
+
+def test_key_skew_report_null_hot_key(ray_session):
+    """ADVICE r02 item #1: a 94%-null key column must report the null
+    group as the hot key (the engine's encoded-key groupbys DO send the
+    null group to one reducer), not n=0/skew 1.0."""
+    import ray.data
+
+    from dataguards_ray.profile import key_skew_report
+
+    rows = [{"k": None} for _ in range(80)] + [{"k": f"k{i}"} for i in range(5)]
+    t = key_skew_report(ray.data.from_items(rows).repartition(3), "k", top=3)
+    d = {r["key_value"]: r for r in t.to_pylist()}
+    assert d["None"]["n"] == 80
+    assert abs(d["None"]["frac_of_total"] - 80 / 85) < 1e-9
+    assert d["None"]["skew_ratio"] > 4  # 80 vs mean 85/6
