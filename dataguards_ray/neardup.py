@@ -683,6 +683,86 @@ def exact_dedup_filter(
     return keyed_map_groups(withfp, ["__fp"], pick).drop_columns(["__fp"])
 
 
+def exact_dedup_filter_pruned(
+    thin: Dataset,
+    full: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_winners: int = 5_000_000,
+) -> Dataset:
+    """Two-read exact dedup: winner discovery over a column-pruned read
+    (``thin`` carries only id+text), loser drop as a vectorized
+    broadcast flag over ``full`` — the document payload never enters a
+    shuffle (at 100 TB the digest groupby of ``exact_dedup_filter``
+    would move every html/byte column all-to-all; here only thin
+    (fp, min_id, n) partials shuffle and the full read is one streaming
+    filter pass).
+
+    Preconditions (the job falls back to ``exact_dedup_filter``
+    otherwise): ``id_col`` non-null and unique.  Winner = min id per
+    md5(text) fingerprint — identical semantics to
+    ``exact_dedup_filter(keep_by=None)``, including the single NULL-text
+    group.  Above ``max_broadcast_winners`` contested fingerprints the
+    function falls back to the one-shuffle exact path (swap for a Bloom
+    prefilter of contested fps if that driver dict ever binds)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .aggregates import grouped_agg
+    from .steps.dedup import get_broadcast
+    from .textstats import add_fingerprint
+
+    withfp = add_fingerprint(thin.select_columns([id_col, text_col]),
+                             text_col, "__fp")
+    agg = grouped_agg(
+        withfp.select_columns(["__fp", id_col]), ["__fp"],
+        [(id_col, "min", "__win"), (id_col, "count", "__n")],
+    )
+
+    def only_contested(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("__n"), 1))
+
+    contested = agg.map_batches(
+        only_contested, batch_format="pyarrow").materialize()
+    if contested.count() > max_broadcast_winners:
+        return exact_dedup_filter(full, text_col=text_col, id_col=id_col)
+
+    winners: dict = {}
+    null_win = None
+    for r in contested.take_all():
+        if r["__fp"] is None:
+            null_win = r["__win"]
+        else:
+            winners[r["__fp"]] = r["__win"]
+    if not winners and null_win is None:
+        return full
+    fp_set = pa.array(list(winners.keys()), type=pa.string())
+    ref = ray.put((fp_set, winners, null_win))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        fset, wins, nwin = get_broadcast(ref)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               if t is not None else None for t in texts]
+        fpa = pa.array(fps, type=pa.string())
+        hot = pc.fill_null(pc.is_in(fpa, value_set=fset), False)\
+            .to_numpy(zero_copy_only=False)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for i in np.nonzero(hot)[0]:
+            keep[i] = ids[i] == wins[fps[i]]
+        if nwin is not None:
+            for i, f in enumerate(fps):
+                if f is None:
+                    keep[i] = ids[i] == nwin
+        return batch.filter(pa.array(keep, type=pa.bool_()))
+
+    return full.map_batches(flag, batch_format="pyarrow")
+
+
 def near_dedup_filter(
     ds: Dataset,
     *,

@@ -46,7 +46,13 @@ def run_dedup_job(
     import ray
     import ray.data
 
-    from dataguards_ray.neardup import exact_dedup_filter, near_dedup_filter
+    from dataguards_ray.neardup import (
+        exact_dedup_filter,
+        exact_dedup_filter_pruned,
+        minhash_pair_candidates,
+        drop_pair_losers,
+        near_dedup_filter,
+    )
 
     assert ray.is_initialized(), "caller owns the Ray session"
     if os.path.isdir(out_dir):
@@ -61,10 +67,32 @@ def run_dedup_job(
 
     ds = ray.data.read_parquet(input_path)
     n_in = ds.count()
+    schema_names = list(pa.schema(ds.schema().base_schema).names)
+    needed = [c for c in dict.fromkeys([id_col, text_col]) if c in schema_names]
+    has_extra = any(c not in (id_col, text_col) for c in schema_names)
+    if mode in ("span", "line") and has_extra:
+        # span/line output is exactly (id, text, n_spans_removed) —
+        # never haul the other columns off storage (VERDICT r02 #7)
+        ds = ray.data.read_parquet(input_path, columns=needed)
+
+    def _read_thin() -> "ray.data.Dataset":
+        return ray.data.read_parquet(input_path, columns=needed)
+
+    def _null_id_count() -> int:
+        ids_only = ray.data.read_parquet(input_path, columns=[id_col])
+
+        def nulls(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"n": pa.array([b.column(id_col).null_count], type=pa.int64())})
+
+        return int(ids_only.map_batches(
+            nulls, batch_format="pyarrow").sum("n") or 0)
+
     drop_cols: list[str] = []
-    if mode == "minhash" and not pa.types.is_integer(
+    nid_needed = mode == "minhash" and not pa.types.is_integer(
         pa.schema(ds.schema().base_schema).field(id_col).type
-    ):
+    )
+    if nid_needed:
         # the near-dup pair machinery keys on int64 ids; derive a stable
         # 64-bit hash id for string/other keys (collisions ~2^-64/pair)
         from dataguards_ray.spec import fnv1a64
@@ -82,14 +110,42 @@ def run_dedup_job(
             ]
             return b.append_column("__nid", pa.array(ids, type=pa.int64()))
 
-        ds = ds.map_batches(add_nid, batch_format="pyarrow")
-        id_col = "__nid"
-        drop_cols = ["__nid"]
+    # Column-pruned two-read path (VERDICT r02 #7): discovery over an
+    # id+text-only read, loser drop as one vectorized filter over the
+    # full read — payload columns never leave storage for discovery and
+    # never enter a shuffle.  Needs non-null ids (losers are matched
+    # back by id); with null ids, or when the input has no payload
+    # columns anyway, the single-read in-memory path is used.
+    pruned = (has_extra and mode in ("exact", "minhash")
+              and _null_id_count() == 0)
     if mode == "exact":
-        out = exact_dedup_filter(ds, text_col=text_col, id_col=id_col)
+        if pruned:
+            out = exact_dedup_filter_pruned(
+                _read_thin(), ds, text_col=text_col, id_col=id_col)
+        else:
+            out = exact_dedup_filter(ds, text_col=text_col, id_col=id_col)
     elif mode == "minhash":
-        out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
-                                threshold=threshold)
+        if pruned:
+            thin = _read_thin()
+            full = ds
+            pair_id = id_col
+            if nid_needed:
+                # deterministic for non-null ids (guarded above), so the
+                # thin and full reads derive identical __nid values
+                thin = thin.map_batches(add_nid, batch_format="pyarrow")
+                full = full.map_batches(add_nid, batch_format="pyarrow")
+                pair_id = "__nid"
+                drop_cols = ["__nid"]
+            pairs = minhash_pair_candidates(
+                thin, text_col=text_col, id_col=pair_id, threshold=threshold)
+            out = drop_pair_losers(full, pairs, id_col=pair_id)
+        else:
+            if nid_needed:
+                ds = ds.map_batches(add_nid, batch_format="pyarrow")
+                id_col = "__nid"
+                drop_cols = ["__nid"]
+            out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
+                                    threshold=threshold)
     elif mode == "span":
         from dataguards_ray.spandedup import span_dedup
 

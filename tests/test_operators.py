@@ -2069,3 +2069,83 @@ def test_global_row_number_degenerate_lead_guard():
     # under guard_rows it only warns and still numbers correctly
     out = global_row_number(ds, ["v", "id"], guard_rows=10 ** 9).take_all()
     assert sorted(r["rn"] for r in out) == list(range(1, n + 1))
+
+
+def test_dedup_job_pruned_two_read(tmp_path):
+    """VERDICT r02 #7: with payload columns present the job discovers
+    winners over a column-pruned read and drops losers from the full
+    read — output must carry the payload and match the single-read
+    library result exactly (incl. the NULL-text group)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataguards_ray.neardup import exact_dedup_filter, exact_dedup_filter_pruned
+    from jobs.dedup_job import run_dedup_job
+
+    rows = [
+        {"doc_id": 5, "text": "aaa", "payload": "p5", "m": 1},
+        {"doc_id": 2, "text": "aaa", "payload": "p2", "m": 2},
+        {"doc_id": 3, "text": "bbb", "payload": "p3", "m": 3},
+        {"doc_id": 9, "text": "aaa", "payload": "p9", "m": 4},
+        {"doc_id": 7, "text": None, "payload": "p7", "m": 5},
+        {"doc_id": 8, "text": None, "payload": "p8", "m": 6},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+
+    res = run_dedup_job(str(src), str(tmp_path / "out"), mode="exact")
+    assert res["input_rows"] == 6 and res["kept_rows"] == 3
+    back = sorted(
+        (r["doc_id"], r["payload"], r["m"])
+        for r in ray.data.read_parquet(str(tmp_path / "out")).take_all()
+    )
+    assert back == [(2, "p2", 2), (3, "p3", 3), (7, "p7", 5)]
+
+    # library-level parity: pruned two-read == one-shuffle exact filter
+    thin = ray.data.read_parquet(str(src), columns=["doc_id", "text"])
+    full = ray.data.read_parquet(str(src))
+    a = sorted(r["doc_id"] for r in exact_dedup_filter_pruned(
+        thin, full).take_all())
+    b = sorted(r["doc_id"] for r in exact_dedup_filter(full).take_all())
+    assert a == b == [2, 3, 7]
+
+    # null ids → falls back to the single-read path, still correct
+    rows_null = [
+        {"doc_id": None, "text": "zzz", "payload": "x"},
+        {"doc_id": 1, "text": "zzz", "payload": "y"},
+        {"doc_id": 4, "text": "www", "payload": "z"},
+    ]
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows_null), str(src2 / "p.parquet"))
+    res2 = run_dedup_job(str(src2), str(tmp_path / "out2"), mode="exact")
+    assert res2["kept_rows"] == 2  # null id LOSES to id=1 in the zzz group
+
+
+def test_dedup_job_pruned_minhash_string_ids(tmp_path):
+    """Pruned minhash path with string ids: the deterministic __nid is
+    derived identically on the thin and full reads, so losers found on
+    the pruned read are dropped from the payload-bearing read."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        {"uid": "u-one", "text": base, "payload": "keepme1"},
+        {"uid": "u-two", "text": base + " tail", "payload": "keepme2"},
+        {"uid": "u-three", "text": "entirely different content here " * 20,
+         "payload": "keepme3"},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+    res = run_dedup_job(str(src), str(tmp_path / "out"), mode="minhash",
+                        threshold=0.5, id_col="uid")
+    assert res["input_rows"] == 3 and res["kept_rows"] == 2
+    surv = ray.data.read_parquet(str(tmp_path / "out"))
+    assert "__nid" not in surv.schema().names
+    kept = {r["uid"]: r["payload"] for r in surv.take_all()}
+    assert kept.get("u-three") == "keepme3" and len(kept) == 2
