@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Callable, Protocol
+from typing import Callable, ClassVar, Protocol
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -88,12 +88,17 @@ class MapBatchesStep:
 @dataclass
 class PrepareStep:
     num_parts: int = spec.DEFAULT_NUM_PARTS
+    # html rows are wide; keep heap per task bounded.  This batch size
+    # also sets the FUSED prepare→annotate task granularity (Ray bundles
+    # input blocks up to it), so it is the wave-packing knob for the
+    # dominant compute stage.
+    batch_size: int = 1024
 
     def apply(self, ds: Dataset) -> Dataset:
         return ds.map_batches(
             functools.partial(prepare_batch, num_parts=self.num_parts),
             batch_format="pyarrow",
-            batch_size=1024,  # html rows are wide; keep heap per task bounded
+            batch_size=self.batch_size,
         )
 
 
@@ -279,12 +284,18 @@ class FilterPipeline:
 
     # -- streaming two-phase run -------------------------------------------
 
+    #: wall seconds of the last run()'s phases (diagnostic; read by bench
+    #: tooling): phase1 = annotate+shuffle+write+winner merge (one
+    #: execution), finalize = loser-drop rewrite wave
+    last_phase_walls: ClassVar[dict] = {}
+
     def run(
         self, input_path: str, out_dir: str, *, resume: bool = False
     ) -> list[dict]:
         """E1/E3: annotate → phase-1 kept files → text-dedup → finalize.
         Returns the final lineage manifests (one per partition)."""
         import os
+        import time as _time
 
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
         if not resume:
@@ -303,6 +314,7 @@ class FilterPipeline:
                     "pass resume=True to continue that run or use a clean directory"
                 )
         stages = dg_io.partitions_by_stage(out_dir) if resume else {"annotated": set(), "final": set()}
+        _t0 = _time.time()
 
         # phase 1 — annotate + write kept rows per partition (url-dedup
         # happens inside the writer: part_id co-locates each url's rows)
@@ -361,6 +373,9 @@ class FilterPipeline:
                 row["digest"]: row["r"] for row in agg.filter(expr="n > 1").take_all()
             }
 
+        type(self).last_phase_walls = {"phase1": round(_time.time() - _t0, 3)}
+        _t1 = _time.time()
+
         all_parts = dg_io.partitions_by_stage(out_dir)["annotated"]
         if resume and stages["annotated"]:
             # resumed run: partitions finished earlier didn't re-emit
@@ -370,24 +385,21 @@ class FilterPipeline:
 
         todo = sorted(all_parts - stages["final"])
         if todo:
+            # plain Ray tasks, not a Dataset execution: a P-element task
+            # list needs no streaming executor / repartition barrier
+            # (measured ~0.3s of flat per-run overhead — pure ratio loss
+            # on the high-parallelism side of the scaling bench).  The
+            # winner dict ships ONCE via the object store; [wref] keeps
+            # Ray from auto-dereferencing it per task.
             wref = ray.put(dwinners)
 
-            def _finalize(batch: pa.Table) -> pa.Table:
-                w = dedup_mod.get_broadcast(wref)
-                ms = [
-                    dg_io.finalize_partition(int(pid), out_dir, w)
-                    for pid in batch.column("pid").to_pylist()
-                ]
-                return pa.table({"part_id": pa.array([m["part_id"] for m in ms], type=pa.int32())})
+            @ray.remote(num_cpus=1)
+            def _finalize_one(pid: int, boxed_ref: list) -> int:
+                w = dedup_mod.get_broadcast(boxed_ref[0])
+                return dg_io.finalize_partition(pid, out_dir, w)["part_id"]
 
-            (
-                ray.data.from_arrow(pa.table({"pid": pa.array(todo, type=pa.int32())}))
-                # from_arrow yields ONE block; split so finalize really is
-                # one task per partition, not a serial loop in one worker
-                .repartition(len(todo))
-                .map_batches(_finalize, batch_format="pyarrow", batch_size=1)
-                .materialize()
-            )
+            ray.get([_finalize_one.remote(int(p), [wref]) for p in todo])
+        type(self).last_phase_walls["finalize"] = round(_time.time() - _t1, 3)
         return dg_io.read_lineage(out_dir)
 
 
