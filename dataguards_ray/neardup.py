@@ -270,6 +270,25 @@ def minhash_pair_candidates(
     ``groupby(["id_a","id_b"])`` — nothing corpus-sized ever reaches the
     driver.  est_jaccard = fraction of agreeing minhash components."""
     cand = minhash_candidates(ds, text_col=text_col, id_col=id_col)
+    return pairs_from_candidates(
+        cand, id_col=id_col, threshold=threshold, max_clique=max_clique,
+        max_expand=max_expand, max_bucket=max_bucket)
+
+
+def pairs_from_candidates(
+    cand: Dataset,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_clique: int = MAX_CLIQUE,
+    max_expand: int = MAX_EXPAND,
+    max_bucket: int = MAX_BUCKET,
+) -> Dataset:
+    """The bucket→verify→cross-band-dedup tail over PRE-COMPUTED
+    (band, band_hash, id, sig) candidate rows — lets callers union
+    candidates from several corpora, e.g. incremental dedup of a new
+    crawl against a prior run's candidate manifest (the prior corpus'
+    text is never re-read; its thin candidate rows are enough)."""
     caps = {"max_clique": max_clique, "max_expand": max_expand, "max_bucket": max_bucket}
 
     def pairs(group: pa.Table) -> pa.Table:
@@ -801,6 +820,7 @@ def drop_pair_losers(
     id_col: str = "doc_id",
     distributed: bool | None = None,
     max_driver_pairs: int = 200_000,
+    prior_ids: "Dataset | None" = None,
 ) -> Dataset:
     """Shared dedup tail for ANY near-dup pair source (MinHash, SimHash,
     embedding-cosine): resolve connected components over (id_a, id_b)
@@ -811,7 +831,17 @@ def drop_pair_losers(
     (``connected_components`` label propagation) when the pair set is
     large or ``distributed=True``.  Winner per component = min id;
     losers are filtered out vectorized (loser sets are collision-sized
-    → broadcast; swap for a hash join at extreme collision rates)."""
+    → broadcast; swap for a hash join at extreme collision rates).
+
+    ``prior_ids`` (incremental dedup): a thin Dataset whose ``id_col``
+    column holds ids from a PRIOR, already-written corpus whose
+    candidate rows were unioned into the pair discovery.  Prior members
+    always win their component — every non-prior member of a component
+    containing a prior id loses (the prior doc is already on disk and
+    cannot retroactively lose); components without a prior member
+    resolve by min id as usual.  Only prior ids that actually appear in
+    pairs are pulled (one pruned ``is_in`` scan of the manifest —
+    collision-sized, never corpus-sized)."""
     import pyarrow.compute as pc
     import ray
 
@@ -821,12 +851,11 @@ def drop_pair_losers(
     if distributed is None:
         distributed = pairs.count() > max_driver_pairs
 
+    # (node -> root) for every pair participant — collision-sized on
+    # both paths (the loser set was already pulled to the driver here)
     if distributed:
         comp = connected_components(pairs)
-        losers = {
-            r["node"]
-            for r in comp.filter(expr="node != root").select_columns(["node"]).take_all()
-        }
+        node_root = {r["node"]: r["root"] for r in comp.take_all()}
     else:
         parent: dict[int, int] = {}
 
@@ -836,11 +865,41 @@ def drop_pair_losers(
                 x = parent[x]
             return x
 
+        nodes: set[int] = set()
         for r in pairs.select_columns(["id_a", "id_b"]).take_all():
+            nodes.add(r["id_a"])
+            nodes.add(r["id_b"])
             ra, rb = find(r["id_a"]), find(r["id_b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        losers = {x for x in parent if find(x) != x}
+        node_root = {x: find(x) for x in nodes}
+
+    if prior_ids is None:
+        losers = {n for n, rt in node_root.items() if n != rt}
+    else:
+        part_ref = ray.put(pa.array(sorted(node_root), type=pa.int64()))
+
+        def _in_pairs(batch: pa.Table) -> pa.Table:
+            hit = pc.fill_null(
+                pc.is_in(batch.column(id_col),
+                         value_set=get_broadcast(part_ref)), False)
+            return batch.filter(hit)
+
+        prior_in = {
+            r[id_col]
+            for r in prior_ids.select_columns([id_col])
+            .map_batches(_in_pairs, batch_format="pyarrow").take_all()
+        }
+        comps: dict[int, list[int]] = {}
+        for n, rt in node_root.items():
+            comps.setdefault(rt, []).append(n)
+        losers = set()
+        for members in comps.values():
+            non_prior = [m for m in members if m not in prior_in]
+            if len(non_prior) < len(members):
+                losers.update(non_prior)  # a prior member wins
+            else:
+                losers.update(m for m in members if m != min(members))
     if not losers:
         return ds
 

@@ -4,8 +4,18 @@ queries() entry).
 
   python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash]
       [--threshold 0.8] [--text-col text] [--id-col doc_id]
-      [--num-cpus N]
+      [--against PRIOR_OUT] [--num-cpus N]
   ray job submit --working-dir . -- python jobs/dedup_job.py IN OUT ...
+
+--against PRIOR_OUT (exact/minhash): incremental cross-run dedup — new
+docs duplicating the prior run's survivors are dropped too, reading
+only the prior run's thin ``_dedup_manifest`` (exact: fp per survivor;
+minhash: (band, band_hash, doc_id, sig) candidate rows), never its
+text.  Prior docs always win (they are already on disk).  With doc ids
+monotone across runs (prior < new) the combined output
+PRIOR_OUT ∪ OUT_DIR row-equals the single-shot run over both corpora.
+Each run's manifest includes the prior rows, so chains only ever need
+the latest output as --against.
 
 exact   : hash-partition exact dedup (min-id winner per text fingerprint)
 minhash : MinHash+LSH near-dedup (distributed pair discovery + connected
@@ -42,6 +52,7 @@ def run_dedup_job(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    against: str | None = None,
 ) -> dict:
     import ray
     import ray.data
@@ -49,7 +60,8 @@ def run_dedup_job(
     from dataguards_ray.neardup import (
         exact_dedup_filter,
         exact_dedup_filter_pruned,
-        minhash_pair_candidates,
+        minhash_candidates,
+        pairs_from_candidates,
         drop_pair_losers,
         near_dedup_filter,
     )
@@ -110,6 +122,32 @@ def run_dedup_job(
             ]
             return b.append_column("__nid", pa.array(ids, type=pa.int64()))
 
+    orig_id_col = id_col
+
+    def _manifest_dir(base: str, m: str) -> str:
+        return os.path.join(base, "_dedup_manifest", m)
+
+    def _read_manifest(base: str, m: str, columns=None) -> "ray.data.Dataset":
+        d = _manifest_dir(base, m)
+        if not (os.path.isdir(d)
+                and any(f.endswith(".parquet") for f in os.listdir(d))):
+            raise ValueError(
+                f"--against {base!r} has no {m!r} dedup manifest at {d!r}; "
+                "the prior run must be a dedup-job output of the same mode "
+                "(manifests are written since round 3)")
+        return ray.data.read_parquet(d, columns=columns)
+
+    if against and mode not in ("exact", "minhash"):
+        raise ValueError(f"--against is only supported for exact/minhash, not {mode!r}")
+
+    def _rename(d: "ray.data.Dataset", old: str, new: str) -> "ray.data.Dataset":
+        if old == new:
+            return d
+        return d.map_batches(
+            lambda b: b.rename_columns(
+                [new if c == old else c for c in b.schema.names]),
+            batch_format="pyarrow")
+
     # Column-pruned two-read path (VERDICT r02 #7): discovery over an
     # id+text-only read, loser drop as one vectorized filter over the
     # full read — payload columns never leave storage for discovery and
@@ -119,11 +157,30 @@ def run_dedup_job(
     pruned = (has_extra and mode in ("exact", "minhash")
               and _null_id_count() == 0)
     if mode == "exact":
+        if against:
+            # incremental (cross-run) dedup: drop any new doc whose text
+            # fingerprint matches the prior corpus BEFORE internal dedup
+            # (only the prior run's thin fp manifest is read — never its
+            # text).  NULL-text docs never match cross-run (NULL ≠ NULL).
+            from dataguards_ray.joins import anti_join
+            from dataguards_ray.textstats import add_fingerprint
+
+            prior_fps = _read_manifest(against, "exact", columns=["fp"])
+
+            def _minus_prior(d):
+                return anti_join(
+                    add_fingerprint(d, text_col, "__xfp"), prior_fps,
+                    "__xfp", right_key="fp").drop_columns(["__xfp"])
+        else:
+            def _minus_prior(d):
+                return d
         if pruned:
             out = exact_dedup_filter_pruned(
-                _read_thin(), ds, text_col=text_col, id_col=id_col)
+                _minus_prior(_read_thin()), _minus_prior(ds),
+                text_col=text_col, id_col=id_col)
         else:
-            out = exact_dedup_filter(ds, text_col=text_col, id_col=id_col)
+            out = exact_dedup_filter(_minus_prior(ds),
+                                     text_col=text_col, id_col=id_col)
     elif mode == "minhash":
         if pruned:
             thin = _read_thin()
@@ -136,14 +193,37 @@ def run_dedup_job(
                 full = full.map_batches(add_nid, batch_format="pyarrow")
                 pair_id = "__nid"
                 drop_cols = ["__nid"]
-            pairs = minhash_pair_candidates(
-                thin, text_col=text_col, id_col=pair_id, threshold=threshold)
-            out = drop_pair_losers(full, pairs, id_col=pair_id)
         else:
             if nid_needed:
                 ds = ds.map_batches(add_nid, batch_format="pyarrow")
                 id_col = "__nid"
                 drop_cols = ["__nid"]
+            thin = full = ds
+            pair_id = id_col
+        if against:
+            # incremental: union the prior run's thin candidate rows
+            # (band, band_hash, doc_id, sig) into pair discovery; prior
+            # members always win their component (they are already on
+            # disk) — see drop_pair_losers(prior_ids=...)
+            prior_cand = _read_manifest(against, "minhash")
+            cols = ["band", "band_hash", pair_id, "sig"]
+            cand = (
+                minhash_candidates(thin, text_col=text_col, id_col=pair_id)
+                .select_columns(cols)
+                .union(_rename(prior_cand, "doc_id", pair_id).select_columns(cols))
+            )
+            pairs = pairs_from_candidates(cand, id_col=pair_id,
+                                          threshold=threshold)
+            out = drop_pair_losers(
+                full, pairs, id_col=pair_id,
+                prior_ids=_rename(
+                    prior_cand.select_columns(["doc_id"]), "doc_id", pair_id))
+        elif pruned:
+            pairs = pairs_from_candidates(
+                minhash_candidates(thin, text_col=text_col, id_col=pair_id),
+                id_col=pair_id, threshold=threshold)
+            out = drop_pair_losers(full, pairs, id_col=pair_id)
+        else:
             out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
                                     threshold=threshold)
     elif mode == "span":
@@ -161,8 +241,51 @@ def run_dedup_job(
     out.write_parquet(out_dir)
     written = ray.data.read_parquet(out_dir)
     n_out = written.count()
+
+    if mode in ("exact", "minhash"):
+        # thin dedup manifest beside the survivors: lets the NEXT crawl
+        # dedup against this run without re-reading any text (VERDICT
+        # r02 missing #4).  Chained runs need only ONE --against: the
+        # prior manifest rows are merged into this run's manifest.
+        import pyarrow.parquet as _pq
+
+        from dataguards_ray.textstats import add_fingerprint as _addfp
+
+        man_dir = _manifest_dir(out_dir, mode)
+        os.makedirs(man_dir, exist_ok=True)
+        if mode == "exact":
+            man = _addfp(written.select_columns([text_col]), text_col,
+                         "fp").select_columns(["fp"])
+            if against:
+                man = man.union(_read_manifest(against, "exact",
+                                               columns=["fp"]))
+            empty = pa.table({"fp": pa.array([], type=pa.string())})
+        else:
+            w = written.select_columns(
+                [c for c in dict.fromkeys([orig_id_col, text_col])])
+            mid = orig_id_col
+            if nid_needed:
+                w = w.map_batches(add_nid, batch_format="pyarrow")
+                mid = "__nid"
+            man = _rename(
+                minhash_candidates(w, text_col=text_col, id_col=mid),
+                mid, "doc_id").select_columns(
+                    ["band", "band_hash", "doc_id", "sig"])
+            if against:
+                man = man.union(_read_manifest(against, "minhash"))
+            empty = pa.table({
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.binary())})
+        man.write_parquet(man_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(man_dir)):
+            _pq.write_table(empty, os.path.join(man_dir, "empty.parquet"))
+
     res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
            "dropped_rows": n_in - n_out}
+    if against:
+        res["against"] = against
     if mode in ("span", "line"):
         res["spans_removed"] = int(written.sum("n_spans_removed") or 0)
     return res
@@ -177,6 +300,10 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--against", default=None, metavar="PRIOR_OUT",
+                    help="incremental dedup: also drop docs duplicating a "
+                         "prior dedup-job output (reads only its thin "
+                         "_dedup_manifest, never its text)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -196,7 +323,7 @@ def main() -> int:
     t0 = time.time()
     res = run_dedup_job(args.input, args.out_dir, mode=args.mode,
                         threshold=args.threshold, text_col=args.text_col,
-                        id_col=args.id_col)
+                        id_col=args.id_col, against=args.against)
     res["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     ray.shutdown()

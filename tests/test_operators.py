@@ -2149,3 +2149,69 @@ def test_dedup_job_pruned_minhash_string_ids(tmp_path):
     assert "__nid" not in surv.schema().names
     kept = {r["uid"]: r["payload"] for r in surv.take_all()}
     assert kept.get("u-three") == "keepme3" and len(kept) == 2
+
+
+def test_incremental_dedup_against_prior(tmp_path):
+    """VERDICT r02 missing #4: dedup a new crawl AGAINST a prior run's
+    output via its thin manifest.  With ids monotone across runs the
+    incremental survivors (prior ∪ new) must row-equal the single-shot
+    run over both corpora — exact and minhash modes."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 15
+    other = "completely unrelated body of text about gardening tips " * 15
+    third = "a third distinct document concerning maritime law details " * 15
+    corpus_a = [
+        {"doc_id": 1, "text": base, "m": "a1"},
+        {"doc_id": 2, "text": base, "m": "a2"},          # internal exact dup
+        {"doc_id": 3, "text": other, "m": "a3"},
+    ]
+    corpus_b = [
+        {"doc_id": 11, "text": base, "m": "b1"},          # cross-run exact dup
+        {"doc_id": 12, "text": other + " tail words", "m": "b2"},  # cross near-dup
+        {"doc_id": 13, "text": third, "m": "b3"},
+        {"doc_id": 14, "text": third, "m": "b4"},         # internal exact dup
+    ]
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+        return str(d)
+
+    src_a = write(corpus_a, "a")
+    src_b = write(corpus_b, "b")
+    src_ab = write(corpus_a + corpus_b, "ab")
+
+    def ids_of(out_dir):
+        return sorted(r["doc_id"]
+                      for r in ray.data.read_parquet(out_dir).take_all())
+
+    for mode, thr in (("exact", 0.8), ("minhash", 0.5)):
+        out_a = str(tmp_path / f"{mode}_outa")
+        out_b = str(tmp_path / f"{mode}_outb")
+        out_s = str(tmp_path / f"{mode}_outs")
+        run_dedup_job(src_a, out_a, mode=mode, threshold=thr)
+        res = run_dedup_job(src_b, out_b, mode=mode, threshold=thr,
+                            against=out_a)
+        single = run_dedup_job(src_ab, out_s, mode=mode, threshold=thr)
+        assert ids_of(out_a) + ids_of(out_b) == ids_of(out_s), mode
+        assert res["against"] == out_a
+    # exact: cross-run dup 11 and internal loser 14 dropped from B
+    assert ids_of(str(tmp_path / "exact_outb")) == [12, 13]
+    # minhash at 0.5 also drops the cross-run NEAR dup 12
+    assert ids_of(str(tmp_path / "minhash_outb")) == [13]
+
+    # chained incremental: C against B's output alone must still know
+    # about corpus A (manifests merge forward)
+    corpus_c = [{"doc_id": 21, "text": base, "m": "c1"},
+                {"doc_id": 22, "text": "fresh new content entirely " * 15,
+                 "m": "c2"}]
+    src_c = write(corpus_c, "c")
+    out_c = str(tmp_path / "exact_outc")
+    run_dedup_job(src_c, out_c, mode="exact",
+                  against=str(tmp_path / "exact_outb"))
+    assert ids_of(out_c) == [22]  # 21 duplicates corpus A's base text
