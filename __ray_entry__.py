@@ -1305,6 +1305,28 @@ def _q_span_dedup_docs(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_substring_dedup_docs(sf_dir: str):
+    """Exact duplicated-substring dedup à la Lee et al. 2022
+    (spandedup.substring_dedup): any repeated 20-token normalized
+    window removed from all but its global first occurrence — over
+    _web_documents, whose shared boilerplate tail is longer than the
+    window, so later pages lose the whole region.  One row per input
+    doc: (doc_id, n_spans_removed, n_chars).  Rows-only (winner
+    resolution + byte surgery aren't SQL-expressible); pytest checks
+    byte-identity against a scalar oracle on both resolution paths."""
+    from dataguards_ray.spandedup import substring_dedup
+
+    out = substring_dedup(_web_documents(sf_dir), window=20)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_spans_removed": b.column("n_spans_removed"),
+             "n_chars": pc.utf8_length(b.column("text"))})
+
+    return out.map_batches(slim, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_event_key_skew(sf_dir: str):
     """Shuffle-skew profiler (profile.key_skew_report): hot event_type
     keys + HLL distinct estimate + max/mean ratio — the pre-flight
@@ -2768,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "span_dedup_docs": _q_span_dedup_docs,
         "line_dedup_docs": _q_line_dedup_docs,
+        "substring_dedup_docs": _q_substring_dedup_docs,
         "embedding_dedup": _q_embedding_dedup,
         "compression_ratio_docs": _q_compression_ratio_docs,
         "event_key_skew": _q_event_key_skew,

@@ -73,6 +73,28 @@ def line_segments(text: str) -> list[str]:
     return text.splitlines(keepends=True)
 
 
+_TOKEN_SEG_RE = None
+
+
+def token_segments(text: str) -> list[str]:
+    """Split into whitespace tokens KEEPING each token's trailing
+    whitespace (leading whitespace attaches to the first token), so the
+    segments concatenate back to the exact original text.  The segment
+    unit for exact substring dedup (Lee et al. 2022 granularity)."""
+    global _TOKEN_SEG_RE
+    if _TOKEN_SEG_RE is None:
+        import re
+
+        _TOKEN_SEG_RE = re.compile(r"\S+\s*")
+    segs = _TOKEN_SEG_RE.findall(text)
+    if not segs:
+        return [text] if text else []
+    lead = text[: len(text) - len(text.lstrip())]
+    if lead:
+        segs[0] = lead + segs[0]
+    return segs
+
+
 def _span_digest_norm(norm_segs: list[str], min_norm_chars: int = 1) -> str | None:
     """Hex of the 128-bit digest of the normalized span; None below
     ``min_norm_chars`` normalized chars (an empty/trivial key would
@@ -369,6 +391,33 @@ def span_dedup(
     from .aggregates import keyed_map_groups
 
     return keyed_map_groups(tagged, [id_col], rebuild)
+
+
+def substring_dedup(
+    docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
+    window: int = 50, **kwargs,
+) -> Dataset:
+    """Exact duplicated-substring dedup à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): any substring of ``window`` tokens (normalized:
+    lowercased, whitespace-collapsed) that occurs more than once
+    corpus-wide is removed from every occurrence except the global
+    first.  A shared region LONGER than the window is removed wholesale
+    from later occurrences, because every one of its length-``window``
+    sliding sub-windows loses to the first occurrence — this is how a
+    fixed window yields arbitrary-length repeated-substring removal.
+
+    Same machinery as ``span_dedup`` with token segments: one thin
+    (h, doc_id, start) row per TOKEN (the honest Lee-et-al cost class —
+    their suffix array is ~8 bytes/token; our occurrence row is ~50 B of
+    pre-aggregated partials), first-occurrence winners, byte-exact
+    union-of-losers surgery.  Within-doc overlapping repeats (period <
+    window) delete the union of losing windows, which can clip into the
+    first occurrence — the same frozen overlap rule as C4 span dedup.
+    Returns (id_col, text_col, n_spans_removed) where the count is
+    losing WINDOWS, not distinct regions."""
+    return span_dedup(docs, id_col=id_col, text_col=text_col, n_sent=window,
+                      segmenter=token_segments, min_norm_chars=1, **kwargs)
 
 
 def line_dedup(
