@@ -30,6 +30,9 @@ substring : exact duplicated-substring removal à la Lee et al. 2022 —
           any repeated --window-token (default 50) normalized substring
           removed from all but its global first occurrence; same output
           shape as span (dataguards_ray/spandedup.substring_dedup)
+embedding : cosine near-dup dedup over a list<float> --vec-col at
+          --threshold cosine (similarity.embedding_dedup_filter; auto
+          exact/LSH discovery, min-id component winner)
 
 Writes survivor parquet shards to OUT_DIR and prints ONE JSON summary
 line.  This script owns the Ray session (library code never calls
@@ -58,6 +61,7 @@ def run_dedup_job(
     id_col: str = "doc_id",
     against: str | None = None,
     window: int = 50,
+    vec_col: str = "embedding",
 ) -> dict:
     import ray
     import ray.data
@@ -106,7 +110,7 @@ def run_dedup_job(
             nulls, batch_format="pyarrow").sum("n") or 0)
 
     drop_cols: list[str] = []
-    nid_needed = mode == "minhash" and not pa.types.is_integer(
+    nid_needed = mode in ("minhash", "embedding") and not pa.types.is_integer(
         pa.schema(ds.schema().base_schema).field(id_col).type
     )
     if nid_needed:
@@ -244,6 +248,20 @@ def run_dedup_job(
 
         out = substring_dedup(ds, text_col=text_col, id_col=id_col,
                               window=window)
+    elif mode == "embedding":
+        # cosine near-dup dedup over a list<float> column; discovery
+        # prunes internally (select_columns pushdown + auto LSH above
+        # the exact cap) and the loser drop is one vectorized filter —
+        # the payload never enters a shuffle
+        from dataguards_ray.similarity import embedding_dedup_filter
+
+        eid = id_col
+        if nid_needed:
+            ds = ds.map_batches(add_nid, batch_format="pyarrow")
+            eid = "__nid"
+            drop_cols = ["__nid"]
+        out = embedding_dedup_filter(ds, threshold, vec_col=vec_col,
+                                     id_col=eid)
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
     if drop_cols:
@@ -306,8 +324,11 @@ def main() -> int:
     ap.add_argument("input")
     ap.add_argument("out_dir")
     ap.add_argument("--mode",
-                    choices=("exact", "minhash", "span", "line", "substring"),
+                    choices=("exact", "minhash", "span", "line", "substring",
+                             "embedding"),
                     default="exact")
+    ap.add_argument("--vec-col", default="embedding",
+                    help="embedding mode: the list<float> vector column")
     ap.add_argument("--window", type=int, default=50,
                     help="substring mode: duplicated-window length in tokens")
     ap.add_argument("--threshold", type=float, default=0.8)
@@ -337,7 +358,7 @@ def main() -> int:
     res = run_dedup_job(args.input, args.out_dir, mode=args.mode,
                         threshold=args.threshold, text_col=args.text_col,
                         id_col=args.id_col, against=args.against,
-                        window=args.window)
+                        window=args.window, vec_col=args.vec_col)
     res["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     ray.shutdown()

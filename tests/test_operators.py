@@ -2320,3 +2320,31 @@ def test_substring_dedup_job_mode(tmp_path):
     assert back[1]["text"] == rows[0]["text"]  # first occurrence intact
     assert len(back[2]["text"]) < len(rows[1]["text"])
     assert back[3]["text"] == rows[2]["text"]
+
+
+def test_dedup_job_embedding_mode(tmp_path):
+    """dg dedup --mode embedding: cosine near-dup survivors with payload
+    intact; string ids ride the deterministic __nid derivation."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    rows = [
+        {"uid": "a", "embedding": [1.0, 0.0, 0.0], "m": 1},
+        {"uid": "b", "embedding": [0.999, 0.01, 0.0], "m": 2},   # dup of a
+        {"uid": "c", "embedding": [0.0, 1.0, 0.0], "m": 3},
+        {"uid": "d", "embedding": [0.0, 0.0, 1.0], "m": 4},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+
+    from jobs.dedup_job import run_dedup_job
+
+    res = run_dedup_job(str(src), str(tmp_path / "out"), mode="embedding",
+                        threshold=0.95, id_col="uid")
+    assert res["input_rows"] == 4 and res["kept_rows"] == 3
+    surv = ray.data.read_parquet(str(tmp_path / "out"))
+    assert "__nid" not in surv.schema().names
+    kept = {r["uid"]: r["m"] for r in surv.take_all()}
+    assert set(kept) in ({"a", "c", "d"}, {"b", "c", "d"})
+    assert kept.get("c") == 3 and kept.get("d") == 4
