@@ -496,6 +496,7 @@ def embedding_dedup_filter(
     n_planes: int = 12,
     n_tables: int = 8,
     seed: int = 42,
+    prior: "Dataset | None" = None,
 ) -> Dataset:
     """Embedding-cosine near-dup DEDUP (task-brief dedup family member):
     drop every row whose vector is within ``threshold`` cosine of a
@@ -518,20 +519,32 @@ def embedding_dedup_filter(
     defaults (12 planes, 8 tables) a 0.95-cosine pair is recalled with
     ≈0.95 probability, a 0.99-cosine pair ≈0.9996; lower thresholds
     need fewer planes or more tables — pass ``n_planes``/``n_tables``
-    accordingly."""
+    accordingly.
+
+    ``prior`` (incremental dedup): a Dataset with the same (id_col,
+    vec_col) columns holding an ALREADY-WRITTEN prior corpus' vectors
+    (e.g. a dedup job's embedding manifest).  Pair discovery runs over
+    ``ds ∪ prior``; prior members always win their component
+    (``drop_pair_losers(prior_ids=…)``), and only rows of ``ds`` are
+    filtered — the prior corpus is never rewritten."""
     from .neardup import drop_pair_losers
 
     if discovery not in ("auto", "exact", "lsh"):
         raise ValueError(f"discovery must be auto|exact|lsh, got {discovery!r}")
+    disc_ds = ds
+    if prior is not None:
+        disc_ds = ds.select_columns([id_col, vec_col]).union(
+            prior.select_columns([id_col, vec_col]))
     if discovery == "auto":
-        discovery = "exact" if ds.count() <= max_exact_vectors else "lsh"
+        discovery = "exact" if disc_ds.count() <= max_exact_vectors else "lsh"
     if discovery == "exact":
-        pairs = near_dup_cosine(ds, threshold, vec_col=vec_col, id_col=id_col)
+        pairs = near_dup_cosine(disc_ds, threshold, vec_col=vec_col, id_col=id_col)
     else:
         pairs = lsh_ann_candidates(
-            ds, threshold, vec_col=vec_col, id_col=id_col,
+            disc_ds, threshold, vec_col=vec_col, id_col=id_col,
             n_planes=n_planes, n_tables=n_tables, seed=seed,
         )
-    return drop_pair_losers(ds, pairs, id_col=id_col,
-                            distributed=distributed,
-                            max_driver_pairs=max_driver_pairs)
+    return drop_pair_losers(
+        ds, pairs, id_col=id_col, distributed=distributed,
+        max_driver_pairs=max_driver_pairs,
+        prior_ids=prior.select_columns([id_col]) if prior is not None else None)

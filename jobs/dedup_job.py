@@ -7,11 +7,11 @@ queries() entry).
       [--against PRIOR_OUT] [--num-cpus N]
   ray job submit --working-dir . -- python jobs/dedup_job.py IN OUT ...
 
---against PRIOR_OUT (exact/minhash): incremental cross-run dedup — new
-docs duplicating the prior run's survivors are dropped too, reading
-only the prior run's thin ``_dedup_manifest`` (exact: fp per survivor;
-minhash: (band, band_hash, doc_id, sig) candidate rows), never its
-text.  Prior docs always win (they are already on disk).  With doc ids
+--against PRIOR_OUT (exact/minhash/embedding): incremental cross-run
+dedup — new docs duplicating the prior run's survivors are dropped too,
+reading only the prior run's thin ``_dedup_manifest`` (exact: fp per
+survivor; minhash: (band, band_hash, doc_id, sig) candidate rows;
+embedding: survivor (doc_id, vector) rows), never its text.  Prior docs always win (they are already on disk).  With doc ids
 monotone across runs (prior < new) the combined output
 PRIOR_OUT ∪ OUT_DIR row-equals the single-shot run over both corpora.
 Each run's manifest includes the prior rows, so chains only ever need
@@ -146,8 +146,9 @@ def run_dedup_job(
                 "(manifests are written since round 3)")
         return ray.data.read_parquet(d, columns=columns)
 
-    if against and mode not in ("exact", "minhash"):
-        raise ValueError(f"--against is only supported for exact/minhash, not {mode!r}")
+    if against and mode not in ("exact", "minhash", "embedding"):
+        raise ValueError(
+            f"--against is only supported for exact/minhash/embedding, not {mode!r}")
 
     def _rename(d: "ray.data.Dataset", old: str, new: str) -> "ray.data.Dataset":
         if old == new:
@@ -260,8 +261,14 @@ def run_dedup_job(
             ds = ds.map_batches(add_nid, batch_format="pyarrow")
             eid = "__nid"
             drop_cols = ["__nid"]
+        prior = None
+        if against:
+            # prior survivors' (id, vector) rows from the manifest —
+            # prior members always win their component
+            pm = _read_manifest(against, "embedding")
+            prior = _rename(_rename(pm, "doc_id", eid), "embedding", vec_col)
         out = embedding_dedup_filter(ds, threshold, vec_col=vec_col,
-                                     id_col=eid)
+                                     id_col=eid, prior=prior)
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
     if drop_cols:
@@ -270,7 +277,7 @@ def run_dedup_job(
     written = ray.data.read_parquet(out_dir)
     n_out = written.count()
 
-    if mode in ("exact", "minhash"):
+    if mode in ("exact", "minhash", "embedding"):
         # thin dedup manifest beside the survivors: lets the NEXT crawl
         # dedup against this run without re-reading any text (VERDICT
         # r02 missing #4).  Chained runs need only ONE --against: the
@@ -288,6 +295,21 @@ def run_dedup_job(
                 man = man.union(_read_manifest(against, "exact",
                                                columns=["fp"]))
             empty = pa.table({"fp": pa.array([], type=pa.string())})
+        elif mode == "embedding":
+            w = written.select_columns(
+                [c for c in dict.fromkeys([orig_id_col, vec_col])])
+            mid = orig_id_col
+            if nid_needed:
+                w = w.map_batches(add_nid, batch_format="pyarrow")
+                mid = "__nid"
+            man = _rename(_rename(
+                w.select_columns([mid, vec_col]), mid, "doc_id"),
+                vec_col, "embedding").select_columns(["doc_id", "embedding"])
+            if against:
+                man = man.union(_read_manifest(against, "embedding"))
+            empty = pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64()))})
         else:
             w = written.select_columns(
                 [c for c in dict.fromkeys([orig_id_col, text_col])])

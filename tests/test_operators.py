@@ -2348,3 +2348,40 @@ def test_dedup_job_embedding_mode(tmp_path):
     kept = {r["uid"]: r["m"] for r in surv.take_all()}
     assert set(kept) in ({"a", "c", "d"}, {"b", "c", "d"})
     assert kept.get("c") == 3 and kept.get("d") == 4
+
+
+def test_incremental_embedding_dedup_against_prior(tmp_path):
+    """--against for embedding mode: new vectors near-duplicating the
+    prior run's survivors are dropped via the vector manifest; with
+    monotone ids the incremental union row-equals the single-shot run."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    a = [{"doc_id": 1, "embedding": [1.0, 0.0, 0.0]},
+         {"doc_id": 2, "embedding": [0.999, 0.02, 0.0]},   # internal dup
+         {"doc_id": 3, "embedding": [0.0, 1.0, 0.0]}]
+    b = [{"doc_id": 11, "embedding": [0.998, 0.03, 0.0]},  # cross-run dup of 1
+         {"doc_id": 12, "embedding": [0.0, 0.0, 1.0]},
+         {"doc_id": 13, "embedding": [0.0, 0.01, 0.999]}]  # internal dup of 12
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+        return str(d)
+
+    def ids_of(out_dir):
+        return sorted(r["doc_id"]
+                      for r in ray.data.read_parquet(out_dir).take_all())
+
+    src_a, src_b, src_ab = write(a, "a"), write(b, "b"), write(a + b, "ab")
+    out_a, out_b, out_s = (str(tmp_path / n) for n in ("oa", "ob", "os"))
+    run_dedup_job(src_a, out_a, mode="embedding", threshold=0.95)
+    run_dedup_job(src_b, out_b, mode="embedding", threshold=0.95,
+                  against=out_a)
+    run_dedup_job(src_ab, out_s, mode="embedding", threshold=0.95)
+    assert ids_of(out_a) == [1, 3]
+    assert ids_of(out_b) == [12]
+    assert ids_of(out_a) + ids_of(out_b) == ids_of(out_s)
