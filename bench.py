@@ -109,7 +109,8 @@ def run_bench() -> dict:
                      "median_price_by_priority", "tpch_q5_shape",
                      "dense_rank_cust_balance", "span_dedup_docs",
                      "interval_overlap_click_view", "event_row_number",
-                     "tpch_q18_shape"):
+                     "tpch_q18_shape", "substring_dedup_docs",
+                     "embedding_dedup"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):
