@@ -706,6 +706,48 @@ def _q_salted_source_counts(sf_dir: str):
 _SQL_SALTED = "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source"
 
 
+def _q_check_config_orders(sf_dir: str):
+    """Declarative rules-as-DATA surface (rules/config.py +
+    jobs/check_job.py — the DataGuards user runs a JSON config, not
+    Python): range + regex + predicate rules loaded from a config dict,
+    compiled by RuleSet, violating orders with their FIRST violated rule
+    in config order."""
+    from dataguards_ray.rules.config import rules_from_config
+
+    cfg = {"rules": [
+        {"type": "range", "name": "price.range", "col": "o_totalprice",
+         "lo": 0, "hi": 400000},
+        {"type": "regex", "name": "priority.format",
+         "col": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"type": "predicate", "name": "status.known", "all_of": [
+            {"col": "o_orderstatus", "op": "in", "value": ["O", "F", "P"]}]},
+    ]}
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority",
+                "o_orderstatus"])
+    out = rules_from_config(cfg).evaluate(ds).filter(expr="keep == False")
+    return out.select_columns(["o_orderkey", "drop_rule"]).sort("o_orderkey")
+
+
+_SQL_CHECK_CONFIG = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice IS NULL
+                 OR NOT (o_totalprice >= 0 AND o_totalprice <= 400000)
+              THEN 'price.range'
+            WHEN o_orderpriority IS NULL
+                 OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+              THEN 'priority.format'
+            WHEN o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O', 'F', 'P')
+              THEN 'status.known' END AS drop_rule
+FROM orders
+WHERE (o_totalprice IS NULL OR NOT (o_totalprice >= 0 AND o_totalprice <= 400000))
+   OR (o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+   OR (o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P'))
+ORDER BY o_orderkey
+"""
+
+
 def _q_rule_range_violations(sf_dir: str):
     from dataguards_ray.rules import RangeRule, RuleSet
 
@@ -2750,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The 50 round-2 driver-green entries follow as the regression tail.
     return {
         # --- 34 SQL-backed queries unchecked by the r02 driver window ---
+        "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
         "top_sources": _q_top_sources,
         "regex_extract_source": _q_regex_extract_source,
@@ -2904,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "salted_source_counts": _SQL_SALTED,
         "rule_range_violations": _SQL_RULE_RANGE,
+        "check_config_orders": _SQL_CHECK_CONFIG,
         "rule_predicate_violations": _SQL_RULE_PRED,
         "cfd_violations": _SQL_CFD,
         "cfd_mixed_tableau": _SQL_CFD_MIXED,

@@ -16,7 +16,8 @@ def main() -> int:
             "usage: python -m dataguards_ray filter INPUT OUT_DIR [--num-parts N] [--num-cpus N]\n"
             "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
             "       python -m dataguards_ray stats OUT_DIR [--top-domains K]\n"
-            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span|line] [...]"
+            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span|line|substring|embedding] [--against PRIOR_OUT] [...]\n"
+            "       python -m dataguards_ray check INPUT --rules RULES.json [--out DIR] [--violations-only]"
         )
         return 0
     cmd, rest = sys.argv[1], sys.argv[2:]
@@ -37,6 +38,11 @@ def main() -> int:
 
         sys.argv = ["dedup_job.py", *rest]
         return dedup_main()
+    if cmd == "check":
+        from jobs.check_job import main as check_main
+
+        sys.argv = ["check_job.py", *rest]
+        return check_main()
     print(f"unknown command {cmd!r}", file=sys.stderr)
     return 2
 

@@ -1,0 +1,118 @@
+"""`dg check` job: declarative data-quality checking over parquet —
+the DataGuards core as a standalone runnable (rules as a JSON config,
+compiled into vectorized stages / keyed shuffles, violations out).
+
+  python -m dataguards_ray check INPUT --rules RULES.json
+      [--out OUT_DIR] [--violations-only] [--num-cpus N]
+  ray job submit --working-dir . -- python jobs/check_job.py IN --rules R
+
+- RULES.json: see dataguards_ray/rules/config.py for the schema
+  (range / regex / predicate / cfd / dc / unique / inclusion).
+- --out: write the annotated table (each row + rule_hits / keep /
+  drop_rule) as parquet shards; with --violations-only, only rows that
+  violate at least one rule are written.
+- stdout: ONE JSON line {"rows": N, "violations": V,
+  "rule_drops": {rule: n, ...}} — rule_drops counts every rule hit
+  (a row can hit several rules).
+
+This script owns the Ray session (library code never calls ray.init);
+``run_check_job`` is the importable core.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_check_job(
+    input_path: str,
+    rules_cfg: "str | dict | list",
+    *,
+    out_dir: str | None = None,
+    violations_only: bool = False,
+) -> dict:
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from dataguards_ray.rules.config import rules_from_config
+    from dataguards_ray.rules.dsl import violation_report
+
+    assert ray.is_initialized(), "caller owns the Ray session"
+    if out_dir and os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        raise ValueError(
+            f"out_dir {out_dir!r} already contains parquet files; "
+            "use a clean directory")
+
+    ruleset = rules_from_config(rules_cfg)
+    ds = ray.data.read_parquet(input_path)
+    annotated = ruleset.evaluate(ds)
+
+    if out_dir:
+        to_write = annotated
+        if violations_only:
+            def only_bad(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return b.filter(pc.invert(b.column("keep")))
+
+            to_write = annotated.map_batches(only_bad, batch_format="pyarrow")
+        to_write.write_parquet(out_dir)
+        # counters from what was written (no second evaluate execution)
+        base = ray.data.read_parquet(out_dir)
+        report = violation_report(base)
+        n_rows = ds.count()
+        n_viol = (base.count() if violations_only
+                  else int(base.filter(expr="keep == False").count()))
+    else:
+        annotated = annotated.materialize()
+        report = violation_report(annotated)
+        n_rows = annotated.count()
+        n_viol = int(annotated.filter(expr="keep == False").count())
+
+    drops = {r["rule"]: int(r["drops"]) for r in report.take_all()}
+    return {"rows": n_rows, "violations": n_viol, "rule_drops": drops}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("--rules", required=True,
+                    help="path to the JSON rule config (or inline JSON)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--violations-only", action="store_true")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+
+    t0 = time.time()
+    res = run_check_job(args.input, args.rules, out_dir=args.out,
+                        violations_only=args.violations_only)
+    res["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -316,3 +316,110 @@ def test_unique_rule_all_copies_and_null_exempt():
         out = UniqueRule("u", ["a", "b"], max_broadcast_keys=cap).apply_shuffle(ds)
         got = {r["id"]: r["__viol_u"] for r in out.take_all()}
         assert got == expect, cap
+
+
+def test_rules_from_config_all_types(tmp_path, ray_session):
+    """Declarative JSON config → RuleSet: every rule type, canonical
+    order = config order (drop_rule is the FIRST violated)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataguards_ray.rules.config import rules_from_config
+
+    ref = tmp_path / "ref.parquet"
+    pq.write_table(pa.table({"rk": [1, 2, 3]}), str(ref))
+
+    cfg = {"rules": [
+        {"type": "range", "name": "r.range", "col": "x", "lo": 0, "hi": 10},
+        {"type": "regex", "name": "r.regex", "col": "s", "pattern": "^ok"},
+        {"type": "predicate", "name": "r.pred", "all_of": [
+            {"col": "flag", "op": "in", "value": ["a", "b"]}]},
+        {"type": "cfd", "name": "r.cfd", "lhs": ["grp"], "rhs": "v",
+         "tableau": [{"grp": "_", "v": "_"}]},
+        {"type": "dc", "name": "r.dc", "eq_keys": ["grp"], "pair_atoms": [
+            {"left": "x", "op": "<", "right": "lo_bound"}]},
+        {"type": "unique", "name": "r.uniq", "cols": ["uid"]},
+        {"type": "inclusion", "name": "r.fk", "cols": ["fk"],
+         "ref_table": str(ref), "ref_cols": ["rk"]},
+    ]}
+    # also accept a JSON file path
+    cfg_path = tmp_path / "rules.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rs = rules_from_config(str(cfg_path))
+    assert [r.name for r in rs.rules] == [
+        "r.range", "r.regex", "r.pred", "r.cfd", "r.dc", "r.uniq", "r.fk"]
+
+    rows = [
+        # clean row
+        {"x": 5, "s": "ok fine", "flag": "a", "grp": "g1", "v": "same",
+         "lo_bound": 0, "uid": 1, "fk": 1},
+        # range violation (x=99) + regex violation
+        {"x": 99, "s": "bad", "flag": "a", "grp": "g2", "v": "w1",
+         "lo_bound": 0, "uid": 2, "fk": 2},
+        # cfd violation partner (k=g2 with different v) + dup uid
+        {"x": 5, "s": "ok too", "flag": "b", "grp": "g2", "v": "w2",
+         "lo_bound": 0, "uid": 3, "fk": 3},
+        # dc violation pair member (x < other's lo_bound) + bad fk
+        {"x": 1, "s": "ok dc", "flag": "a", "grp": "g3", "v": "z",
+         "lo_bound": 0, "uid": 3, "fk": 99},
+        {"x": 5, "s": "ok dc2", "flag": "a", "grp": "g3", "v": "z",
+         "lo_bound": 3, "uid": 4, "fk": 1},
+    ]
+    out = {r["uid"] if False else i: r for i, r in enumerate(
+        sorted(rs.evaluate(ray.data.from_items(rows)).take_all(),
+               key=lambda r: (r["x"], r["s"])))}
+    by_s = {r["s"]: r for r in out.values()}
+    assert by_s["ok fine"]["keep"] is True and by_s["ok fine"]["rule_hits"] == []
+    assert by_s["bad"]["drop_rule"] == "r.range"
+    assert set(by_s["bad"]["rule_hits"]) == {"r.range", "r.regex", "r.cfd"}
+    assert "r.cfd" in by_s["ok too"]["rule_hits"]
+    assert "r.uniq" in by_s["ok too"]["rule_hits"]  # uid 3 duplicated
+    assert "r.dc" in by_s["ok dc"]["rule_hits"]     # x=1 < partner lo_bound 3
+    assert "r.fk" in by_s["ok dc"]["rule_hits"]     # fk=99 not in ref
+    # duplicate names rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        rules_from_config({"rules": [
+            {"type": "range", "name": "n", "col": "x"},
+            {"type": "regex", "name": "n", "col": "s", "pattern": "a"}]})
+
+
+def test_check_job_end_to_end(tmp_path, ray_session):
+    """dg check: config-driven violations over parquet + JSON summary."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.check_job import run_check_job
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist([
+        {"id": 1, "price": 10.0, "status": "O"},
+        {"id": 2, "price": -5.0, "status": "O"},   # range violation
+        {"id": 3, "price": 20.0, "status": "X"},   # status violation
+        {"id": 3, "price": 30.0, "status": "F"},   # dup id
+    ]), str(src / "p.parquet"))
+    cfg = {"rules": [
+        {"type": "range", "name": "price.pos", "col": "price", "lo": 0},
+        {"type": "predicate", "name": "status.known", "all_of": [
+            {"col": "status", "op": "in", "value": ["O", "F", "P"]}]},
+        {"type": "unique", "name": "id.unique", "cols": ["id"]},
+    ]}
+    cfg_path = tmp_path / "rules.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    res = run_check_job(str(src), str(cfg_path),
+                        out_dir=str(tmp_path / "out"), violations_only=True)
+    assert res["rows"] == 4 and res["violations"] == 3
+    assert res["rule_drops"] == {"price.pos": 1, "status.known": 1,
+                                 "id.unique": 2}
+    bad = ray.data.read_parquet(str(tmp_path / "out"))
+    assert bad.count() == 3
+    assert all(not r["keep"] for r in bad.take_all())
