@@ -423,3 +423,77 @@ def test_check_job_end_to_end(tmp_path, ray_session):
     bad = ray.data.read_parquet(str(tmp_path / "out"))
     assert bad.count() == 3
     assert all(not r["keep"] for r in bad.take_all())
+
+
+def test_randomized_differential_rule_configs(ray_session):
+    """Seeded-random differential suite vs DuckDB for the declarative
+    config loader: random range/regex/predicate/cfd/unique rules over
+    random tables with NULLs — per-row keep, drop_rule (first violated
+    in config order) and the full hit set must match SQL semantics."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray.rules.config import rules_from_config
+
+    pool = ["Alpha one", "beta TWO", "gamma3", "Delta#4", "epsilon five"]
+    for seed in (3, 19, 57):
+        rng = np.random.default_rng(seed)
+        n = 300
+        v = rng.integers(-50, 50, size=n).astype(object)
+        w = rng.integers(-50, 50, size=n).astype(object)
+        s = rng.choice(pool, size=n).astype(object)
+        grp = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1]).astype(object)
+        for col in (v, w, s, grp):
+            col[rng.random(n) < 0.12] = None
+        tbl = pa.table({
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(list(v), type=pa.int64()),
+            "w": pa.array(list(w), type=pa.int64()),
+            "s": pa.array(list(s), type=pa.string()),
+            "grp": pa.array(list(grp), type=pa.string()),
+        })
+        lo, hi = sorted(rng.integers(-40, 40, size=2).tolist())
+        cut = int(rng.integers(-30, 30))
+        cfd_c = int(rng.integers(-50, 50))
+        cfg = {"rules": [
+            {"type": "range", "name": "r.range", "col": "v",
+             "lo": lo, "hi": hi},
+            {"type": "regex", "name": "r.regex", "col": "s",
+             "pattern": "a", "must_match": bool(rng.integers(0, 2))},
+            {"type": "predicate", "name": "r.pred", "all_of": [
+                {"col": "grp", "op": "in", "value": ["a", "b"]},
+                {"col": "v", "op": "<", "col2": "w"},
+                {"col": "w", "op": ">=", "value": cut}]},
+            {"type": "cfd", "name": "r.cfd", "lhs": ["grp"], "rhs": "v",
+             "tableau": [{"grp": "a", "v": cfd_c}]},
+            {"type": "unique", "name": "r.uniq", "cols": ["v"]},
+        ]}
+        must = cfg["rules"][1]["must_match"]
+        rs = rules_from_config(cfg)
+        got = {}
+        out = rs.evaluate(ray.data.from_arrow(tbl).repartition(4))
+        for r in out.take_all():
+            got[r["id"]] = (sorted(r["rule_hits"]), r["keep"], r["drop_rule"])
+
+        con = duckdb.connect()
+        con.register("t", tbl)
+        flags = {
+            "r.range": f"(v IS NULL OR NOT (v >= {lo} AND v <= {hi}))",
+            "r.regex": ("(s IS NULL OR NOT regexp_matches(s, 'a'))" if must
+                        else "(s IS NOT NULL AND regexp_matches(s, 'a'))"),
+            "r.pred": ("(grp IS NULL OR grp NOT IN ('a','b')"
+                       " OR v IS NULL OR w IS NULL OR NOT (v < w)"
+                       f" OR NOT (w >= {cut}))"),
+            "r.cfd": f"(grp = 'a' AND (v IS NULL OR v != {cfd_c}))",
+            "r.uniq": ("(v IS NOT NULL AND "
+                       "COUNT(*) OVER (PARTITION BY v) > 1)"),
+        }
+        sel = ", ".join(f"COALESCE({e}, FALSE) AS \"{k}\""
+                        for k, e in flags.items())
+        want = {}
+        for row in con.sql(f"SELECT id, {sel} FROM t").fetchall():
+            rid, hits = row[0], [k for k, hit in zip(flags, row[1:]) if hit]
+            want[rid] = (sorted(hits), not hits, hits[0] if hits else None)
+        assert got == want, f"seed {seed}"
