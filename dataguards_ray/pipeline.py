@@ -225,11 +225,20 @@ class FusedAnnotateStep:
 
 @dataclass
 class FilterPipeline:
-    """E1 builder.  ``steps`` is the frozen default chain unless overridden."""
+    """E1 builder.  ``steps`` is the frozen default chain unless
+    overridden.  ``extra_rules`` (a RuleSet, e.g. from
+    ``rules.config.rules_from_config``) merges user-declared constraints
+    into the quality gate AFTER the frozen spec rules: extra hits append
+    to rule_hits, keep &= clean, drop_rule prefers the spec rule — the
+    DataGuards declarative DSL chained into the webtext filter.  Rows
+    dropped ONLY by extra rules are not payload-slimmed before the write
+    shuffle (the fused annotate slims its own drops); heavy extra-rule
+    drop rates ship their text once."""
 
     num_parts: int = spec.DEFAULT_NUM_PARTS
     concurrency: tuple[int, int] | int = (1, 8)
     steps: list[PipelineStep] = field(default_factory=list)
+    extra_rules: "object | None" = None  # rules.dsl.RuleSet
 
     def __post_init__(self):
         if not self.steps:
@@ -261,6 +270,10 @@ class FilterPipeline:
         # individual-step path needs an explicit projection
         if not any(isinstance(s, FusedAnnotateStep) for s in self.steps):
             ds = ds.drop_columns(["raw_digest", "text_clean", "valid"])
+        if self.extra_rules is not None:
+            from .rules.dsl import merge_extra_rules
+
+            ds = merge_extra_rules(ds, self.extra_rules)
         return ds
 
     # -- in-memory variant (tests / queries) -------------------------------
@@ -329,7 +342,8 @@ class FilterPipeline:
             for s in self.steps
         ]
         pipe = FilterPipeline(num_parts=self.num_parts,
-                              concurrency=self.concurrency, steps=steps)
+                              concurrency=self.concurrency, steps=steps,
+                              extra_rules=self.extra_rules)
         scored = pipe._score_chain(ds, skip_parts=stages["annotated"])
         # pre-shuffle coalesce (round 2, measured): the sort groupby's
         # overhead scales with its input block count (annotate emits one
@@ -410,8 +424,17 @@ def run_filter_job(
     num_parts: int = spec.DEFAULT_NUM_PARTS,
     concurrency: tuple[int, int] | int = (1, 8),
     resume: bool = False,
+    rules_config: "str | dict | None" = None,
 ) -> list[dict]:
-    """`dg filter` / `dg resume` entry (jobs/filter_job.py wraps this)."""
+    """`dg filter` / `dg resume` entry (jobs/filter_job.py wraps this).
+    ``rules_config``: path/dict/JSON of extra declarative rules merged
+    into the quality gate (rules/config.py schema)."""
     assert ray.is_initialized(), "caller owns the Ray session"
-    pipe = FilterPipeline(num_parts=num_parts, concurrency=concurrency)
+    extra = None
+    if rules_config is not None:
+        from .rules.config import rules_from_config
+
+        extra = rules_from_config(rules_config)
+    pipe = FilterPipeline(num_parts=num_parts, concurrency=concurrency,
+                          extra_rules=extra)
     return pipe.run(input_path, out_dir, resume=resume)

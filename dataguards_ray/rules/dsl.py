@@ -147,7 +147,11 @@ class RuleSet:
 
     rules: list[Rule]
 
-    def evaluate(self, ds: Dataset) -> Dataset:
+    def flag(self, ds: Dataset) -> Dataset:
+        """Append one ``__viol_{name}`` bool column per rule (row-local
+        rules fused into one map_batches; shuffle rules keyed) without
+        deciding — composition point for callers that merge these flags
+        into an existing decision (``merge_extra_rules``)."""
         row_local = [r for r in self.rules if r.row_local]
         shuffled = [r for r in self.rules if not r.row_local]
 
@@ -162,7 +166,10 @@ class RuleSet:
 
         for r in shuffled:
             ds = r.apply_shuffle(ds)  # appends __viol_{r.name}
+        return ds
 
+    def evaluate(self, ds: Dataset) -> Dataset:
+        ds = self.flag(ds)
         names = [r.name for r in self.rules]  # canonical order = list order
 
         def decide(batch: pa.Table, names=tuple(names)) -> pa.Table:
@@ -183,6 +190,40 @@ class RuleSet:
             )
 
         return ds.map_batches(decide, batch_format="pyarrow")
+
+
+def merge_extra_rules(ds: Dataset, ruleset: RuleSet) -> Dataset:
+    """Merge a declarative RuleSet into an ALREADY-DECIDED dataset (one
+    carrying rule_hits / keep / drop_rule, e.g. the flagship's annotate
+    output): extra hits append to ``rule_hits``, ``keep`` becomes False
+    on any extra hit, and ``drop_rule`` keeps the existing first-violated
+    rule (spec rules precede user rules canonically) or takes the first
+    extra rule when the row was previously clean."""
+    flagged = ruleset.flag(ds)
+    names = [r.name for r in ruleset.rules]
+
+    def decide(batch: pa.Table, names=tuple(names)) -> pa.Table:
+        viols = [batch.column(f"__viol_{n}").to_numpy(zero_copy_only=False)
+                 for n in names]
+        hits0 = batch.column("rule_hits").to_pylist()
+        drop0 = batch.column("drop_rule").to_pylist()
+        hits, first = [], []
+        for i in range(batch.num_rows):
+            extra = [names[j] for j in range(len(names)) if viols[j][i]]
+            h = list(hits0[i]) + extra
+            hits.append(h)
+            first.append(drop0[i] if drop0[i] is not None
+                         else (extra[0] if extra else None))
+        keep = pa.array([not h for h in hits], type=pa.bool_())
+        batch = batch.drop_columns(
+            [f"__viol_{n}" for n in names] + ["rule_hits", "keep", "drop_rule"])
+        return (
+            batch.append_column("rule_hits", pa.array(hits, type=pa.list_(pa.string())))
+            .append_column("keep", keep)
+            .append_column("drop_rule", pa.array(first, type=pa.string()))
+        )
+
+    return flagged.map_batches(decide, batch_format="pyarrow")
 
 
 def violation_report(ds: Dataset) -> Dataset:

@@ -4,7 +4,7 @@
 Runnable both directly and via job submission:
 
   python jobs/filter_job.py INPUT_PARQUET OUT_DIR [--resume] \
-      [--num-parts 64] [--num-cpus 32]
+      [--num-parts 64] [--num-cpus 32] [--rules RULES.json]
   ray job submit --working-dir . -- python jobs/filter_job.py IN OUT
 
 This script owns the Ray session (library code never calls ray.init).
@@ -29,6 +29,9 @@ def main() -> int:
     ap.add_argument("out_dir")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--rules", default=None,
+                    help="extra declarative rules (JSON path/inline, "
+                         "rules/config.py schema) merged into the gate")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -57,6 +60,7 @@ def main() -> int:
         num_parts=args.num_parts,
         concurrency=max(2, args.num_cpus - 2),
         resume=args.resume,
+        rules_config=args.rules,
     )
     summary = {
         "partitions": len(records),

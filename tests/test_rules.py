@@ -497,3 +497,44 @@ def test_randomized_differential_rule_configs(ray_session):
             rid, hits = row[0], [k for k, hit in zip(flags, row[1:]) if hit]
             want[rid] = (sorted(hits), not hits, hits[0] if hits else None)
         assert got == want, f"seed {seed}"
+
+
+def test_filter_pipeline_extra_rules(tmp_path, ray_session):
+    """Declarative extra rules merged into the flagship gate: default
+    run unchanged; with a config rule the kept set shrinks by exactly
+    the rows the rule flags, drop_rule prefers the spec rule, and
+    extra-only drops carry the extra rule name."""
+    import json
+
+    from dataguards_ray.pipeline import run_filter_job
+    from tests.conftest import corpus_path
+
+    src = corpus_path(300, seed=7)
+    base_out = tmp_path / "base"
+    rules_out = tmp_path / "extra"
+
+    base = run_filter_job(str(src), str(base_out), concurrency=4)
+    cfg = {"rules": [
+        {"type": "predicate", "name": "user.lang_en_only", "all_of": [
+            {"col": "lang_id", "op": "in", "value": ["en"]}]},
+    ]}
+    extra = run_filter_job(str(src), str(rules_out), concurrency=4,
+                           rules_config=json.dumps(cfg))
+
+    import ray.data
+
+    kept_base = ray.data.read_parquet(
+        str(base_out)).select_columns(["url", "lang_id"]).take_all()
+    kept_extra = {r["url"] for r in ray.data.read_parquet(
+        str(rules_out)).select_columns(["url"]).take_all()}
+    want = {r["url"] for r in kept_base if r["lang_id"] == "en"}
+    assert kept_extra == want
+    # lineage counters see the extra rule
+    drops = {}
+    for rec in extra:
+        rc = rec.get("rule_counts") or {}
+        items = rc.items() if isinstance(rc, dict) else [
+            (d["rule"], d["n"]) for d in rc]
+        for rule, n in items:
+            drops[rule] = drops.get(rule, 0) + n
+    assert drops.get("user.lang_en_only", 0) > 0
