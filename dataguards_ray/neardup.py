@@ -709,6 +709,7 @@ def exact_dedup_filter_pruned(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_broadcast_winners: int = 5_000_000,
+    fp_col: str | None = None,
 ) -> Dataset:
     """Two-read exact dedup: winner discovery over a column-pruned read
     (``thin`` carries only id+text), loser drop as a vectorized
@@ -724,15 +725,17 @@ def exact_dedup_filter_pruned(
     ``exact_dedup_filter(keep_by=None)``, including the single NULL-text
     group.  Above ``max_broadcast_winners`` contested fingerprints the
     function falls back to the one-shuffle exact path (swap for a Bloom
-    prefilter of contested fps if that driver dict ever binds)."""
-    import hashlib
+    prefilter of contested fps if that driver dict ever binds).
 
+    ``fp_col``: a fingerprint column ALREADY present on ``full`` (e.g.
+    computed by an upstream incremental anti-join) — reused instead of
+    re-hashing the payload read a second time."""
     import pyarrow.compute as pc
     import ray
 
     from .aggregates import grouped_agg
     from .steps.dedup import get_broadcast
-    from .textstats import add_fingerprint
+    from .textstats import add_fingerprint, md5_hex
 
     withfp = add_fingerprint(thin.select_columns([id_col, text_col]),
                              text_col, "__fp")
@@ -763,10 +766,11 @@ def exact_dedup_filter_pruned(
 
     def flag(batch: pa.Table) -> pa.Table:
         fset, wins, nwin = get_broadcast(ref)
-        texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
-               if t is not None else None for t in texts]
+        if fp_col is not None:
+            fps = batch.column(fp_col).to_pylist()
+        else:
+            fps = md5_hex(batch.column(text_col).to_pylist())
         fpa = pa.array(fps, type=pa.string())
         hot = pc.fill_null(pc.is_in(fpa, value_set=fset), False)\
             .to_numpy(zero_copy_only=False)

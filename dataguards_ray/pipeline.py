@@ -327,6 +327,19 @@ class FilterPipeline:
                     "pass resume=True to continue that run or use a clean directory"
                 )
         stages = dg_io.partitions_by_stage(out_dir) if resume else {"annotated": set(), "final": set()}
+        if resume and stages["annotated"] and self.extra_rules is not None:
+            grp = [r.name for r in self.extra_rules.rules if not r.row_local]
+            if grp:
+                # a group-wise extra rule (unique/cfd-variable/dc-pair)
+                # evaluated over only the NOT-yet-annotated partitions
+                # would see partial groups and silently diverge from a
+                # fresh run — refuse instead of breaking the byte-equal
+                # resume invariant (row-local extra rules are fine: they
+                # are pure per-row functions)
+                raise ValueError(
+                    f"cannot resume with group-wise extra rules {grp}: "
+                    "they must see the whole corpus; rerun fresh or drop "
+                    "them from the config")
         _t0 = _time.time()
 
         # phase 1 — annotate + write kept rows per partition (url-dedup

@@ -115,10 +115,21 @@ def key_skew_report(
     total = counts.sum("n") or 0
     est_rows = approx_count_distinct(ds, key, p=hll_p).take_all()
     n_distinct = int(est_rows[0]["approx_distinct"]) if est_rows else 0
-    # HLL excludes nulls (SQL semantics); count the null group as one
-    # more key for the mean so a hot null key gets an honest skew_ratio
-    has_null_key = any(r[key] is None for r in hot)
-    mean_keys = n_distinct + (1 if has_null_key else 0)
+    # HLL excludes nulls (SQL semantics); count the null GROUP as one
+    # more key for the mean whenever it exists — checked against the
+    # counts table, not the top-k list (a non-hot null group would
+    # otherwise inflate total while being absent from mean_keys and
+    # understate every skew_ratio; review r03 finding)
+    def _null_group(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"n": pa.array(
+            [int(pc.sum(pc.is_null(b.column(key))).as_py() or 0)],
+            type=pa.int64())})
+
+    null_groups = int(counts.map_batches(
+        _null_group, batch_format="pyarrow").sum("n") or 0)
+    mean_keys = n_distinct + (1 if null_groups else 0)
     mean = (total / mean_keys) if mean_keys else 0.0
     return pa.table(
         {"key_value": pa.array([str(r[key]) for r in hot], type=pa.string()),

@@ -198,7 +198,14 @@ def merge_extra_rules(ds: Dataset, ruleset: RuleSet) -> Dataset:
     output): extra hits append to ``rule_hits``, ``keep`` becomes False
     on any extra hit, and ``drop_rule`` keeps the existing first-violated
     rule (spec rules precede user rules canonically) or takes the first
-    extra rule when the row was previously clean."""
+    extra rule when the row was previously clean.
+
+    Extra rules gate only the SURVIVORS of the existing decision: rows
+    already dropped keep their hits/drop_rule unchanged (chained-gates
+    semantics).  This is load-bearing in the streaming flagship, where
+    already-dropped rows have payload columns slimmed to "" before this
+    stage — a user regex over text_scrubbed would otherwise 'fire' on
+    every slimmed row and inflate the lineage counters."""
     flagged = ruleset.flag(ds)
     names = [r.name for r in ruleset.rules]
 
@@ -209,7 +216,8 @@ def merge_extra_rules(ds: Dataset, ruleset: RuleSet) -> Dataset:
         drop0 = batch.column("drop_rule").to_pylist()
         hits, first = [], []
         for i in range(batch.num_rows):
-            extra = [names[j] for j in range(len(names)) if viols[j][i]]
+            extra = ([] if hits0[i] else
+                     [names[j] for j in range(len(names)) if viols[j][i]])
             h = list(hits0[i]) + extra
             hits.append(h)
             first.append(drop0[i] if drop0[i] is not None

@@ -52,14 +52,21 @@ def add_quality_scores(ds: Dataset, col: str = "text") -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def md5_hex(texts) -> list:
+    """Per-text MD5 hex (None-safe) — THE content-fingerprint kernel.
+    Single definition shared by add_fingerprint and the exact-dedup
+    loser flag so the two passes can never silently diverge."""
+    return [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in texts
+    ]
+
+
 def add_fingerprint(ds: Dataset, col: str = "text", out: str = "fingerprint") -> Dataset:
     """MD5 content fingerprint (hex) — SQL-checkable (DuckDB md5())."""
 
     def f(batch: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
-            for t in batch.column(col).to_pylist()
-        ]
+        fps = md5_hex(batch.column(col).to_pylist())
         return batch.append_column(out, pa.array(fps, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")

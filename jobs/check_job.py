@@ -66,10 +66,16 @@ def run_check_job(
 
             to_write = annotated.map_batches(only_bad, batch_format="pyarrow")
         to_write.write_parquet(out_dir)
+        n_rows = ds.count()
+        os.makedirs(out_dir, exist_ok=True)
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            # clean data + --violations-only: Ray writes NOTHING for an
+            # all-filtered dataset (not even the directory) — the happy
+            # path must report zero, not crash on the read-back
+            return {"rows": n_rows, "violations": 0, "rule_drops": {}}
         # counters from what was written (no second evaluate execution)
         base = ray.data.read_parquet(out_dir)
         report = violation_report(base)
-        n_rows = ds.count()
         n_viol = (base.count() if violations_only
                   else int(base.filter(expr="keep == False").count()))
     else:

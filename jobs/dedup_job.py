@@ -131,6 +131,17 @@ def run_dedup_job(
             ]
             return b.append_column("__nid", pa.array(ids, type=pa.int64()))
 
+        def nid_ds(base: "ray.data.Dataset") -> "ray.data.Dataset":
+            d = base.map_batches(add_nid, batch_format="pyarrow")
+            if _null_id_count() > 0:
+                # null ids get per-batch-RANDOM nids; pair discovery and
+                # the loser filter consume the dataset in SEPARATE
+                # executions, so without pinning one execution's nids a
+                # (null, x) duplicate pair resolves nondeterministically
+                # for x (review r03 finding) — materialize once
+                d = d.materialize()
+            return d
+
     orig_id_col = id_col
 
     def _manifest_dir(base: str, m: str) -> str:
@@ -185,9 +196,20 @@ def run_dedup_job(
             def _minus_prior(d):
                 return d
         if pruned:
-            out = exact_dedup_filter_pruned(
-                _minus_prior(_read_thin()), _minus_prior(ds),
-                text_col=text_col, id_col=id_col)
+            if against:
+                # keep the anti-join's fingerprint column on the full
+                # read and hand it to the loser flag — the payload is
+                # md5-hashed ONCE, not once per pass (review r03)
+                full_fp = anti_join(
+                    add_fingerprint(ds, text_col, "__xfp"), prior_fps,
+                    "__xfp", right_key="fp")
+                out = exact_dedup_filter_pruned(
+                    _minus_prior(_read_thin()), full_fp,
+                    text_col=text_col, id_col=id_col, fp_col="__xfp",
+                ).drop_columns(["__xfp"])
+            else:
+                out = exact_dedup_filter_pruned(
+                    _read_thin(), ds, text_col=text_col, id_col=id_col)
         else:
             out = exact_dedup_filter(_minus_prior(ds),
                                      text_col=text_col, id_col=id_col)
@@ -205,7 +227,7 @@ def run_dedup_job(
                 drop_cols = ["__nid"]
         else:
             if nid_needed:
-                ds = ds.map_batches(add_nid, batch_format="pyarrow")
+                ds = nid_ds(ds)
                 id_col = "__nid"
                 drop_cols = ["__nid"]
             thin = full = ds
@@ -258,7 +280,7 @@ def run_dedup_job(
 
         eid = id_col
         if nid_needed:
-            ds = ds.map_batches(add_nid, batch_format="pyarrow")
+            ds = nid_ds(ds)
             eid = "__nid"
             drop_cols = ["__nid"]
         prior = None
@@ -274,8 +296,15 @@ def run_dedup_job(
     if drop_cols:
         out = out.drop_columns(drop_cols)
     out.write_parquet(out_dir)
-    written = ray.data.read_parquet(out_dir)
-    n_out = written.count()
+    # an all-dropped survivor set (reachable with --against when every
+    # new doc duplicates the prior corpus) writes NO files — Ray's
+    # write_parquet of an empty dataset emits nothing, so the read-back
+    # must not assume files exist
+    os.makedirs(out_dir, exist_ok=True)
+    written = (ray.data.read_parquet(out_dir)
+               if any(f.endswith(".parquet") for f in os.listdir(out_dir))
+               else None)
+    n_out = written.count() if written is not None else 0
 
     if mode in ("exact", "minhash", "embedding"):
         # thin dedup manifest beside the survivors: lets the NEXT crawl
@@ -288,13 +317,17 @@ def run_dedup_job(
 
         man_dir = _manifest_dir(out_dir, mode)
         os.makedirs(man_dir, exist_ok=True)
-        if mode == "exact":
+        if written is None:
+            # zero survivors: this run contributes no new manifest rows;
+            # carry the prior rows forward so the chain stays single
+            # --against (or leave a typed empty file)
+            man = _read_manifest(against, mode) if against else None
+        elif mode == "exact":
             man = _addfp(written.select_columns([text_col]), text_col,
                          "fp").select_columns(["fp"])
             if against:
                 man = man.union(_read_manifest(against, "exact",
                                                columns=["fp"]))
-            empty = pa.table({"fp": pa.array([], type=pa.string())})
         elif mode == "embedding":
             w = written.select_columns(
                 [c for c in dict.fromkeys([orig_id_col, vec_col])])
@@ -307,9 +340,6 @@ def run_dedup_job(
                 vec_col, "embedding").select_columns(["doc_id", "embedding"])
             if against:
                 man = man.union(_read_manifest(against, "embedding"))
-            empty = pa.table({
-                "doc_id": pa.array([], type=pa.int64()),
-                "embedding": pa.array([], type=pa.list_(pa.float64()))})
         else:
             w = written.select_columns(
                 [c for c in dict.fromkeys([orig_id_col, text_col])])
@@ -323,21 +353,29 @@ def run_dedup_job(
                     ["band", "band_hash", "doc_id", "sig"])
             if against:
                 man = man.union(_read_manifest(against, "minhash"))
-            empty = pa.table({
+        _EMPTIES = {
+            "exact": pa.table({"fp": pa.array([], type=pa.string())}),
+            "minhash": pa.table({
                 "band": pa.array([], type=pa.int32()),
                 "band_hash": pa.array([], type=pa.uint64()),
                 "doc_id": pa.array([], type=pa.int64()),
-                "sig": pa.array([], type=pa.binary())})
-        man.write_parquet(man_dir)
+                "sig": pa.array([], type=pa.binary())}),
+            "embedding": pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64()))}),
+        }
+        if man is not None:
+            man.write_parquet(man_dir)
         if not any(f.endswith(".parquet") for f in os.listdir(man_dir)):
-            _pq.write_table(empty, os.path.join(man_dir, "empty.parquet"))
+            _pq.write_table(_EMPTIES[mode], os.path.join(man_dir, "empty.parquet"))
 
     res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
            "dropped_rows": n_in - n_out}
     if against:
         res["against"] = against
     if mode in ("span", "line", "substring"):
-        res["spans_removed"] = int(written.sum("n_spans_removed") or 0)
+        res["spans_removed"] = (int(written.sum("n_spans_removed") or 0)
+                                if written is not None else 0)
     return res
 
 

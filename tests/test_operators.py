@@ -2385,3 +2385,61 @@ def test_incremental_embedding_dedup_against_prior(tmp_path):
     assert ids_of(out_a) == [1, 3]
     assert ids_of(out_b) == [12]
     assert ids_of(out_a) + ids_of(out_b) == ids_of(out_s)
+
+
+def test_incremental_dedup_all_new_docs_duplicate_prior(tmp_path):
+    """Review r03: --against where EVERY new doc duplicates the prior
+    corpus — zero survivors must not crash, and the forward-merged
+    manifest must keep the chain alive."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    base = "repeated body of text for the crash regression " * 10
+    a = [{"doc_id": 1, "text": base, "m": 1}]
+    b = [{"doc_id": 11, "text": base, "m": 2}]
+    c = [{"doc_id": 21, "text": base, "m": 3},
+         {"doc_id": 22, "text": "genuinely new content here " * 10, "m": 4}]
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+        return str(d)
+
+    out_a, out_b, out_c = (str(tmp_path / n) for n in ("oa", "ob", "oc"))
+    run_dedup_job(write(a, "a"), out_a, mode="exact")
+    res_b = run_dedup_job(write(b, "b"), out_b, mode="exact", against=out_a)
+    assert res_b["kept_rows"] == 0 and res_b["dropped_rows"] == 1
+    # chain through the empty run: C against B must still know corpus A
+    res_c = run_dedup_job(write(c, "c"), out_c, mode="exact", against=out_b)
+    assert res_c["kept_rows"] == 1
+    kept = ray.data.read_parquet(out_c).take_all()
+    assert [r["doc_id"] for r in kept] == [22]
+
+
+def test_dedup_job_embedding_null_id_deterministic(tmp_path):
+    """Review r03: with a null id among string ids, the nid'd dataset is
+    materialized once, so a (null, named) near-dup pair resolves — one
+    survivor, never both, across repeated runs."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    rows = [
+        {"uid": None, "embedding": [1.0, 0.0, 0.0], "m": 1},
+        {"uid": "a", "embedding": [0.999, 0.01, 0.0], "m": 2},  # dup pair
+        {"uid": "b", "embedding": [0.0, 1.0, 0.0], "m": 3},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+    for trial in range(2):
+        out = str(tmp_path / f"out{trial}")
+        res = run_dedup_job(str(src), out, mode="embedding",
+                            threshold=0.95, id_col="uid")
+        assert res["kept_rows"] == 2, trial  # exactly one of the pair
+        kept = {r["uid"] for r in ray.data.read_parquet(out).take_all()}
+        assert "b" in kept and len(kept) == 2

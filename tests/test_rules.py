@@ -538,3 +538,70 @@ def test_filter_pipeline_extra_rules(tmp_path, ray_session):
         for rule, n in items:
             drops[rule] = drops.get(rule, 0) + n
     assert drops.get("user.lang_en_only", 0) > 0
+
+
+def test_check_job_clean_data_violations_only(tmp_path, ray_session):
+    """Review r03: clean data + --out --violations-only must report
+    zero, not crash on the empty write's read-back."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.check_job import run_check_job
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(
+        [{"id": 1, "price": 10.0}, {"id": 2, "price": 20.0}]),
+        str(src / "p.parquet"))
+    cfg = {"rules": [
+        {"type": "range", "name": "price.pos", "col": "price", "lo": 0}]}
+    res = run_check_job(str(src), json.dumps(cfg),
+                        out_dir=str(tmp_path / "out"), violations_only=True)
+    assert res == {"rows": 2, "violations": 0, "rule_drops": {}}
+
+
+def test_merge_extra_rules_gates_only_survivors(ray_session):
+    """Review r03: extra rules must not re-flag rows the spec already
+    dropped (their payload is slimmed in the streaming run)."""
+    import ray.data
+
+    from dataguards_ray.rules.config import rules_from_config
+    from dataguards_ray.rules.dsl import merge_extra_rules
+
+    rows = [
+        {"id": 1, "text_scrubbed": "", "rule_hits": ["spec.len"],
+         "keep": False, "drop_rule": "spec.len"},          # slimmed drop
+        {"id": 2, "text_scrubbed": "short", "rule_hits": [],
+         "keep": True, "drop_rule": None},                 # survivor, hits
+        {"id": 3, "text_scrubbed": "long enough text here", "rule_hits": [],
+         "keep": True, "drop_rule": None},                 # survivor, clean
+    ]
+    rs = rules_from_config({"rules": [
+        {"type": "regex", "name": "user.long", "col": "text_scrubbed",
+         "pattern": "enough"}]})
+    out = {r["id"]: r for r in merge_extra_rules(
+        ray.data.from_items(rows), rs).take_all()}
+    assert out[1]["rule_hits"] == ["spec.len"]          # NOT re-flagged
+    assert out[1]["drop_rule"] == "spec.len"
+    assert out[2]["rule_hits"] == ["user.long"] and not out[2]["keep"]
+    assert out[3]["rule_hits"] == [] and out[3]["keep"]
+
+
+def test_resume_with_groupwise_extra_rules_raises(tmp_path, ray_session):
+    """Review r03: resuming with a group-wise extra rule would evaluate
+    it over partial groups — must refuse."""
+    import pytest as _pytest
+
+    from dataguards_ray.pipeline import run_filter_job
+    from tests.conftest import corpus_path
+
+    src = corpus_path(300, seed=7)
+    out = tmp_path / "run"
+    cfg = {"rules": [{"type": "unique", "name": "user.uniq",
+                      "cols": ["lang_id"]}]}
+    run_filter_job(str(src), str(out), concurrency=4, rules_config=cfg)
+    with _pytest.raises(ValueError, match="group-wise"):
+        run_filter_job(str(src), str(out), concurrency=4, resume=True,
+                       rules_config=cfg)

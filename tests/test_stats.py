@@ -67,3 +67,20 @@ def test_key_skew_report_null_hot_key(ray_session):
     assert d["None"]["n"] == 80
     assert abs(d["None"]["frac_of_total"] - 80 / 85) < 1e-9
     assert d["None"]["skew_ratio"] > 4  # 80 vs mean 85/6
+
+
+def test_key_skew_report_non_hot_null_group(ray_session):
+    """Review r03: a null group OUTSIDE the top-k must still count as a
+    key in the mean, so hot keys' skew_ratio isn't understated."""
+    import ray.data
+
+    from dataguards_ray.profile import key_skew_report
+
+    rows = ([{"k": "hot1"}] * 50 + [{"k": "hot2"}] * 50
+            + [{"k": None}] * 5
+            + [{"k": f"c{i}"} for i in range(20) for _ in (0, 1)])
+    t = key_skew_report(ray.data.from_items(rows).repartition(3), "k", top=2)
+    d = {r["key_value"]: r for r in t.to_pylist()}
+    assert set(d) == {"hot1", "hot2"}
+    total, keys = 50 + 50 + 5 + 40, 22 + 1  # 22 non-null keys + null group
+    assert abs(d["hot1"]["skew_ratio"] - 50 / (total / keys)) < 0.35
