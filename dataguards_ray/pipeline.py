@@ -303,10 +303,16 @@ class FilterPipeline:
     last_phase_walls: ClassVar[dict] = {}
 
     def run(
-        self, input_path: str, out_dir: str, *, resume: bool = False
+        self, input_path: str, out_dir: str, *, resume: bool = False,
+        input_format: str = "parquet",
     ) -> list[dict]:
         """E1/E3: annotate → phase-1 kept files → text-dedup → finalize.
-        Returns the final lineage manifests (one per partition)."""
+        Returns the final lineage manifests (one per partition).
+
+        ``input_format="warc"`` reads Common-Crawl-style WARC/WARC.gz
+        archives directly (sources/warc.py: one streaming task per
+        file, response records lifted to the pages schema with NULL
+        text — the extract stage derives text from html)."""
         import os
         import time as _time
 
@@ -344,7 +350,14 @@ class FilterPipeline:
 
         # phase 1 — annotate + write kept rows per partition (url-dedup
         # happens inside the writer: part_id co-locates each url's rows)
-        ds = dg_io.read_pages(input_path)
+        if input_format == "warc":
+            from .sources import pages_from_warc, read_warc
+
+            ds = pages_from_warc(read_warc(input_path))
+        elif input_format == "parquet":
+            ds = dg_io.read_pages(input_path)
+        else:
+            raise ValueError(f"unknown input_format {input_format!r}")
         # slim_dropped: the write shuffle must not move dropped rows'
         # text (they only feed counters) — annotate() keeps full labels
         import dataclasses
@@ -438,10 +451,12 @@ def run_filter_job(
     concurrency: tuple[int, int] | int = (1, 8),
     resume: bool = False,
     rules_config: "str | dict | None" = None,
+    input_format: str = "parquet",
 ) -> list[dict]:
     """`dg filter` / `dg resume` entry (jobs/filter_job.py wraps this).
     ``rules_config``: path/dict/JSON of extra declarative rules merged
-    into the quality gate (rules/config.py schema)."""
+    into the quality gate (rules/config.py schema).  ``input_format``:
+    parquet (default) or warc (Common-Crawl archives)."""
     assert ray.is_initialized(), "caller owns the Ray session"
     extra = None
     if rules_config is not None:
@@ -450,4 +465,5 @@ def run_filter_job(
         extra = rules_from_config(rules_config)
     pipe = FilterPipeline(num_parts=num_parts, concurrency=concurrency,
                           extra_rules=extra)
-    return pipe.run(input_path, out_dir, resume=resume)
+    return pipe.run(input_path, out_dir, resume=resume,
+                    input_format=input_format)

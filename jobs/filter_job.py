@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("out_dir")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--format", dest="input_format", default="parquet",
+                    choices=("parquet", "warc"),
+                    help="input format: parquet pages table or raw "
+                         "WARC/WARC.gz archives")
     ap.add_argument("--rules", default=None,
                     help="extra declarative rules (JSON path/inline, "
                          "rules/config.py schema) merged into the gate")
@@ -61,6 +65,7 @@ def main() -> int:
         concurrency=max(2, args.num_cpus - 2),
         resume=args.resume,
         rules_config=args.rules,
+        input_format=args.input_format,
     )
     summary = {
         "partitions": len(records),
