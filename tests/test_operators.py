@@ -2525,3 +2525,131 @@ def test_filter_job_warc_input(tmp_path):
     recs = run_filter_job(str(warc), str(tmp_path / "out"), concurrency=4,
                           input_format="warc")
     assert sum(r["input_rows"] for r in recs) == 6
+
+
+def _png_bytes(px, ctype, filters=None):
+    """Spec-conformant PNG writer for tests — independent of the decoder
+    (chunks + filters written by hand per the PNG spec)."""
+    import struct
+    import zlib
+
+    h = len(px)
+    w = len(px[0])
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    filters = filters or [0] * h
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b""
+    prev = [0] * (w * channels)
+    for y, frow in zip(range(h), filters):
+        flat = []
+        for x in range(w):
+            v = px[y][x]
+            flat.extend(v if isinstance(v, (list, tuple)) else [v])
+        enc = []
+        for i, v in enumerate(flat):
+            a = flat[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if frow == 0:
+                enc.append(v & 0xFF)
+            elif frow == 1:
+                enc.append((v - a) & 0xFF)
+            elif frow == 2:
+                enc.append((v - b) & 0xFF)
+            elif frow == 3:
+                enc.append((v - (a + b) // 2) & 0xFF)
+            else:  # paeth
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                enc.append((v - pred) & 0xFF)
+        raw += bytes([frow]) + bytes(enc)
+        prev = flat
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_codecs_png_all_filters():
+    """Real PNG decode: every scanline filter type, gray and RGB, checked
+    against pixels written per-spec by an independent test writer."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_png
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (5, 7)).tolist()
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        out = decode_png(_png_bytes(gray, ctype=0, filters=filters))
+        assert out.tolist() == gray, filters
+
+    rgb = [[[int(rng.randint(0, 256)) for _ in range(3)] for _ in range(4)]
+           for _ in range(3)]
+    out = decode_png(_png_bytes(rgb, ctype=2, filters=[4, 3, 1]))
+    assert out.tolist() == rgb
+
+
+def test_codecs_ppm_bmp_wav_and_stage_integration(tmp_path):
+    """PPM/PGM/WAV decode + the multimodal stages consuming REAL formats
+    (PNG/WAV) alongside the fixture format."""
+    import struct
+
+    import numpy as np
+    import ray.data
+
+    from dataguards_ray.codecs import decode_ppm, decode_wav
+    from dataguards_ray.multimodal import audio_features, decode_images
+
+    # PGM/PPM with a comment in the header
+    pgm = b"P5 # comment\n3 2 255\n" + bytes([0, 10, 20, 30, 40, 50])
+    assert decode_ppm(pgm).tolist() == [[0, 10, 20], [30, 40, 50]]
+
+    # PCM16 stereo WAV: mono mean, rate preserved
+    rate, samples = 8000, np.array([1000, -1000, 2000, 2000], dtype=np.int16)
+    data = samples.tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, rate,
+                                   rate * 4, 4, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    r, x = decode_wav(wav)
+    assert r == rate and len(x) == 2
+    assert abs(x[0] - 0.0) < 1e-6 and abs(x[1] - 2000 / 32768) < 1e-4
+
+    # stages consume real PNG + WAV payloads end-to-end
+    gray = [[50, 100], [150, 200]]
+    png = _png_bytes(gray, ctype=0)
+    img_rows = [{"img_id": 1, "image": png}]
+    out = decode_images(ray.data.from_items(img_rows)).take_all()
+    assert out[0]["width"] == 2 and out[0]["height"] == 2
+    assert abs(out[0]["mean_px"] - 125.0) < 1e-6
+
+    aud_rows = [{"audio_id": 1, "audio": wav}]
+    feats = audio_features(ray.data.from_items(aud_rows)).take_all()
+    assert feats[0]["sample_rate"] == rate
+
+
+def test_codecs_bmp_24bit():
+    """Uncompressed 24-bit bottom-up BMP, row padding and BGR order."""
+    import struct
+
+    from dataguards_ray.codecs import decode_bmp
+
+    # 2x2: top row [red, green], bottom row [blue, white]
+    rows_topdown = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    w = h = 2
+    stride = (w * 3 + 3) & ~3  # 8 with 2 pad bytes
+    body = b""
+    for r in reversed(rows_topdown):  # bottom-up storage
+        line = b"".join(bytes([b_, g, rch]) for rch, g, b_ in r)
+        body += line + b"\x00" * (stride - len(line))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    px = decode_bmp(hdr + body)
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                           [[0, 0, 255], [255, 255, 255]]]
