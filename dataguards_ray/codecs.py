@@ -54,7 +54,7 @@ def decode_png(blob: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG → HxW(xC) uint8 array."""
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
-    pos, idat, plte = 8, b"", None
+    pos, idat_parts, plte = 8, [], None
     w = h = depth = ctype = interlace = None
     while pos < len(blob):
         (ln,) = struct.unpack(">I", blob[pos:pos + 4])
@@ -67,7 +67,8 @@ def decode_png(blob: bytes) -> np.ndarray:
         elif tag == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
-            idat += data
+            idat_parts.append(data)  # join once — real encoders emit
+            # IDAT in many small chunks; += would copy quadratically
         elif tag == b"IEND":
             break
     if w is None:
@@ -79,7 +80,7 @@ def decode_png(blob: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG color type {ctype}")
-    raw = zlib.decompress(idat)
+    raw = zlib.decompress(b"".join(idat_parts))
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG: truncated scanlines")
@@ -167,6 +168,8 @@ def decode_ppm(blob: bytes) -> np.ndarray:
     while len(toks) < 3:
         c = blob[i:i + 1]
         i += 1
+        if c == b"":
+            raise ValueError("truncated PPM/PGM header")
         if c == b"#":
             while blob[i:i + 1] not in (b"\n", b""):
                 i += 1
@@ -190,15 +193,28 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_image(blob: bytes) -> "tuple[int, int, np.ndarray]":
-    """(width, height, HxW uint8 grayscale) for any supported format."""
-    if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        px = decode_png(blob)
-    elif blob[:2] == b"BM":
-        px = decode_bmp(blob)
-    elif blob[:2] in (b"P6", b"P5"):
-        px = decode_ppm(blob)
-    else:
-        raise ValueError("unsupported image format")
+    """(width, height, HxW uint8 grayscale) for any supported format.
+
+    Raises ValueError for BOTH unknown magics and corrupt blobs of a
+    recognized format (web-crawl inputs are routinely truncated — the
+    parse errors struct/zlib/numpy throw are normalized so callers see
+    one predictable exception type); NotImplementedError only for valid
+    but unsupported variants (16-bit, interlaced, compressed BMP)."""
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            fmt, px = "PNG", decode_png(blob)
+        elif blob[:2] == b"BM":
+            fmt, px = "BMP", decode_bmp(blob)
+        elif blob[:2] in (b"P6", b"P5"):
+            fmt, px = "PPM", decode_ppm(blob)
+        else:
+            raise ValueError("unsupported image format")
+    except NotImplementedError:
+        raise
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, IndexError, ...
+        raise ValueError(f"corrupt {blob[:2]!r} image blob: {e}") from e
     g = _to_gray(px)
     return g.shape[1], g.shape[0], g
 

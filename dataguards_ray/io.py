@@ -259,6 +259,16 @@ def partitions_by_stage(out_dir: str) -> dict[str, set[int]]:
     return out
 
 
+def has_parquet_files(d: str) -> bool:
+    """True when ``d`` exists and holds at least one .parquet file.
+    THE guard around Ray's write-nothing-for-an-empty-dataset behavior:
+    ``Dataset.write_parquet`` of a fully-filtered dataset emits no files
+    (and may not even create the directory), so every read-back of a
+    just-written dir must check this first."""
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d))
+
+
 def read_lineage(out_dir: str) -> list[dict]:
     lin_dir = os.path.join(out_dir, "_lineage")
     out = []

@@ -40,8 +40,9 @@ def _decode_one(blob: bytes) -> tuple[int, int, np.ndarray]:
             from .codecs import decode_image
 
             return decode_image(blob)
-        except ValueError:
-            pass
+        except ValueError as e:
+            if "unsupported image format" not in str(e):
+                raise  # corrupt blob of a RECOGNIZED format: clean ValueError
     raise NotImplementedError(
         "unsupported image format: PNG/BMP/PPM/PGM decode in pure numpy "
         "(codecs.py); JPEG/WebP need PIL/turbojpeg, absent from this "
@@ -132,8 +133,18 @@ def _decode_audio_one(blob: bytes) -> tuple[int, np.ndarray]:
     if blob is not None and blob[:4] == b"RIFF":
         from .codecs import decode_wav
 
-        rate, x = decode_wav(blob)
-        return rate, (x * 32767.0).astype(np.int16)
+        try:
+            rate, x = decode_wav(blob)
+        except NotImplementedError:
+            raise
+        except ValueError as e:
+            if "not a WAV" not in str(e):
+                raise
+            # RIFF but not WAVE (e.g. AVI): fall to NotImplementedError
+        except Exception as e:  # struct.error etc. from a truncated blob
+            raise ValueError(f"corrupt WAV blob: {e}") from e
+        else:
+            return rate, (x * 32767.0).astype(np.int16)
     raise NotImplementedError(
         "unsupported audio format: PCM WAV decodes in pure numpy "
         "(codecs.py); compressed audio needs libav, absent from this "

@@ -334,7 +334,9 @@ class FilterPipeline:
                 )
         stages = dg_io.partitions_by_stage(out_dir) if resume else {"annotated": set(), "final": set()}
         if resume and stages["annotated"] and self.extra_rules is not None:
-            grp = [r.name for r in self.extra_rules.rules if not r.row_local]
+            from .rules.dsl import corpus_group_rules
+
+            grp = [r.name for r in corpus_group_rules(self.extra_rules)]
             if grp:
                 # a group-wise extra rule (unique/cfd-variable/dc-pair)
                 # evaluated over only the NOT-yet-annotated partitions

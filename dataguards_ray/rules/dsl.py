@@ -192,6 +192,18 @@ class RuleSet:
         return ds.map_batches(decide, batch_format="pyarrow")
 
 
+def corpus_group_rules(ruleset: RuleSet) -> list[Rule]:
+    """The rules whose verdict depends on OTHER corpus rows (unique /
+    variable-tableau CFD / pair DC) — the set that must not see dropped
+    rows in merge_extra_rules and cannot resume over partial corpora.
+    InclusionRule is shuffle-implemented but per-row against a static
+    external reference, so it is NOT in this set."""
+    from .integrity import InclusionRule
+
+    return [r for r in ruleset.rules
+            if not r.row_local and not isinstance(r, InclusionRule)]
+
+
 def merge_extra_rules(ds: Dataset, ruleset: RuleSet) -> Dataset:
     """Merge a declarative RuleSet into an ALREADY-DECIDED dataset (one
     carrying rule_hits / keep / drop_rule, e.g. the flagship's annotate
@@ -205,7 +217,50 @@ def merge_extra_rules(ds: Dataset, ruleset: RuleSet) -> Dataset:
     semantics).  This is load-bearing in the streaming flagship, where
     already-dropped rows have payload columns slimmed to "" before this
     stage — a user regex over text_scrubbed would otherwise 'fire' on
-    every slimmed row and inflate the lineage counters."""
+    every slimmed row and inflate the lineage counters.
+
+    Group-wise rules (unique / variable CFD / pair DC) additionally must
+    not let dropped rows contaminate survivors' GROUPS (a dropped row
+    sharing a survivor's key would otherwise flag the survivor, and in
+    the flagship the dropped row's slimmed "" columns would fabricate
+    group values).  When the ruleset contains such rules the input is
+    materialized once and they are evaluated over the keep==True subset
+    only; per-row rules (and InclusionRule) stay on the streaming
+    single-pass path."""
+    grp = corpus_group_rules(ruleset)
+    if grp:
+        import pyarrow.compute as _pc
+
+        ds = ds.materialize()  # split without re-executing the upstream chain
+
+        def only_kept(b: pa.Table) -> pa.Table:
+            return b.filter(b.column("keep"))
+
+        def only_dropped(b: pa.Table) -> pa.Table:
+            return b.filter(_pc.invert(b.column("keep")))
+
+        survivors = ds.map_batches(only_kept, batch_format="pyarrow")
+        dropped = ds.map_batches(only_dropped, batch_format="pyarrow")
+        merged = _merge_single_pass(survivors, ruleset)
+        # align the dropped passthrough rows to the decided column order
+        in_names = [c for c in pa.schema(ds.schema().base_schema).names
+                    if c not in ("rule_hits", "keep", "drop_rule")]
+        order = in_names + ["rule_hits", "keep", "drop_rule"]
+
+        def reorder(b: pa.Table, order=tuple(order)) -> pa.Table:
+            return b.select(list(order))
+
+        return merged.map_batches(
+            reorder, batch_format="pyarrow"
+        ).union(dropped.map_batches(reorder, batch_format="pyarrow"))
+
+    return _merge_single_pass(ds, ruleset)
+
+
+def _merge_single_pass(ds: Dataset, ruleset: RuleSet) -> Dataset:
+    """merge_extra_rules' streaming body: flag every row, gate only rows
+    whose existing rule_hits is empty (see merge_extra_rules for when
+    this is safe for group-wise rules)."""
     flagged = ruleset.flag(ds)
     names = [r.name for r in ruleset.rules]
 

@@ -67,8 +67,10 @@ def run_check_job(
             to_write = annotated.map_batches(only_bad, batch_format="pyarrow")
         to_write.write_parquet(out_dir)
         n_rows = ds.count()
+        from dataguards_ray.io import has_parquet_files
+
         os.makedirs(out_dir, exist_ok=True)
-        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        if not has_parquet_files(out_dir):
             # clean data + --violations-only: Ray writes NOTHING for an
             # all-filtered dataset (not even the directory) — the happy
             # path must report zero, not crash on the read-back

@@ -99,15 +99,22 @@ def run_dedup_job(
     def _read_thin() -> "ray.data.Dataset":
         return ray.data.read_parquet(input_path, columns=needed)
 
+    _null_count_memo: list = []
+
     def _null_id_count() -> int:
+        # memoized: both the pruned-path decision and nid_ds consult it
+        if _null_count_memo:
+            return _null_count_memo[0]
         ids_only = ray.data.read_parquet(input_path, columns=[id_col])
 
         def nulls(b: pa.Table) -> pa.Table:
             return pa.table(
                 {"n": pa.array([b.column(id_col).null_count], type=pa.int64())})
 
-        return int(ids_only.map_batches(
+        n = int(ids_only.map_batches(
             nulls, batch_format="pyarrow").sum("n") or 0)
+        _null_count_memo.append(n)
+        return n
 
     drop_cols: list[str] = []
     nid_needed = mode in ("minhash", "embedding") and not pa.types.is_integer(
@@ -134,6 +141,10 @@ def run_dedup_job(
         def nid_ds(base: "ray.data.Dataset") -> "ray.data.Dataset":
             d = base.map_batches(add_nid, batch_format="pyarrow")
             if _null_id_count() > 0:
+                # NOTE: pins the payload in the object store for the
+                # job's duration (spillable).  Null ids in a dedup
+                # corpus are pathological — drop/fill them upstream to
+                # stay on the streaming path.
                 # null ids get per-batch-RANDOM nids; pair discovery and
                 # the loser filter consume the dataset in SEPARATE
                 # executions, so without pinning one execution's nids a
@@ -147,10 +158,11 @@ def run_dedup_job(
     def _manifest_dir(base: str, m: str) -> str:
         return os.path.join(base, "_dedup_manifest", m)
 
+    from dataguards_ray.io import has_parquet_files
+
     def _read_manifest(base: str, m: str, columns=None) -> "ray.data.Dataset":
         d = _manifest_dir(base, m)
-        if not (os.path.isdir(d)
-                and any(f.endswith(".parquet") for f in os.listdir(d))):
+        if not has_parquet_files(d):
             raise ValueError(
                 f"--against {base!r} has no {m!r} dedup manifest at {d!r}; "
                 "the prior run must be a dedup-job output of the same mode "
@@ -302,8 +314,7 @@ def run_dedup_job(
     # must not assume files exist
     os.makedirs(out_dir, exist_ok=True)
     written = (ray.data.read_parquet(out_dir)
-               if any(f.endswith(".parquet") for f in os.listdir(out_dir))
-               else None)
+               if has_parquet_files(out_dir) else None)
     n_out = written.count() if written is not None else 0
 
     if mode in ("exact", "minhash", "embedding"):
@@ -366,7 +377,7 @@ def run_dedup_job(
         }
         if man is not None:
             man.write_parquet(man_dir)
-        if not any(f.endswith(".parquet") for f in os.listdir(man_dir)):
+        if not has_parquet_files(man_dir):
             _pq.write_table(_EMPTIES[mode], os.path.join(man_dir, "empty.parquet"))
 
     res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,

@@ -605,3 +605,58 @@ def test_resume_with_groupwise_extra_rules_raises(tmp_path, ray_session):
     with _pytest.raises(ValueError, match="group-wise"):
         run_filter_job(str(src), str(out), concurrency=4, resume=True,
                        rules_config=cfg)
+
+
+def test_merge_extra_rules_groupwise_ignores_dropped(ray_session):
+    """Review r03 #2: a group-wise extra rule must not let DROPPED rows
+    contaminate survivors' groups — a survivor whose key is unique among
+    survivors stays kept even when a dropped row shares it."""
+    import ray.data
+
+    from dataguards_ray.rules.config import rules_from_config
+    from dataguards_ray.rules.dsl import merge_extra_rules
+
+    rows = [
+        # dropped by spec; shares url with survivor 2
+        {"id": 1, "url": "http://x/a", "rule_hits": ["spec.len"],
+         "keep": False, "drop_rule": "spec.len"},
+        {"id": 2, "url": "http://x/a", "rule_hits": [],
+         "keep": True, "drop_rule": None},
+        # two SURVIVORS sharing a url → both flagged by unique
+        {"id": 3, "url": "http://x/b", "rule_hits": [],
+         "keep": True, "drop_rule": None},
+        {"id": 4, "url": "http://x/b", "rule_hits": [],
+         "keep": True, "drop_rule": None},
+    ]
+    rs = rules_from_config({"rules": [
+        {"type": "unique", "name": "user.url_unique", "cols": ["url"]}]})
+    out = {r["id"]: r for r in merge_extra_rules(
+        ray.data.from_items(rows).repartition(2), rs).take_all()}
+    assert len(out) == 4
+    assert out[1]["keep"] is False and out[1]["rule_hits"] == ["spec.len"]
+    assert out[2]["keep"] is True and out[2]["rule_hits"] == []  # not contaminated
+    assert out[3]["rule_hits"] == ["user.url_unique"]
+    assert out[4]["rule_hits"] == ["user.url_unique"]
+
+
+def test_codec_corrupt_blobs_raise_cleanly():
+    """Review r03 #2/#3: truncated/corrupt blobs raise ValueError (or
+    the documented NotImplementedError), never hang or leak raw
+    struct/zlib errors."""
+    import pytest as _pytest
+
+    from dataguards_ray.codecs import decode_image, decode_ppm
+    from dataguards_ray.multimodal import _decode_audio_one, _decode_one
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6 10 10")  # used to hang forever
+    with _pytest.raises(ValueError, match="corrupt"):
+        decode_image(b"BM" + b"\x00" * 8)  # truncated BMP header
+    with _pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated PNG
+    with _pytest.raises(NotImplementedError):
+        _decode_one(b"\xff\xd8\xff\xe0JFIF")  # JPEG: honestly stubbed
+    with _pytest.raises(NotImplementedError):
+        _decode_audio_one(b"RIFF\x00\x00\x00\x00AVI LIST")  # RIFF non-WAV
+    with _pytest.raises(ValueError):
+        _decode_audio_one(b"RIFF\x04\x00\x00\x00WAVEfmt")  # truncated WAV
