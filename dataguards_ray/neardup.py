@@ -817,25 +817,24 @@ def near_dedup_filter(
                             max_driver_pairs=max_driver_pairs)
 
 
-def drop_pair_losers(
-    ds: Dataset,
+def pair_loser_ids(
     pairs: Dataset,
     *,
     id_col: str = "doc_id",
     distributed: bool | None = None,
     max_driver_pairs: int = 200_000,
     prior_ids: "Dataset | None" = None,
-) -> Dataset:
-    """Shared dedup tail for ANY near-dup pair source (MinHash, SimHash,
+) -> "list[int]":
+    """Loser-id set for ANY near-dup pair source (MinHash, SimHash,
     embedding-cosine): resolve connected components over (id_a, id_b)
-    pairs and drop every non-minimum member.
+    pairs and return every non-winning member, sorted (the checkpoint/
+    broadcast payload of ``drop_pair_losers`` and the resumable dedup
+    job — collision-sized, never corpus-sized).
 
     Components run either on the driver (union-find — pair sets far
     below ``max_driver_pairs``) or fully distributed
     (``connected_components`` label propagation) when the pair set is
-    large or ``distributed=True``.  Winner per component = min id;
-    losers are filtered out vectorized (loser sets are collision-sized
-    → broadcast; swap for a hash join at extreme collision rates).
+    large or ``distributed=True``.  Winner per component = min id.
 
     ``prior_ids`` (incremental dedup): a thin Dataset whose ``id_col``
     column holds ids from a PRIOR, already-written corpus whose
@@ -904,10 +903,34 @@ def drop_pair_losers(
                 losers.update(non_prior)  # a prior member wins
             else:
                 losers.update(m for m in members if m != min(members))
+    return sorted(losers)
+
+
+def drop_pair_losers(
+    ds: Dataset,
+    pairs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    distributed: bool | None = None,
+    max_driver_pairs: int = 200_000,
+    prior_ids: "Dataset | None" = None,
+) -> Dataset:
+    """Shared dedup tail for ANY near-dup pair source: drop every
+    ``pair_loser_ids`` member from ``ds`` as one vectorized broadcast
+    ``is_in`` filter (loser sets are collision-sized → broadcast; swap
+    for a hash join at extreme collision rates)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .steps.dedup import get_broadcast
+
+    losers = pair_loser_ids(
+        pairs, id_col=id_col, distributed=distributed,
+        max_driver_pairs=max_driver_pairs, prior_ids=prior_ids)
     if not losers:
         return ds
 
-    ref = ray.put(pa.array(sorted(losers), type=pa.int64()))
+    ref = ray.put(pa.array(losers, type=pa.int64()))
 
     def _filter(batch: pa.Table) -> pa.Table:
         ls = get_broadcast(ref)
