@@ -1465,6 +1465,18 @@ def _q_lang_guess(sf_dir: str):
     return add_lang_guess(ds).select_columns(["doc_id", "lang", "lang_guess"])
 
 
+def _q_model_quality_scores(sf_dir: str):
+    """Model-based quality scoring (quality.py: from-scratch fastText-
+    style NB over hashed char n-grams, FineWeb-Edu/DCLM-style soft
+    signal).  Rows-only: the learned weights have no SQL equivalent;
+    value-checked bit-identically vs the scalar oracle in
+    tests/test_quality.py."""
+    from dataguards_ray.quality import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_quality_score(ds).select_columns(["doc_id", "quality_score"])
+
+
 def _q_scrub_documents(sf_dir: str):
     from dataguards_ray import spec
 
@@ -2786,12 +2798,19 @@ LIMIT 100
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries of this
     # dict against oracle_sql() (rows+schema+hash; rows-only when no SQL
-    # entry exists).  Round 2's driver window covered registry entries
-    # 1-50; the 54 entries it never reached are placed FIRST here so
-    # CORRECTNESS_r03 verifies them (VERDICT r02 "Next round" item #3).
-    # The 50 round-2 driver-green entries follow as the regression tail.
+    # entry exists).  r02 covered one 50-window, r03 a disjoint one; for
+    # r04 the FIRST entries are the only ones never driver-checked (4
+    # past every prior window — VERDICT r03 item #1) plus the round-4
+    # additions; the rest of the window re-verifies r03 entries.
     return {
-        # --- 34 SQL-backed queries unchecked by the r02 driver window ---
+        # --- never in any driver window before round 4 ---
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio_features": _q_multimodal_audio,
+        "multimodal_video_frames": _q_multimodal_frames,
+        "rule_drop_stats": _q_rule_drop_stats,
+        # --- round-4 additions ---
+        "model_quality_scores": _q_model_quality_scores,
+        # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
         "top_sources": _q_top_sources,
@@ -2845,11 +2864,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_documents": _q_scrub_documents,
         "flagship_pipeline": _q_flagship,
         "lang_retention": _q_lang_retention,
-        # --------------- driver window boundary (50) -------------------
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio_features": _q_multimodal_audio,
-        "multimodal_video_frames": _q_multimodal_frames,
-        "rule_drop_stats": _q_rule_drop_stats,
         # --- the 50 entries driver-verified green in CORRECTNESS_r02 ---
         "tpch_q1": _q_tpch_q1,
         "filter_project": _q_filter_project,

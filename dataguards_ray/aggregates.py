@@ -904,6 +904,7 @@ def global_row_number(
     max_buckets: int = 4_000_000,
     max_bucket_frac: float = 0.5,
     guard_rows: int = 1_000_000,
+    strict: bool = False,
 ) -> Dataset:
     """Global ROW_NUMBER() OVER (ORDER BY order_cols) — distributed
     enumeration without a global sort barrier.
@@ -926,11 +927,13 @@ def global_row_number(
     outlier-skewed lead collapses every row into one range bucket and
     a single ``map_groups`` task then sorts the whole dataset —
     silently defeating the no-global-sort design (ADVICE r02).  The
-    per-bucket count pass now guards this: when the largest bucket
-    holds more than ``max_bucket_frac`` of the rows it logs a warning,
-    and raises once the dataset is big enough (> ``guard_rows`` rows)
-    that one task sorting it is a real stall — pick a leading column
-    with spread or pass a composite/scaled lead instead."""
+    per-bucket count pass guards this: when the largest bucket holds
+    more than ``max_bucket_frac`` of the rows it logs a warning — a
+    skewed lead is SLOW, not wrong, so the default keeps previously-
+    correct calls working (ADVICE r03).  Pass ``strict=True`` to
+    instead fail fast once the dataset exceeds ``guard_rows`` rows
+    (where one task sorting nearly everything is a real stall) — the
+    right setting for production 100 TB jobs."""
     import ray as _ray
 
     from .steps.dedup import get_broadcast
@@ -985,7 +988,7 @@ def global_row_number(
             "one task would sort (nearly) everything. Use a leading column "
             "with spread, or pass a smaller bucket_width."
         )
-        if total_n > guard_rows:
+        if strict and total_n > guard_rows:
             raise ValueError(msg)
         import logging
 

@@ -206,18 +206,22 @@ class FusedAnnotateStep:
     batch_size: int = 512
     slim_dropped: bool = False
     use_actors: bool = False
+    with_quality: bool = False
 
     def apply(self, ds: Dataset) -> Dataset:
         if self.use_actors:
             return ds.map_batches(
                 FusedAnnotateStage,
-                fn_constructor_kwargs={"slim_dropped": self.slim_dropped},
+                fn_constructor_kwargs={"slim_dropped": self.slim_dropped,
+                                       "with_quality": self.with_quality},
                 batch_format="pyarrow",
                 batch_size=self.batch_size,
                 concurrency=self.concurrency or (1, 8),
             )
         return ds.map_batches(
-            functools.partial(fused_annotate_batch, slim_dropped=self.slim_dropped),
+            functools.partial(fused_annotate_batch,
+                              slim_dropped=self.slim_dropped,
+                              with_quality=self.with_quality),
             batch_format="pyarrow",
             batch_size=self.batch_size,
         )
@@ -239,12 +243,25 @@ class FilterPipeline:
     concurrency: tuple[int, int] | int = (1, 8)
     steps: list[PipelineStep] = field(default_factory=list)
     extra_rules: "object | None" = None  # rules.dsl.RuleSet
+    #: model-quality gate (quality.py): when set, the fused annotate
+    #: stage also emits quality_score and a RangeRule
+    #: quality.model: quality_score ∈ [τ, ∞) is appended AFTER any user
+    #: extra_rules (spec rules ≺ user rules ≺ model gate canonically)
+    quality_tau: "float | None" = None
 
     def __post_init__(self):
+        if self.quality_tau is not None:
+            from .rules.dsl import RangeRule, RuleSet
+
+            gate = RangeRule(name="quality.model", col="quality_score",
+                             lo=float(self.quality_tau), hi=None)
+            prior = list(self.extra_rules.rules) if self.extra_rules is not None else []
+            self.extra_rules = RuleSet(prior + [gate])
         if not self.steps:
             self.steps = [
                 PrepareStep(num_parts=self.num_parts),
-                FusedAnnotateStep(concurrency=self.concurrency),
+                FusedAnnotateStep(concurrency=self.concurrency,
+                                  with_quality=self.quality_tau is not None),
             ]
 
     # -- shared pieces -----------------------------------------------------
@@ -454,11 +471,13 @@ def run_filter_job(
     resume: bool = False,
     rules_config: "str | dict | None" = None,
     input_format: str = "parquet",
+    quality_tau: "float | None" = None,
 ) -> list[dict]:
     """`dg filter` / `dg resume` entry (jobs/filter_job.py wraps this).
     ``rules_config``: path/dict/JSON of extra declarative rules merged
     into the quality gate (rules/config.py schema).  ``input_format``:
-    parquet (default) or warc (Common-Crawl archives)."""
+    parquet (default) or warc (Common-Crawl archives).  ``quality_tau``:
+    model-quality gate threshold (quality.py; drop quality_score < τ)."""
     assert ray.is_initialized(), "caller owns the Ray session"
     extra = None
     if rules_config is not None:
@@ -466,6 +485,6 @@ def run_filter_job(
 
         extra = rules_from_config(rules_config)
     pipe = FilterPipeline(num_parts=num_parts, concurrency=concurrency,
-                          extra_rules=extra)
+                          extra_rules=extra, quality_tau=quality_tau)
     return pipe.run(input_path, out_dir, resume=resume,
                     input_format=input_format)

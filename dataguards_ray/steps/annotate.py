@@ -17,7 +17,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .. import langid, measures, perplexity, spec
+from .. import langid, measures, perplexity, quality, spec
 
 
 class LangIdStage:
@@ -61,6 +61,29 @@ class PerplexityStage:
             toks = [spec.lm_tokens(texts[i]) for i in idxs]
             ppl[np.array(idxs)] = perplexity.ppl_batch(toks, self.lms[lg])
         return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+
+
+class QualityStage:
+    """Model-based quality scoring (FineWeb-Edu/DCLM-style, from-scratch
+    fastText machinery): + quality_score = P(clean) ∈ [0,1] float32 from
+    the binary NB model over hashed char n-grams (quality.py).  OPT-IN —
+    the frozen 15-rule gate stays the keep/drop authority; callers gate
+    on the score via ``dg filter --quality-tau`` (a RangeRule on this
+    column merged through merge_extra_rules)."""
+
+    def __init__(self, models_dir: str | None = None):
+        self.W, self.T = (
+            quality.load_model()
+            if models_dir is None
+            else quality.load_model(f"{models_dir}/quality.npz")
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text_clean").to_pylist()
+        scores = quality.score_batch(texts, self.W, self.T)
+        return batch.append_column(
+            "quality_score", pa.array(scores, type=pa.float32())
+        )
 
 
 class ScoreStage:
@@ -130,14 +153,22 @@ class FusedAnnotateStage:
     stages' __call__ in pipeline order on the same batch.
     """
 
-    def __init__(self, models_dir: str | None = None, slim_dropped: bool = False):
+    def __init__(self, models_dir: str | None = None, slim_dropped: bool = False,
+                 with_quality: bool = False):
         self._langid = LangIdStage(models_dir)
         self._ppl = PerplexityStage(models_dir)
+        self._quality = QualityStage(models_dir) if with_quality else None
         self._score = ScoreStage()
         self._slim = slim_dropped
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self._score(self._ppl(self._langid(batch)))
+        out = self._ppl(self._langid(batch))
+        if self._quality is not None:
+            # before ScoreStage/slimming: scores the same text_clean the
+            # frozen rules saw, on every row (dropped rows keep a real
+            # score for lineage / --quality-tau chained-gate semantics)
+            out = self._quality(out)
+        out = self._score(out)
         if self._slim:
             # write path: blank payload strings on dropped rows so the
             # partition-write shuffle doesn't move their text (~60% of
@@ -167,14 +198,16 @@ class FusedAnnotateStage:
 # explicit pools (e.g. GPU stages would need them).
 # ---------------------------------------------------------------------------
 
-_FUSED_SINGLETON: dict[str, FusedAnnotateStage] = {}
+_FUSED_SINGLETON: dict[tuple[str, bool], FusedAnnotateStage] = {}
 
 
-def fused_annotate_batch(batch: pa.Table, *, slim_dropped: bool = False) -> pa.Table:
-    key = "slim" if slim_dropped else "full"
+def fused_annotate_batch(batch: pa.Table, *, slim_dropped: bool = False,
+                         with_quality: bool = False) -> pa.Table:
+    key = ("slim" if slim_dropped else "full", with_quality)
     stage = _FUSED_SINGLETON.get(key)
     if stage is None:
-        stage = FusedAnnotateStage(slim_dropped=slim_dropped)
+        stage = FusedAnnotateStage(slim_dropped=slim_dropped,
+                                   with_quality=with_quality)
         _FUSED_SINGLETON[key] = stage
     out = stage(batch)
     # drop intermediates here (not in a separate drop_columns op, which

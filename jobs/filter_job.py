@@ -36,6 +36,12 @@ def main() -> int:
     ap.add_argument("--rules", default=None,
                     help="extra declarative rules (JSON path/inline, "
                          "rules/config.py schema) merged into the gate")
+    ap.add_argument("--quality-tau", type=float, default=None, nargs="?",
+                    const=-1.0, metavar="TAU",
+                    help="model-quality gate: drop rows with "
+                         "quality_score < TAU (default TAU: "
+                         "quality.DEFAULT_TAU) and record them under "
+                         "rule 'quality.model'")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -57,6 +63,12 @@ def main() -> int:
 
     from dataguards_ray.pipeline import run_filter_job
 
+    tau = args.quality_tau
+    if tau is not None and tau < 0:
+        from dataguards_ray import quality
+
+        tau = quality.DEFAULT_TAU
+
     t0 = time.time()
     records = run_filter_job(
         args.input,
@@ -66,6 +78,7 @@ def main() -> int:
         resume=args.resume,
         rules_config=args.rules,
         input_format=args.input_format,
+        quality_tau=tau,
     )
     summary = {
         "partitions": len(records),

@@ -44,6 +44,123 @@ def train_langid() -> None:
     print(f"langid.npz: W {W.shape}, {os.path.getsize(os.path.join(OUT_DIR, 'langid.npz'))} bytes")
 
 
+#: the model's honest scope is LEXICAL junk — vocabulary-level garbage a
+#: bag-of-char-n-grams can see.  Structural junk (dup_lines, bullet
+#: walls, symbol spam, length violations, missing stopwords) shares
+#: clean docs' n-gram distribution by construction (measured: margins
+#: overlap clean's) and is the frozen heuristic rules' domain.
+QUALITY_JUNK_CATS = ("gibberish", "non_alpha")
+N_QUALITY_CLEAN_PER_LANG = 240
+N_QUALITY_JUNK_PER_CAT_LANG = 120
+N_QUALITY_HELDOUT = 200
+#: deterministic temperature ladder for Platt-style calibration
+QUALITY_TEMPS = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
+
+
+def _quality_doc(kind: str, cat: str, lang: str, i: int) -> str:
+    """Deterministic per-(kind,cat,lang,i) synthetic doc — its own seed
+    stream (fnv-derived), disjoint from langid's training_corpus."""
+    import random
+
+    from fixtures.gen import _content
+
+    rng = random.Random(spec.fnv1a64(f"quality:{kind}:{cat}:{lang}:{i}".encode()))
+    return _content(rng, cat, lang, seed=42)
+
+
+def _quality_margins(W: np.ndarray, kind: str,
+                     n: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Held-out raw NB margins (mean clean−junk log-weight per doc) for
+    n clean docs and n junk docs — the calibration inputs."""
+    from dataguards_ray import quality
+
+    d = W[:, quality.CLASSES.index("clean")] - W[:, quality.CLASSES.index("junk")]
+
+    def margin(text: str) -> float:
+        b = langid.ngram_buckets(text)
+        if len(b) == 0:
+            return 0.0
+        counts = np.bincount(b.astype(np.int64), minlength=W.shape[0])
+        return float((counts @ d) / len(b))
+
+    mc = np.array([
+        margin(_quality_doc(kind, "clean", spec.LANGS[i % len(spec.LANGS)], i))
+        for i in range(n)
+    ])
+    mj = np.array([
+        margin(_quality_doc(kind, QUALITY_JUNK_CATS[i % len(QUALITY_JUNK_CATS)],
+                            spec.LANGS[i % len(spec.LANGS)], i))
+        for i in range(n)
+    ])
+    return mc, mj
+
+
+def train_quality() -> None:
+    """Binary clean-vs-junk NB weights over langid's hashed char
+    n-grams (dataguards_ray/quality.py), plus a Platt-style calibration
+    temperature: the smallest T on a fixed ladder with held-out
+    sigmoid(T·margin) clean p01 ≥ 0.99 and junk p99 ≤ 0.01 (the
+    distributions must be saturated-bimodal so DEFAULT_TAU=0.5 is
+    robust).  Everything is deterministic — counted NB weights, seeded
+    synthetic docs, a frozen ladder — so retraining is reproducible."""
+    from dataguards_ray import quality
+
+    counts = np.ones((spec.LANGID_DIM, len(quality.CLASSES)), dtype=np.float64)
+    cj = quality.CLASSES.index("junk")
+    cc = quality.CLASSES.index("clean")
+    for lang in spec.LANGS:
+        for i in range(N_QUALITY_CLEAN_PER_LANG):
+            b = langid.ngram_buckets(_quality_doc("train", "clean", lang, i))
+            np.add.at(counts[:, cc], b.astype(np.int64), 1.0)
+        for cat in QUALITY_JUNK_CATS:
+            for i in range(N_QUALITY_JUNK_PER_CAT_LANG):
+                b = langid.ngram_buckets(_quality_doc("train", cat, lang, i))
+                np.add.at(counts[:, cj], b.astype(np.int64), 1.0)
+    W = np.log(counts / counts.sum(axis=0, keepdims=True))
+
+    mc, mj = _quality_margins(W, "calib", N_QUALITY_HELDOUT)
+    temperature = QUALITY_TEMPS[-1]
+    for T in QUALITY_TEMPS:
+        sc = 1.0 / (1.0 + np.exp(-T * mc))
+        sj = 1.0 / (1.0 + np.exp(-T * mj))
+        if np.percentile(sc, 1) >= 0.99 and np.percentile(sj, 99) <= 0.01:
+            temperature = T
+            break
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "quality.npz"),
+        W=W,
+        classes=np.array(quality.CLASSES),
+        temperature=np.float64(temperature),
+    )
+    print(f"quality.npz: W {W.shape}, T={temperature}, "
+          f"{os.path.getsize(os.path.join(OUT_DIR, 'quality.npz'))} bytes")
+
+
+def calibrate_quality() -> None:
+    """Held-out separation report on a DISJOINT doc stream from the
+    calibration set (kind='heldout' vs 'calib')."""
+    from dataguards_ray import quality
+
+    W, T = quality.load_model()
+    clean = [
+        _quality_doc("heldout", "clean", spec.LANGS[i % len(spec.LANGS)], i)
+        for i in range(N_QUALITY_HELDOUT)
+    ]
+    junk = [
+        _quality_doc("heldout", QUALITY_JUNK_CATS[i % len(QUALITY_JUNK_CATS)],
+                     spec.LANGS[i % len(spec.LANGS)], i)
+        for i in range(N_QUALITY_HELDOUT)
+    ]
+    sc = quality.score_batch(clean, W, T)
+    sj = quality.score_batch(junk, W, T)
+    acc = (np.concatenate([sc >= 0.5, sj < 0.5]).mean())
+    print(
+        f"quality(T={T}): clean p01/p50 = {np.percentile(sc, [1, 50]).round(4)} "
+        f"junk p50/p99 = {np.percentile(sj, [50, 99]).round(4)} "
+        f"acc@0.5 = {acc:.4f}"
+    )
+
+
 def train_lm(lang: str) -> None:
     vocab = langdata.vocab(lang)
     # lm_tokens lowercases; vocab entries must round-trip through the tokenizer
@@ -107,8 +224,20 @@ def calibrate() -> None:
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=("langid", "lm", "quality"), default=None,
+                    help="retrain one artifact (default: all + calibration)")
+    a = ap.parse_args()
     os.makedirs(OUT_DIR, exist_ok=True)
-    train_langid()
-    for lang in spec.LANGS:
-        train_lm(lang)
-    calibrate()
+    if a.only in (None, "langid"):
+        train_langid()
+    if a.only in (None, "lm"):
+        for lang in spec.LANGS:
+            train_lm(lang)
+    if a.only in (None, "quality"):
+        train_quality()
+        calibrate_quality()
+    if a.only is None:
+        calibrate()

@@ -38,12 +38,25 @@ def clean_digest(text_clean: str) -> str:
     return hashlib.blake2b(text_clean.encode("utf-8"), digest_size=16).hexdigest()
 
 
-def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
+def oracle_run(table: pa.Table, models_dir: str | None = None,
+               quality_tau: "float | None" = None) -> dict:
     """Sequential golden run. Returns dict with 'golden' (pa.Table, one row
-    per distinct url), 'rule_drops', 'lang_retention', 'survivor_urls'."""
+    per distinct url), 'rule_drops', 'lang_retention', 'survivor_urls'.
+
+    ``quality_tau``: mirror of ``dg filter --quality-tau`` — adds a
+    quality_score column (quality.score_one, bit-identical kernel) and,
+    with merge_extra_rules' chained-gates semantics, drops previously-
+    CLEAN rows scoring < τ under rule 'quality.model' (already-dropped
+    rows keep their hits unchanged)."""
     W = langid.load_model() if models_dir is None else langid.load_model(
         os.path.join(models_dir, "langid.npz"))
     lms = perplexity.load_models() if models_dir is None else perplexity.load_models(models_dir)
+    qual = None
+    if quality_tau is not None:
+        from dataguards_ray import quality
+
+        qual = quality.load_model() if models_dir is None else quality.load_model(
+            os.path.join(models_dir, "quality.npz"))
 
     rows = table.to_pylist()
 
@@ -86,8 +99,16 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
             m, valid=valid, bad_marker=measures.has_bad_marker(text_clean),
             lang_id=lang_id, lang_score=lang_score, ppl=ppl, pii_count=pii_n,
         )
+        q_score = None
+        if qual is not None:
+            from dataguards_ray import quality
+
+            q_score = quality.score_one(text_clean, qual[0], qual[1])
+            if not hits and q_score < quality_tau:
+                hits = ["quality.model"]
         golden.append(
             {
+                "quality_score": q_score,
                 "url": r["url"],
                 "warc_ts": r["warc_ts"],
                 "keep": not hits,
@@ -151,6 +172,8 @@ def oracle_run(table: pa.Table, models_dir: str | None = None) -> dict:
             ("dedup_keep", pa.bool_()),
         ]
     )
+    if qual is not None:
+        schema = schema.append(pa.field("quality_score", pa.float32()))
     golden_tbl = pa.Table.from_pylist(golden, schema=schema)
     return {
         "golden": golden_tbl,

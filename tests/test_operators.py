@@ -2052,9 +2052,10 @@ def test_add_simhash_output_schema_unchanged():
 
 
 def test_global_row_number_degenerate_lead_guard():
-    """ADVICE r02 item #2: a constant leading order column collapses all
-    rows into one range bucket; above the guard threshold that must
-    raise instead of silently serializing the sort."""
+    """ADVICE r02 item #2 + r03 revision: a constant leading order
+    column collapses all rows into one range bucket.  Default: warn but
+    still number correctly (skew is slow, not wrong); strict=True fails
+    fast above guard_rows."""
     import pytest as _pytest
     import ray.data
 
@@ -2065,9 +2066,10 @@ def test_global_row_number_degenerate_lead_guard():
                     "id": np.arange(n, dtype=np.int64)})
     ds = ray.data.from_arrow(tbl).repartition(4)
     with _pytest.raises(ValueError, match="spread"):
-        global_row_number(ds, ["v", "id"], guard_rows=10_000).take_all()
-    # under guard_rows it only warns and still numbers correctly
-    out = global_row_number(ds, ["v", "id"], guard_rows=10 ** 9).take_all()
+        global_row_number(ds, ["v", "id"], guard_rows=10_000,
+                          strict=True).take_all()
+    # default (non-strict) warns and still numbers correctly
+    out = global_row_number(ds, ["v", "id"], guard_rows=10_000).take_all()
     assert sorted(r["rn"] for r in out) == list(range(1, n + 1))
 
 
@@ -2505,6 +2507,84 @@ def test_read_warc_source(tmp_path):
     assert "Hello WARC one" in str(texts["http://a.example/x"].get(
         "text_clean", "")) or any(
         "Hello WARC one" in str(v) for v in texts["http://a.example/x"].values())
+
+
+def _chunked(body: bytes, sizes=(7, 16, 3)) -> bytes:
+    """RFC 7230 chunked framing of body (round-robin chunk sizes)."""
+    out, pos, i = [], 0, 0
+    while pos < len(body):
+        n = min(sizes[i % len(sizes)], len(body) - pos)
+        out.append(f"{n:x}\r\n".encode() + body[pos:pos + n] + b"\r\n")
+        pos += n
+        i += 1
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+def test_warc_http_transfer_and_content_encoding(tmp_path):
+    """Response bodies with Transfer-Encoding: chunked and/or
+    Content-Encoding: gzip/deflate are decoded to the true html (ADVICE
+    r03: real Common-Crawl records routinely carry both)."""
+    import gzip as _gzip
+    import zlib
+
+    from dataguards_ray.sources import read_warc
+
+    body = b"<html><body>" + b"decoded payload bytes " * 20 + b"</body></html>"
+    variants = {
+        "http://plain.example/": (b"", body),
+        "http://chunked.example/": (
+            b"Transfer-Encoding: chunked\r\n", _chunked(body)),
+        "http://gzip.example/": (
+            b"Content-Encoding: gzip\r\n", _gzip.compress(body)),
+        "http://deflate.example/": (
+            b"Content-Encoding: deflate\r\n", zlib.compress(body)),
+        "http://both.example/": (
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+            _chunked(_gzip.compress(body))),
+    }
+    out = b""
+    for url, (extra, wire) in variants.items():
+        http = b"HTTP/1.1 200 OK\r\n" + extra + b"Content-Type: text/html\r\n\r\n" + wire
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Target-URI: {url}\r\n"
+               f"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n").encode()
+        out += hdr + http + b"\r\n\r\n"
+    p = tmp_path / "enc.warc"
+    p.write_bytes(out)
+    rows = {r["url"]: r["html"] for r in read_warc(str(p)).take_all()}
+    assert set(rows) == set(variants)
+    for url in variants:
+        assert rows[url] == body, url
+
+
+def test_warc_tolerant_of_malformed_records(tmp_path):
+    """Corrupt Content-Length / garbage between records / truncated tail
+    are skipped with a resync — good records still come through (ADVICE
+    r03: untrusted archives must not kill the read task)."""
+    from dataguards_ray.sources import read_warc
+
+    def rec(url, body, length=None):
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        n = length if length is not None else len(http)
+        return (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+                f"Content-Length: {n}\r\n\r\n").encode() + http + b"\r\n\r\n"
+
+    good1 = rec("http://ok1.example/", b"<html>first good</html>")
+    bad_len = rec("http://bad.example/", b"<html>x</html>", length="NOTANUMBER")
+    garbage = b"complete garbage, not a record at all\r\nmore junk\r\n"
+    good2 = rec("http://ok2.example/", b"<html>second good</html>")
+    truncated = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"WARC-Target-URI: http://trunc.example/\r\n"
+                 b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+                 b"Content-Length: 99999\r\n\r\nshort")
+    p = tmp_path / "dirty.warc"
+    p.write_bytes(good1 + bad_len + garbage + good2 + truncated)
+    rows = sorted(r["url"] for r in read_warc(str(p)).take_all())
+    assert rows == ["http://ok1.example/", "http://ok2.example/"]
 
 
 def test_filter_job_warc_input(tmp_path):
