@@ -4,15 +4,17 @@ The container has no PIL/libav, but several real formats need neither:
 
 - PNG  (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced)
   — zlib inflate + the five scanline filters, per the PNG spec.
+- JPEG (baseline sequential DCT, Huffman, any chroma sampling, restart
+  intervals — ITU-T T.81; progressive/arithmetic/12-bit raise)
 - BMP  (uncompressed 24-bit BGR and 8-bit palette, bottom-up or top-down)
 - PPM/PGM (binary P6/P5)
 - WAV  (PCM16/PCM8, mono or interleaved multichannel → mono mean)
 
 Color images reduce to luminance (ITU-R BT.601: 0.299 R + 0.587 G +
 0.114 B) because every downstream stage consumes grayscale; alpha is
-ignored.  JPEG and video formats genuinely need external codecs and
-remain behind the explicit NotImplementedError in multimodal.py, as
-does the deterministic FAKEIMG/FAKEAUD fixture format.
+ignored.  Video formats genuinely need external codecs and remain
+behind the explicit NotImplementedError in multimodal.py, as does the
+deterministic FAKEIMG/FAKEAUD fixture format.
 
 Decoders are format-sniffing: ``decode_image(blob) -> (w, h, gray u8
 HxW)``, ``decode_audio(blob) -> (rate, float32 mono in [-1, 1])``.
@@ -84,32 +86,67 @@ def decode_png(blob: bytes) -> np.ndarray:
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG: truncated scanlines")
+    # Defilter (ADVICE r03: real encoder output is dominated by filters
+    # 1/3/4, so the per-byte numpy-scalar loop was the decode
+    # bottleneck).  Per filter type: none/up/sub are fully vectorized
+    # (sub via per-lane cumsum — cur[x] = Σ line[..x] mod 256); average/
+    # paeth have a true sequential x-dependency, so they run as tight
+    # plain-int loops over bytes/bytearray (~10× the numpy-scalar
+    # version — Python ints beat np scalar indexing by a wide margin).
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
+    prev_b = bytes(stride)
     bpp = channels
+    mv = memoryview(raw)
     for y in range(h):
-        row = raw[y * (stride + 1): (y + 1) * (stride + 1)]
-        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        base = y * (stride + 1)
+        ftype = raw[base]
+        lb = bytes(mv[base + 1: base + 1 + stride])
         if ftype == 0:
-            cur = line
-        elif ftype == 2:  # up — fully vectorized
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # sub / average / paeth — sequential in x
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+            cur_b = lb
+        elif ftype == 2:  # up
+            cur_b = (
+                (np.frombuffer(lb, np.uint8).astype(np.int64)
+                 + np.frombuffer(prev_b, np.uint8)) & 0xFF
+            ).astype(np.uint8).tobytes()
+        elif ftype == 1:  # sub: per-lane running sum mod 256
+            lanes = np.frombuffer(lb, np.uint8).reshape(-1, bpp)
+            cur_b = (
+                np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).tobytes()
+        elif ftype == 3:  # average
+            cur = bytearray(stride)
+            pv = prev_b
+            for x in range(bpp):
+                cur[x] = (lb[x] + pv[x] // 2) & 0xFF
+            for x in range(bpp, stride):
+                cur[x] = (lb[x] + (cur[x - bpp] + pv[x]) // 2) & 0xFF
+            cur_b = bytes(cur)
+        elif ftype == 4:  # paeth
+            cur = bytearray(stride)
+            pv = prev_b
+            for x in range(bpp):
+                # a = c = 0 → predictor is b unless |b| > |b| (never)
+                cur[x] = (lb[x] + pv[x]) & 0xFF
+            for x in range(bpp, stride):
+                a = cur[x - bpp]
+                b = pv[x]
+                c = pv[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
                 else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    cur[x] = (line[x] + _paeth(int(a), int(b), int(c))) & 0xFF
+                    pr = c
+                cur[x] = (lb[x] + pr) & 0xFF
+            cur_b = bytes(cur)
         else:
             raise ValueError(f"PNG filter {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+        out[y] = np.frombuffer(cur_b, np.uint8)
+        prev_b = cur_b
     px = out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
     if ctype == 3:  # palette lookup
         if plte is None:
@@ -189,6 +226,304 @@ def decode_ppm(blob: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT, Huffman (ITU-T T.81 / JFIF), round-4
+# verdict item #4: the image path on actual Common-Crawl media.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8×8 DCT-II basis matrix: IDCT(B) = M.T @ B @ M (T.81 A.3.3)
+_DCT_M = np.array([
+    [np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)]
+    for u in range(8)
+], dtype=np.float64)
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table → flat 2^16 peek-decode LUT:
+    peek 16 bits, index the LUT, get (symbol, code length) in two int
+    array reads — no per-bit loop."""
+
+    __slots__ = ("sym", "length")
+
+    def __init__(self, counts: "list[int]", values: bytes):
+        sym = np.zeros(1 << 16, dtype=np.int16)
+        ln = np.zeros(1 << 16, dtype=np.int8)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                v = values[k]
+                k += 1
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                sym[lo:hi] = v
+                ln[lo:hi] = length
+                code += 1
+            code <<= 1
+        self.sym = sym
+        self.length = ln
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte-unstuffed entropy segment."""
+
+    __slots__ = ("data", "n", "pos", "buf", "bits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0  # next byte index
+        self.buf = 0  # bit buffer, MSB-aligned int
+        self.bits = 0  # valid bits in buf
+
+    def _fill(self, need: int) -> None:
+        while self.bits < need:
+            b = self.data[self.pos] if self.pos < self.n else 0
+            self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.bits += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.buf >> (self.bits - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.bits -= k
+        self.buf &= (1 << self.bits) - 1
+
+    def receive(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        self.bits -= k
+        v = (self.buf >> self.bits) & ((1 << k) - 1)
+        self.buf &= (1 << self.bits) - 1
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed coefficient."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _unstuff(data: bytes) -> "list[bytes]":
+    """Entropy-coded bytes → list of restart intervals, each with the
+    0xFF00 stuffing removed (RSTn markers delimit; anything else ends
+    the scan)."""
+    intervals: list[bytes] = []
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            intervals.append(bytes(out))
+            out = bytearray()
+            i += 2
+        else:  # a real marker: end of scan
+            break
+    intervals.append(bytes(out))
+    return intervals
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG → HxW (grayscale) or HxWx3 (RGB) uint8.
+
+    Supports SOF0 (baseline sequential, 8-bit), Huffman coding, 1- or
+    3-component scans, any sampling factors (4:4:4/4:2:2/4:2:0/...),
+    restart intervals.  Progressive (SOF2) / arithmetic / 12-bit raise
+    NotImplementedError; corrupt streams raise ValueError."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    i = 2
+    n = len(blob)
+    while i < n:
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", blob[i:i + 2])
+        seg = blob[i + 2:i + seg_len]
+        i += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:  # 16-bit table
+                    tbl = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_ZIGZAG] = tbl  # DQT stores zigzag order; keep natural
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nv = sum(counts)
+                huff[(tc, th)] = _HuffTable(counts, seg[p + 17:p + 17 + nv])
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_ = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) "
+                "unsupported — baseline sequential only")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []  # (comp index, dc table, ac table)
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                ci = next(k for k, c in enumerate(frame[2]) if c[0] == cs)
+                scan.append((ci, tt >> 4, tt & 15))
+            return _jpeg_decode_scan(blob[i:], frame, scan, qt, huff,
+                                     restart_interval)
+    raise ValueError("JPEG: no scan data")
+
+
+def _jpeg_decode_scan(entropy: bytes, frame, scan, qt, huff,
+                      restart_interval: int) -> np.ndarray:
+    fh, fw, comps = frame
+    if len(scan) == 1 and len(comps) > 1:
+        raise NotImplementedError(
+            "JPEG multi-scan (non-interleaved) baseline unsupported")
+    if len(comps) == 1:
+        # non-interleaved single-component scan: MCU = one data unit and
+        # sampling factors are irrelevant (T.81 A.2.2)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    intervals = _unstuff(entropy)
+
+    # per-component coefficient store: (blocks_y, blocks_x, 64)
+    store = []
+    for cid, hs, vs, tq_ in comps:
+        store.append(np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64))
+
+    pred = [0] * len(comps)
+    mcu = 0
+    it = iter(intervals)
+    rd = _BitReader(next(it))
+    per_interval = restart_interval or n_mcus
+    left = per_interval
+    while mcu < n_mcus:
+        if left == 0:
+            try:
+                rd = _BitReader(next(it))
+            except StopIteration as e:
+                raise ValueError("JPEG: truncated entropy data") from e
+            pred = [0] * len(comps)
+            left = per_interval
+        my, mx = divmod(mcu, mcus_x)
+        for (ci, td, ta) in scan:
+            _, hs, vs, _ = comps[ci]
+            dct = huff[(0, td)]
+            act = huff[(1, ta)]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.int64)
+                    # DC
+                    p16 = rd.peek16()
+                    t = int(dct.sym[p16])
+                    ln = int(dct.length[p16])
+                    if ln == 0:
+                        raise ValueError("JPEG: bad Huffman code (DC)")
+                    rd.skip(ln)
+                    diff = _extend(rd.receive(t), t)
+                    pred[ci] += diff
+                    coef[0] = pred[ci]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        p16 = rd.peek16()
+                        rs = int(act.sym[p16])
+                        ln = int(act.length[p16])
+                        if ln == 0:
+                            raise ValueError("JPEG: bad Huffman code (AC)")
+                        rd.skip(ln)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past block end")
+                        coef[_ZIGZAG[k]] = _extend(rd.receive(s), s)
+                        k += 1
+                    store[ci][my * vs + by, mx * hs + bx] = coef
+        mcu += 1
+        left -= 1
+
+    # vectorized dequant + IDCT per component, then assemble planes
+    planes = []
+    for ci, (cid, hs, vs, tq_) in enumerate(comps):
+        by, bx, _ = store[ci].shape
+        blocks = (store[ci] * qt[tq_]).reshape(by, bx, 8, 8).astype(np.float64)
+        idct = np.einsum("ux,mnuv,vy->mnxy", _DCT_M, blocks, _DCT_M,
+                         optimize=True)
+        plane = (idct.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+                 + 128.0).round()
+        # upsample to full resolution and crop
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)[:fh, :fw]
+        planes.append(np.clip(plane, 0, 255))
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError(f"JPEG with {len(planes)} components")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # sniffing entry points
 # ---------------------------------------------------------------------------
 
@@ -207,6 +542,8 @@ def decode_image(blob: bytes) -> "tuple[int, int, np.ndarray]":
             fmt, px = "BMP", decode_bmp(blob)
         elif blob[:2] in (b"P6", b"P5"):
             fmt, px = "PPM", decode_ppm(blob)
+        elif blob[:2] == b"\xff\xd8":
+            fmt, px = "JPEG", decode_jpeg(blob)
         else:
             raise ValueError("unsupported image format")
     except NotImplementedError:

@@ -26,9 +26,9 @@ def encode_fake_image(w: int, h: int, seed: int) -> bytes:
 
 
 def _decode_one(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """PNG / BMP / PPM / PGM decode REAL in pure numpy+zlib (codecs.py,
-    round 3); the FAKEIMG fixture format stays supported; JPEG/WebP/etc.
-    genuinely need external codecs and raise."""
+    """PNG / baseline JPEG / BMP / PPM / PGM decode REAL in pure
+    numpy+zlib (codecs.py, rounds 3-4); the FAKEIMG fixture format stays
+    supported; WebP/AVIF/etc. genuinely need external codecs and raise."""
     if blob is not None and blob.startswith(MAGIC):
         head = blob[len(MAGIC) :]
         w_s, h_s, rest = head.split(b"|", 2)
@@ -44,9 +44,9 @@ def _decode_one(blob: bytes) -> tuple[int, int, np.ndarray]:
             if "unsupported image format" not in str(e):
                 raise  # corrupt blob of a RECOGNIZED format: clean ValueError
     raise NotImplementedError(
-        "unsupported image format: PNG/BMP/PPM/PGM decode in pure numpy "
-        "(codecs.py); JPEG/WebP need PIL/turbojpeg, absent from this "
-        "container"
+        "unsupported image format: PNG/baseline-JPEG/BMP/PPM/PGM decode "
+        "in pure numpy (codecs.py); WebP/AVIF need external codecs, "
+        "absent from this container"
     )
 
 

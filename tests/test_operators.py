@@ -2733,3 +2733,238 @@ def test_codecs_bmp_24bit():
     px = decode_bmp(hdr + body)
     assert px.tolist() == [[[255, 0, 0], [0, 255, 0]],
                            [[0, 0, 255], [255, 255, 255]]]
+
+
+def _jpeg_bytes(px, sampling=(1, 1), restart=0, q=1):
+    """Baseline JFIF encoder for tests — independent of the decoder
+    (own zigzag walk, own DCT matrix, own canonical-Huffman assignment,
+    markers written by hand per ITU-T T.81).  ``q``: flat quant value
+    (1 = near-lossless up to DCT rounding).  ``sampling``: (h,v) factors
+    for Y; chroma is (1,1) — (2,2) = 4:2:0.  ``restart``: DRI interval
+    in MCUs (0 = none)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    color = px.ndim == 3
+    fh, fw = px.shape[:2]
+
+    # zigzag scan order via the diagonal walk (independent derivation)
+    zz = []
+    for s in range(15):
+        d = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        zz.extend(d if s % 2 else d[::-1])
+    zz_nat = np.array([y * 8 + x for y, x in zz])  # scan idx -> natural
+
+    M = np.array([[np.sqrt((2 - (u == 0)) / 8)
+                   * np.cos((2 * x + 1) * u * np.pi / 16)
+                   for x in range(8)] for u in range(8)])
+
+    # custom canonical Huffman tables (valid per T.81; Kraft < 1, the
+    # all-ones max-length code unused)
+    dc_counts = [0, 0, 0, 11, 1] + [0] * 11
+    dc_values = list(range(12))
+    ac_counts = [0] * 7 + [254, 2] + [0] * 7
+    ac_values = list(range(256))
+
+    def canon(counts, values):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                codes[values[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    dc_codes, ac_codes = canon(dc_counts, dc_values), canon(ac_counts, ac_values)
+
+    if color:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        hs, vs = sampling
+        comps = [(1, hs, vs), (2, 1, 1), (3, 1, 1)]
+        planes = [y]
+        for c in (cb, cr):
+            if (hs, vs) == (1, 1):
+                planes.append(c)
+            else:  # average-pool subsample
+                ph = -(-fh // vs) * vs
+                pw = -(-fw // hs) * hs
+                cp = np.pad(c, ((0, ph - fh), (0, pw - fw)), mode="edge")
+                planes.append(cp.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3)))
+    else:
+        comps = [(1, 1, 1)]
+        planes = [px]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    # pad each plane to its MCU-aligned block grid (edge replicate)
+    padded = []
+    for (cid, hs, vs), pl in zip(comps, planes):
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        padded.append(np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])),
+                             mode="edge"))
+
+    qtab = np.full(64, q, dtype=np.int64)
+
+    bits = []  # (value, nbits)
+
+    def emit(code, ln):
+        bits.append((code, ln))
+
+    def encode_block(block, pred):
+        s = M @ (block - 128.0) @ M.T
+        coef = np.round(s.reshape(64) / qtab.reshape(8, 8).reshape(64)).astype(np.int64)
+        seq = coef[zz_nat]
+        diff = int(seq[0]) - pred
+        t = int(diff != 0 and int(np.floor(np.log2(abs(diff)))) + 1)
+        c, ln = dc_codes[t]
+        emit(c, ln)
+        if t:
+            v = diff if diff > 0 else diff + (1 << t) - 1
+            emit(v & ((1 << t) - 1), t)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(seq[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                emit(c, ln)
+                run -= 16
+            sbits = int(np.floor(np.log2(abs(v)))) + 1
+            c, ln = ac_codes[(run << 4) | sbits]
+            emit(c, ln)
+            vv = v if v > 0 else v + (1 << sbits) - 1
+            emit(vv & ((1 << sbits) - 1), sbits)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]
+            emit(c, ln)
+        return int(seq[0])
+
+    def flush_bits():
+        out = bytearray()
+        acc, nacc = 0, 0
+        for v, ln in bits:
+            acc = (acc << ln) | v
+            nacc += ln
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                nacc -= 8
+                acc &= (1 << nacc) - 1
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    entropy = bytearray()
+    preds = [0] * len(comps)
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart and m and m % restart == 0:
+            entropy += flush_bits()
+            entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, hs, vs) in enumerate(comps):
+            for by in range(vs):
+                for bx in range(hs):
+                    ry = (my * vs + by) * 8
+                    rx = (mx * hs + bx) * 8
+                    preds[ci] = encode_block(
+                        padded[ci][ry:ry + 8, rx:rx + 8], preds[ci])
+    entropy += flush_bits()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytes([0xFF, 0xD8])
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtab[zz_nat].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", fh, fw) + bytes([len(comps)])
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    for tc, counts, values in ((0, dc_counts, dc_values),
+                               (1, ac_counts, ac_values)):
+        out += seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(values))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + bytes(entropy) + bytes([0xFF, 0xD9])
+
+
+def test_codecs_jpeg_baseline_gray_and_444():
+    """Baseline JPEG roundtrip at flat quant 1: grayscale and 4:4:4 RGB
+    decode within DCT-rounding tolerance of the source."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    # smooth gradient + mild noise (worst-case hard edges belong to the
+    # subsampled-chroma test where tolerance is looser)
+    yy, xx = np.mgrid[0:24, 0:40]
+    gray = ((yy * 4 + xx * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(_jpeg_bytes(gray))
+    assert out.shape == (24, 40)
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 3
+
+    rgb = np.stack([((yy * 5 + xx) % 256), ((yy + xx * 7) % 256),
+                    ((yy * 2 + xx * 2) % 256)], axis=-1).astype(np.uint8)
+    out = decode_jpeg(_jpeg_bytes(rgb))
+    assert out.shape == (24, 40, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_codecs_jpeg_420_restarts_and_dispatch():
+    """4:2:0 chroma subsampling with odd dimensions + restart intervals;
+    decode_image dispatch; progressive SOF2 raises NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataguards_ray.codecs import decode_image, decode_jpeg
+
+    yy, xx = np.mgrid[0:21, 0:35]
+    rgb = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                    ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+    blob = _jpeg_bytes(rgb, sampling=(2, 2), restart=2)
+    out = decode_jpeg(blob)
+    assert out.shape == (21, 35, 3)
+    # luma is full-res (tight); chroma is smooth so 2x2 pooling stays close
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert np.abs(luma(out) - luma(rgb)).max() <= 6
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() <= 4
+
+    w, h, g = decode_image(blob)
+    assert (w, h) == (35, 21) and g.shape == (21, 35)
+
+    prog = bytearray(_jpeg_bytes(rgb))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2  # flip SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError, match="progressive|baseline"):
+        decode_jpeg(bytes(prog))
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(blob[:40])  # truncated: no scan
