@@ -17,6 +17,13 @@ from __future__ import annotations
 
 __version__ = "0.2.0"
 
+# drop Ray 2.49's harmless-but-flooding schema-hash warning in this
+# process (see lognoise.py; session owners forward install() to workers
+# via worker_process_setup_hook)
+from . import lognoise as _lognoise  # noqa: E402
+
+_lognoise.install()
+
 # Curated top-level surface (heavy submodules stay lazy — import the
 # module for the full API; nothing here triggers model loads or Ray).
 from .rules import (  # noqa: F401
