@@ -196,18 +196,37 @@ def losing_spans(
     occ: Dataset, *, id_col: str = "doc_id",
     max_driver_winners: int = 2_000_000,
     id_type: "pa.DataType | None" = None,
+    occ_factory=None,
 ) -> Dataset:
     """Stage 2 (adaptive): loser occurrences (doc_id, start).  See the
     module docstring for the fast/fallback split.  ``id_type`` types the
     empty result when the corpus has no occurrences at all (a fully
-    empty materialized Dataset forgets its schema in Ray 2.49)."""
+    empty materialized Dataset forgets its schema in Ray 2.49).
+
+    The occurrence stream is consumed TWICE (winner-discovery partials,
+    then the loser filter).  Default: pin it once in the object store
+    (``materialize`` — spillable and distributed, but a ~corpus-sized
+    pin for substring mode's one-row-per-token stream; consuming one
+    lazy Dataset from two branches instead would deadlock Ray 2.49's
+    executor).  Pass ``occ_factory`` (a zero-arg callable rebuilding the
+    occurrence Dataset, e.g. re-running span_occurrences over the
+    parquet read) to RECOMPUTE the stream per consumer instead — two
+    independent lazy lineages, nothing pinned, the VERDICT r03
+    recompute-twice streaming option.  The factory must be
+    deterministic; both consumers run sequentially, never as a DAG
+    branch."""
     from .aggregates import driver_merge_or_none
     from .steps.dedup import get_broadcast
 
     def prep(b: pa.Table) -> pa.Table:
         return b.append_column("r", _rank_expr(b, id_col))
 
-    occ2 = occ.map_batches(prep, batch_format="pyarrow").materialize()
+    if occ_factory is not None:
+        occ2 = occ_factory().map_batches(prep, batch_format="pyarrow")
+        occ2_again = occ_factory().map_batches(prep, batch_format="pyarrow")
+    else:
+        occ2 = occ.map_batches(prep, batch_format="pyarrow").materialize()
+        occ2_again = occ2
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["h", "r"]).group_by("h").aggregate(
@@ -237,7 +256,7 @@ def losing_spans(
         if contested_ds.count() > max_driver_winners:
             # even the contested set exceeds the driver: stay fully
             # distributed (exact groupby fallback, zero driver state)
-            return _losing_spans_gb(occ2, id_col)
+            return _losing_spans_gb(occ2_again, id_col)
         import pyarrow as _pa
 
         tables = [t for t in ray.get(contested_ds.to_arrow_refs())
@@ -281,26 +300,41 @@ def losing_spans(
         )
         return b.filter(mask).select([id_col, "start"])
 
-    return occ2.map_batches(filt, batch_format="pyarrow")
+    return occ2_again.map_batches(filt, batch_format="pyarrow")
 
 
 def span_dedup(
     docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
     n_sent: int = 3, segmenter=sentence_segments, min_norm_chars: int = 1,
     max_driver_winners: int = 2_000_000, max_broadcast_losers: int = 2_000_000,
+    streaming_discovery: bool = False,
 ) -> Dataset:
     """Remove duplicated ``n_sent``-sentence spans corpus-wide, keeping
     the first occurrence.  Returns (id_col, text_col, n_spans_removed);
-    docs losing no span pass through byte-identical."""
+    docs losing no span pass through byte-identical.
+
+    ``streaming_discovery=True`` trades compute for memory: the
+    occurrence stream is recomputed for each of its two consumers
+    instead of pinned once in the object store (see losing_spans).
+    Identical output; pick it when the occurrence stream is
+    corpus-sized — substring mode's one-row-per-token stream at 100 TB —
+    and re-segmenting is cheaper than holding the pin."""
     from .steps.dedup import get_broadcast
 
     occ = span_occurrences(docs, id_col=id_col, text_col=text_col,
                            n_sent=n_sent, segmenter=segmenter,
                            min_norm_chars=min_norm_chars)
+    occ_factory = None
+    if streaming_discovery:
+        def occ_factory():
+            return span_occurrences(docs, id_col=id_col, text_col=text_col,
+                                    n_sent=n_sent, segmenter=segmenter,
+                                    min_norm_chars=min_norm_chars)
     id_type = pa.schema(docs.schema().base_schema).field(id_col).type
     losers = losing_spans(occ, id_col=id_col,
                           max_driver_winners=max_driver_winners,
-                          id_type=id_type).materialize()
+                          id_type=id_type,
+                          occ_factory=occ_factory).materialize()
 
     def _surgery(text, starts):
         segs = segmenter(text)

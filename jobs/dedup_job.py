@@ -160,6 +160,7 @@ def run_dedup_job(
     against: str | None = None,
     window: int = 50,
     vec_col: str = "embedding",
+    streaming_discovery: bool = False,
     resume: bool = False,
     partitions: int = 32,
 ) -> dict:
@@ -334,16 +335,19 @@ def run_dedup_job(
     elif mode == "span":
         from dataguards_ray.spandedup import span_dedup
 
-        out = span_dedup(ds, text_col=text_col, id_col=id_col)
+        out = span_dedup(ds, text_col=text_col, id_col=id_col,
+                         streaming_discovery=streaming_discovery)
     elif mode == "line":
         from dataguards_ray.spandedup import line_dedup
 
-        out = line_dedup(ds, text_col=text_col, id_col=id_col)
+        out = line_dedup(ds, text_col=text_col, id_col=id_col,
+                         streaming_discovery=streaming_discovery)
     elif mode == "substring":
         from dataguards_ray.spandedup import substring_dedup
 
         out = substring_dedup(ds, text_col=text_col, id_col=id_col,
-                              window=window)
+                              window=window,
+                              streaming_discovery=streaming_discovery)
     elif mode == "embedding":
         # cosine near-dup dedup over a list<float> column; discovery
         # prunes internally (select_columns pushdown + auto LSH above
@@ -660,6 +664,11 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=50,
                     help="substring mode: duplicated-window length in tokens")
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--streaming-discovery", action="store_true",
+                    help="span/line/substring: recompute the occurrence "
+                         "stream per consumer instead of pinning it in "
+                         "the object store (trades compute for memory; "
+                         "identical output)")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--against", default=None, metavar="PRIOR_OUT",
@@ -694,7 +703,8 @@ def main() -> int:
                         threshold=args.threshold, text_col=args.text_col,
                         id_col=args.id_col, against=args.against,
                         window=args.window, vec_col=args.vec_col,
-                        resume=args.resume, partitions=args.partitions)
+                        resume=args.resume, partitions=args.partitions,
+                        streaming_discovery=args.streaming_discovery)
     res["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     ray.shutdown()

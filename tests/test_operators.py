@@ -1484,6 +1484,12 @@ def test_span_dedup_fallback_paths_identical():
     assert fast == run(max_driver_winners=0)
     assert fast == run(max_broadcast_losers=0)
     assert fast == run(max_driver_winners=0, max_broadcast_losers=0)
+    # recompute-twice streaming discovery (VERDICT r03): identical on
+    # every path combination, nothing pinned
+    assert fast == run(streaming_discovery=True)
+    assert fast == run(streaming_discovery=True, max_driver_winners=0)
+    assert fast == run(streaming_discovery=True, max_driver_winners=0,
+                       max_broadcast_losers=0)
     by_id = {d: (t, n) for d, t, n in fast}
     assert by_id[10][1] == 0 and by_id[11][1] == 1 and by_id[12][1] == 1
     assert dup not in by_id[11][0] and dup not in by_id[12][0]
@@ -2322,6 +2328,13 @@ def test_substring_dedup_job_mode(tmp_path):
     assert back[1]["text"] == rows[0]["text"]  # first occurrence intact
     assert len(back[2]["text"]) < len(rows[1]["text"])
     assert back[3]["text"] == rows[2]["text"]
+    # streaming discovery (recompute-twice, nothing pinned): byte-equal
+    res2 = run_dedup_job(str(src), str(tmp_path / "out2"), mode="substring",
+                         window=25, streaming_discovery=True)
+    assert res2["kept_rows"] == 3 and res2["spans_removed"] == res["spans_removed"]
+    back2 = {r["doc_id"]: r for r in
+             ray.data.read_parquet(str(tmp_path / "out2")).take_all()}
+    assert all(back2[d]["text"] == back[d]["text"] for d in (1, 2, 3))
 
 
 def test_dedup_job_embedding_mode(tmp_path):
