@@ -1477,6 +1477,18 @@ def _q_model_quality_scores(sf_dir: str):
     return add_quality_score(ds).select_columns(["doc_id", "quality_score"])
 
 
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet-style corpus partitioning (Wenzek et al. 2020 §4.3):
+    per-language head/middle/tail perplexity tertiles over documents.
+    Rows-only: the LM scores have no SQL equivalent; tertile proportions
+    and determinism are pytest-checked (tests/test_stats.py)."""
+    from dataguards_ray.textstats import ppl_bucket_tags
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ppl_bucket_tags(ds).select_columns(
+        ["doc_id", "lang_id", "ppl_bucket"])
+
+
 def _q_scrub_documents(sf_dir: str):
     from dataguards_ray import spec
 
@@ -2810,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_drop_stats": _q_rule_drop_stats,
         # --- round-4 additions ---
         "model_quality_scores": _q_model_quality_scores,
+        "ppl_buckets": _q_ppl_buckets,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,

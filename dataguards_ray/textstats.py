@@ -140,3 +140,154 @@ def compression_ratios(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (Wenzek et al., LREC 2020 §4.3): split
+# each language's corpus into head/middle/tail by perplexity tertiles.
+# ---------------------------------------------------------------------------
+
+#: fixed log10 histogram range for perplexity sketching: LM perplexities
+#: live in [1, 1e6); the spec sentinel (1e9, unscored) is excluded
+#: upstream.  A FIXED range needs no min/max pre-pass, so the sketch is
+#: one thin streaming pass; quantile error is one log-bin
+#: (multiplicative 10^(span/bins) ≈ 0.17% at 8192 bins).
+_PPL_LOG_LO, _PPL_LOG_HI = 0.0, 6.0
+
+_LANG_PPL_MODELS = None
+
+
+def _score_lang_ppl(batch: pa.Table, text_col: str) -> "tuple[list, np.ndarray]":
+    """(lang_id list, ppl float32 array) via the frozen model kernels
+    (per-worker-process singletons, same contract as the flagship's
+    fused annotate)."""
+    global _LANG_PPL_MODELS
+    if _LANG_PPL_MODELS is None:
+        from . import langid as _lid
+        from . import perplexity as _ppl
+
+        _LANG_PPL_MODELS = (_lid.load_model(), _ppl.load_models())
+    from . import langid as _lid
+    from . import perplexity as _ppl
+
+    W, lms = _LANG_PPL_MODELS
+    texts = batch.column(text_col).to_pylist()
+    langs, _scores = _lid.score_batch(texts, W)
+    n = len(texts)
+    ppl = np.full(n, spec.PPL_EMPTY_DOC, dtype=np.float32)
+    by_lang: dict = {}
+    for i, lg in enumerate(langs):
+        if lg in lms:
+            by_lang.setdefault(lg, []).append(i)
+    for lg, idxs in by_lang.items():
+        toks = [spec.lm_tokens(texts[i]) for i in idxs]
+        ppl[np.array(idxs)] = _ppl.ppl_batch(toks, lms[lg])
+    return langs, ppl
+
+
+def ppl_bucket_tags(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    lang_col: "str | None" = None,
+    ppl_col: "str | None" = None,
+    n_buckets: int = 8192,
+    qs: "tuple[float, ...]" = (1 / 3, 2 / 3),
+    labels: "tuple[str, ...]" = ("head", "middle", "tail"),
+) -> Dataset:
+    """+ ``ppl_bucket`` ∈ labels: CCNet corpus partitioning — per
+    LANGUAGE, rank docs by perplexity and split at the ``qs`` quantiles
+    (defaults: tertiles → head = cleanest third).  Unscored docs (no LM
+    for the language / empty) get bucket 'und'.
+
+    Scale shape: pass 1 streams thin pre-aggregated (lang, log-bin, n)
+    histogram partials (≤ n_langs × n_buckets rows total — the fixed
+    log range needs no min/max pre-pass); the driver merges them and
+    broadcasts per-lang boundary perplexities; pass 2 tags each row.
+    Nothing corpus-sized is pinned or driver-bound.  When ``lang_col``/
+    ``ppl_col`` name existing columns (e.g. the flagship's annotated
+    output) both passes are model-free; otherwise each pass scores with
+    the frozen langid/LM kernels (compute traded for zero pins, like
+    span dedup's streaming discovery).  Deterministic and
+    partition-invariant; boundaries use upper-bin-edge (quantile_disc
+    ≤-rank) semantics, so bucket proportions are exact to one log-bin.
+    """
+    import ray
+
+    from .steps.dedup import get_broadcast
+
+    have_cols = lang_col is not None and ppl_col is not None
+    width = (_PPL_LOG_HI - _PPL_LOG_LO) / n_buckets
+
+    def lang_ppl(batch: pa.Table) -> "tuple[list, np.ndarray]":
+        if have_cols:
+            langs = batch.column(lang_col).to_pylist()
+            ppl = batch.column(ppl_col).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            return langs, ppl
+        return _score_lang_ppl(batch, text_col)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs, ppl = lang_ppl(batch)
+        scored = ppl < spec.PPL_EMPTY_DOC
+        lg = np.asarray(langs, dtype=object)[scored]
+        lp = np.log10(np.clip(ppl[scored], 1.0, None))
+        bins = np.clip(((lp - _PPL_LOG_LO) / width).astype(np.int64),
+                       0, n_buckets - 1)
+        if len(lg) == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "bin": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        key = pa.table({"lang": pa.array(list(lg), type=pa.string()),
+                        "bin": pa.array(bins, type=pa.int64())})
+        g = key.group_by(["lang", "bin"]).aggregate([("bin", "count")])
+        return g.rename_columns(["lang", "bin", "n"])
+
+    from .aggregates import driver_merge_or_none
+
+    table, mat = driver_merge_or_none(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["lang", "bin"], [("n", "sum", "n")],
+        max_driver_rows=len(spec.LANGS) * n_buckets + 1024,
+    )
+    if table is None:  # > cap is impossible by construction (bounded key
+        raise AssertionError("ppl histogram exceeded its bounded size")
+
+    bounds: dict[str, list[float]] = {}
+    if table.num_rows:
+        import pandas as pd
+
+        df = table.to_pandas()
+        for lg, grp in df.groupby("lang"):
+            grp = grp.sort_values("bin")
+            cum = grp["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            edges = []
+            for q in qs:
+                k = int(np.ceil(q * total))
+                i = int(np.searchsorted(cum, k, side="left"))
+                b = int(grp["bin"].to_numpy()[min(i, len(cum) - 1)])
+                edges.append(10 ** (_PPL_LOG_LO + (b + 1) * width))
+            bounds[str(lg)] = edges
+    ref = ray.put(bounds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bd = get_broadcast(ref)
+        langs, ppl = lang_ppl(batch)
+        out = []
+        for lg, p in zip(langs, ppl):
+            e = bd.get(lg)
+            if e is None or p >= spec.PPL_EMPTY_DOC:
+                out.append("und")
+                continue
+            i = int(np.searchsorted(np.asarray(e), p, side="left"))
+            out.append(labels[min(i, len(labels) - 1)])
+        cols = {name: batch.column(name) for name in batch.schema.names}
+        if not have_cols:
+            cols["lang_id"] = pa.array(langs, type=pa.string())
+            cols["ppl"] = pa.array(np.asarray(ppl, dtype=np.float32),
+                                   type=pa.float32())
+        cols["ppl_bucket"] = pa.array(out, type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -84,3 +84,55 @@ def test_key_skew_report_non_hot_null_group(ray_session):
     assert set(d) == {"hot1", "hot2"}
     total, keys = 50 + 50 + 5 + 40, 22 + 1  # 22 non-null keys + null group
     assert abs(d["hot1"]["skew_ratio"] - 50 / (total / keys)) < 0.35
+
+
+def test_ppl_bucket_tags(ray_session):
+    """CCNet head/middle/tail: per-lang tertile proportions within one
+    log-bin, head = lowest perplexity, deterministic across
+    partitioning; precomputed-column path model-free and identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray import langdata, spec
+    from dataguards_ray.textstats import ppl_bucket_tags
+
+    import random
+
+    rows = []
+    for i in range(240):
+        lg = spec.LANGS[i % 2]  # two languages, 120 docs each
+        rng = random.Random(1000 + i)
+        rows.append({"doc_id": i, "text": langdata.clean_doc(rng, lg)})
+    rows.append({"doc_id": 999, "text": ""})  # unscored -> 'und'
+
+    def run(nparts):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = ppl_bucket_tags(ds).to_pandas().sort_values("doc_id")
+        return out
+
+    a = run(3)
+    b = run(7)
+    assert a[["doc_id", "ppl_bucket"]].values.tolist() == \
+        b[["doc_id", "ppl_bucket"]].values.tolist()
+    assert a[a["doc_id"] == 999]["ppl_bucket"].iloc[0] == "und"
+
+    scored = a[a["ppl_bucket"] != "und"]
+    for lg, grp in scored.groupby("lang_id"):
+        n = len(grp)
+        counts = grp["ppl_bucket"].value_counts()
+        # tertiles: each bucket within a few docs of n/3 (ties share a
+        # log-bin)
+        for lab in ("head", "middle", "tail"):
+            assert abs(counts.get(lab, 0) - n / 3) <= max(3, 0.1 * n), (lg, dict(counts))
+        # head really is the cleanest: max head ppl <= min tail ppl
+        assert grp[grp["ppl_bucket"] == "head"]["ppl"].max() <= \
+            grp[grp["ppl_bucket"] == "tail"]["ppl"].min()
+
+    # precomputed-column path (flagship output shape): identical buckets
+    pre = a[["doc_id", "lang_id", "ppl"]].copy()
+    pre["text"] = [r["text"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    ds2 = ray.data.from_arrow(pa.Table.from_pandas(pre, preserve_index=False))
+    c = (ppl_bucket_tags(ds2, lang_col="lang_id", ppl_col="ppl")
+         .to_pandas().sort_values("doc_id"))
+    assert c["ppl_bucket"].tolist() == a["ppl_bucket"].tolist()
