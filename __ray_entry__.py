@@ -1477,6 +1477,20 @@ def _q_model_quality_scores(sf_dir: str):
     return add_quality_score(ds).select_columns(["doc_id", "quality_score"])
 
 
+def _q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (GPT-3 App. C / PaLM 13-gram rule):
+    flag training docs sharing any 13-token n-gram with a 'benchmark'
+    (deterministically, docs 0-4 play the eval set).  Rows-only: the
+    rolling-hash membership probe has no SQL equivalent; an exact
+    tuple-n-gram oracle pins values in tests/test_operators.py."""
+    from dataguards_ray.textstats import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.filter(expr="doc_id < 5")
+    out = decontaminate(ds, bench, n=13, mode="flag")
+    return out.select_columns(["doc_id", "contaminated", "n_contaminated"])
+
+
 def _q_ppl_buckets(sf_dir: str):
     """CCNet-style corpus partitioning (Wenzek et al. 2020 §4.3):
     per-language head/middle/tail perplexity tertiles over documents.
@@ -2823,6 +2837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions ---
         "model_quality_scores": _q_model_quality_scores,
         "ppl_buckets": _q_ppl_buckets,
+        "decontaminate_docs": _q_decontaminate_docs,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,

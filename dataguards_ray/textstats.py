@@ -291,3 +291,99 @@ def ppl_bucket_tags(
         return pa.table(cols)
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 Appendix C / PaLM-style): remove or
+# flag training docs sharing any n-token n-gram with an eval benchmark.
+# ---------------------------------------------------------------------------
+
+_DECON_B = np.uint64(1099511628211)  # FNV prime as the poly base
+
+
+def _token_ngram_hashes(text: "str | None", n: int) -> np.ndarray:
+    """uint64 hashes of every n-token window (frozen tokenizer
+    spec.lm_tokens, FNV-1a per token, polynomial combine).  Empty for
+    docs with < n tokens."""
+    toks = spec.lm_tokens(text or "")
+    if len(toks) < n:
+        return np.zeros(0, dtype=np.uint64)
+    th = np.fromiter((spec.fnv1a64(t.encode()) for t in toks),
+                     dtype=np.uint64, count=len(toks))
+    m = len(th) - n + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            h = h * _DECON_B + th[j:m + j]
+    return h
+
+
+def decontaminate(
+    docs: Dataset,
+    benchmark: Dataset,
+    *,
+    text_col: str = "text",
+    bench_col: str = "text",
+    n: int = 13,
+    mode: str = "flag",
+    max_bench_ngrams: int = 50_000_000,
+) -> Dataset:
+    """Benchmark decontamination: a training doc is CONTAMINATED iff it
+    shares at least one n-token n-gram (frozen spec.lm_tokens tokens,
+    so casing/punctuation differences don't mask overlap) with any
+    benchmark doc — the GPT-3 (arXiv:2005.14165 App. C) / PaLM 13-gram
+    rule.  ``mode="flag"`` appends (contaminated bool, n_contaminated
+    int64 = matching windows); ``mode="drop"`` filters contaminated
+    docs out.
+
+    Scale shape: the benchmark side is the SMALL side by definition
+    (eval sets, not corpora) — its distinct n-gram hashes are collected
+    once (vectorized per-batch partial dedup, driver union capped at
+    ``max_bench_ngrams`` ≈ 400 MB, assert above) and broadcast via
+    ``ray.put``; the corpus side is one streaming map_batches doing a
+    sorted-array membership probe (searchsorted) per doc.  No shuffle,
+    nothing corpus-sized anywhere.  Hash collisions (FNV64 poly) are
+    ~2⁻⁶⁴ per (window, benchmark) pair — the standard trade for not
+    shipping the benchmark text itself."""
+    import ray
+
+    from .steps.dedup import get_broadcast
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode {mode!r}: use 'flag' or 'drop'")
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        hs = [_token_ngram_hashes(t, n)
+              for t in b.column(bench_col).to_pylist()]
+        u = (np.unique(np.concatenate(hs)) if hs
+             else np.zeros(0, dtype=np.uint64))
+        return pa.table({"h": pa.array(u, type=pa.uint64())})
+
+    parts = benchmark.map_batches(bench_partial,
+                                  batch_format="pyarrow").take_all()
+    bench_hashes = np.unique(np.fromiter(
+        (r["h"] for r in parts), dtype=np.uint64, count=len(parts)))
+    if len(bench_hashes) > max_bench_ngrams:
+        raise ValueError(
+            f"benchmark has {len(bench_hashes)} distinct {n}-gram hashes "
+            f"> max_bench_ngrams={max_bench_ngrams}; is the 'benchmark' "
+            "side actually a corpus?")
+    ref = ray.put(bench_hashes)  # sorted by np.unique
+
+    def probe(b: pa.Table) -> pa.Table:
+        bh = get_broadcast(ref)
+        n_hit = np.zeros(b.num_rows, dtype=np.int64)
+        if len(bh):
+            for i, t in enumerate(b.column(text_col).to_pylist()):
+                h = _token_ngram_hashes(t, n)
+                if len(h):
+                    idx = np.searchsorted(bh, h)
+                    idx[idx == len(bh)] = 0
+                    n_hit[i] = int((bh[idx] == h).sum())
+        if mode == "drop":
+            return b.filter(pa.array(n_hit == 0))
+        return b.append_column(
+            "contaminated", pa.array(n_hit > 0)
+        ).append_column("n_contaminated", pa.array(n_hit, type=pa.int64()))
+
+    return docs.map_batches(probe, batch_format="pyarrow")

@@ -2981,3 +2981,59 @@ def test_codecs_jpeg_420_restarts_and_dispatch():
 
     with _pytest.raises(ValueError):
         decode_jpeg(blob[:40])  # truncated: no scan
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_matches_tuple_oracle():
+    """decontaminate ≡ an exact tuple-n-gram scalar oracle: same
+    contaminated set and window counts, flag/drop consistent, stable
+    across partitioning, sub-n-token docs clean."""
+    import random
+
+    import ray.data
+
+    from dataguards_ray import spec
+    from dataguards_ray.textstats import decontaminate
+
+    rng = random.Random(99)
+    vocab = [f"word{i}" for i in range(50)]
+
+    def doc(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    bench_rows = [{"doc_id": 1000 + i, "text": doc(30)} for i in range(4)]
+    n = 7
+    docs = []
+    for i in range(40):
+        t = doc(25)
+        if i % 5 == 0:  # splice a benchmark n-gram mid-doc
+            src = bench_rows[i % 4]["text"].split(" ")
+            j = rng.randrange(0, len(src) - n)
+            t = doc(6) + " " + " ".join(src[j:j + n]) + " " + doc(6)
+        docs.append({"doc_id": i, "text": t})
+    docs.append({"doc_id": 98, "text": "short doc"})   # < n tokens
+    docs.append({"doc_id": 99, "text": None})
+
+    # exact oracle over token tuples
+    bench_grams = set()
+    for r in bench_rows:
+        toks = spec.lm_tokens(r["text"])
+        bench_grams.update(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    expect = {}
+    for r in docs:
+        toks = spec.lm_tokens(r["text"] or "")
+        hits = sum(1 for i in range(max(0, len(toks) - n + 1))
+                   if tuple(toks[i:i + n]) in bench_grams)
+        expect[r["doc_id"]] = hits
+
+    bench = ray.data.from_items(bench_rows).repartition(2)
+    for parts in (1, 5):
+        ds = ray.data.from_items(docs).repartition(parts)
+        got = {r["doc_id"]: (r["contaminated"], r["n_contaminated"])
+               for r in decontaminate(ds, bench, n=n, mode="flag").take_all()}
+        assert {d: c for d, (f, c) in got.items()} == expect, parts
+        assert all(f == (c > 0) for f, c in got.values())
+        kept = {r["doc_id"] for r in
+                decontaminate(ds, bench, n=n, mode="drop").take_all()}
+        assert kept == {d for d, c in expect.items() if c == 0}
+    assert sum(1 for c in expect.values() if c > 0) >= 8  # gate fired

@@ -654,8 +654,9 @@ def test_codec_corrupt_blobs_raise_cleanly():
         decode_image(b"BM" + b"\x00" * 8)  # truncated BMP header
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated PNG
-    with _pytest.raises(NotImplementedError):
-        _decode_one(b"\xff\xd8\xff\xe0JFIF")  # JPEG: honestly stubbed
+    with _pytest.raises(ValueError):
+        _decode_one(b"\xff\xd8\xff\xe0JFIF")  # JPEG now decodes for real
+        # (round 4): a truncated blob is a corrupt recognized format
     with _pytest.raises(NotImplementedError):
         _decode_audio_one(b"RIFF\x00\x00\x00\x00AVI LIST")  # RIFF non-WAV
     with _pytest.raises(ValueError):
