@@ -1491,6 +1491,28 @@ def _q_decontaminate_docs(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated", "n_contaminated"])
 
 
+def _q_token_budget_sample(sf_dir: str):
+    """Deterministic token-budget sample (mixture building): docs in
+    md5(text)-then-id order while the running RE2 \\w+ token total stays
+    ≤ 15k (cuts at ~55% of the sf0.01 corpus).  Distributed as thin bucket partials + one boundary-bucket
+    resolve + a broadcast filter — no global sort, no windowed shuffle
+    (aggregates.sample_by_token_budget)."""
+    from dataguards_ray.aggregates import sample_by_token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sample_by_token_budget(ds, 15_000).select_columns(["doc_id"])
+
+
+_SQL_TOKEN_BUDGET_SAMPLE = r"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         SUM(len(regexp_extract_all(text, '\w+')))
+             OVER (ORDER BY md5(text), doc_id) AS cum
+  FROM documents WHERE text IS NOT NULL
+) t WHERE cum <= 15000
+"""
+
+
 def _q_ppl_buckets(sf_dir: str):
     """CCNet-style corpus partitioning (Wenzek et al. 2020 §4.3):
     per-language head/middle/tail perplexity tertiles over documents.
@@ -2838,6 +2860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_quality_scores": _q_model_quality_scores,
         "ppl_buckets": _q_ppl_buckets,
         "decontaminate_docs": _q_decontaminate_docs,
+        "token_budget_sample": _q_token_budget_sample,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
@@ -3006,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "doc_fingerprints": _SQL_FINGERPRINT,
         "hash_sample": _SQL_HASH_SAMPLE,
+        "token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
         "token_histogram": _SQL_TOKEN_HIST,
         "sessionize_events": _SQL_SESSIONIZE,
         "funnel_depths": _SQL_FUNNEL,

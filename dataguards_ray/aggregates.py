@@ -1179,3 +1179,116 @@ def grouped_mad(
     dev_ds = ds.select_columns(keys + [col]).map_batches(
         absdev, batch_format="pyarrow")
     return grouped_quantile(dev_ds, keys, col, out, 0.5, max_group=max_group)
+
+
+def sample_by_token_budget(
+    ds: Dataset,
+    budget: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 3,
+    max_boundary_rows: int = 2_000_000,
+) -> Dataset:
+    """Deterministic token-budget sample (training-data mixture
+    building): walk docs in md5(text)-then-id order and keep every doc
+    while the RUNNING token total (RE2 ``\\w+`` count, DuckDB-parity)
+    stays ≤ ``budget`` — SQL ``SUM(n_tokens) OVER (ORDER BY md5(text),
+    id) <= budget``.  NULL texts are excluded; ``id_col`` must be
+    non-negative integers (the order tiebreak for duplicated texts).
+
+    Scale shape: NO global sort and no windowed shuffle.  Pass 1
+    streams thin (md5-prefix bucket, token-sum) partials (≤ 16^prefix_len
+    rows total); the driver cumsum locates the single BOUNDARY bucket;
+    only that bucket's rows (corpus/4096 for the default prefix —
+    capped, assert above ``max_boundary_rows``) are pulled to resolve
+    the exact cutoff rank; pass 2 is one broadcast-filter.  Everything
+    is a pure function of (text, id), so the sample is
+    parallelism-invariant and reproducible."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .steps.dedup import get_broadcast
+
+    n_buckets = 16 ** prefix_len
+
+    def _rank_cols(b: pa.Table) -> "tuple[list, np.ndarray, np.ndarray]":
+        """(rank strings md5|paddedid, bucket ints, token counts) for
+        non-null-text rows; returns the filtered table too via mask."""
+        texts = b.column(text_col).to_pylist()
+        ids = b.column(id_col).to_pylist()
+        ranks, buckets = [], []
+        for t, i in zip(texts, ids):
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            ranks.append(f"{h}|{i:020d}")
+            buckets.append(int(h[:prefix_len], 16))
+        ntok = pc.cast(
+            pc.count_substring_regex(pa.array(texts, type=pa.string()),
+                                     r"\w+"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return ranks, np.asarray(buckets, dtype=np.int64), ntok
+
+    nonnull = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(text_col))),
+        batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        _, buckets, ntok = _rank_cols(b)
+        t = pa.table({"bucket": pa.array(buckets, type=pa.int64()),
+                      "n": pa.array(ntok, type=pa.int64())})
+        g = t.group_by(["bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket", "n"])
+
+    table, _mat = driver_merge_or_none(
+        nonnull.map_batches(partials, batch_format="pyarrow"),
+        ["bucket"], [("n", "sum", "n")], max_driver_rows=n_buckets + 16,
+    )
+    assert table is not None  # bounded key space by construction
+    rows = sorted(zip(table.column("bucket").to_pylist(),
+                      table.column("n").to_pylist()))
+    cum = 0
+    boundary = None
+    cum_before = 0
+    for bkt, n in rows:
+        if cum + n > budget:
+            boundary = bkt
+            cum_before = cum
+            break
+        cum += n
+    if boundary is None:  # whole corpus fits the budget
+        return nonnull
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        ranks, buckets, ntok = _rank_cols(b)
+        m = buckets == boundary
+        return pa.table({
+            "r": pa.array([r for r, keep in zip(ranks, m) if keep],
+                          type=pa.string()),
+            "n": pa.array(ntok[m], type=pa.int64())})
+
+    bt = nonnull.map_batches(boundary_rows, batch_format="pyarrow").take_all()
+    if len(bt) > max_boundary_rows:
+        raise ValueError(
+            f"boundary bucket holds {len(bt)} rows > {max_boundary_rows}; "
+            "raise prefix_len for a finer bucket grid")
+    bt.sort(key=lambda r: r["r"])
+    cutoff = ""  # nothing from the boundary bucket
+    run = cum_before
+    for r in bt:
+        if run + r["n"] > budget:
+            break
+        run += r["n"]
+        cutoff = r["r"]
+    ref = _ray.put((boundary, cutoff))
+
+    def final(b: pa.Table) -> pa.Table:
+        bd, co = get_broadcast(ref)
+        ranks, buckets, _ = _rank_cols(b)
+        keep = np.asarray(
+            [bk < bd or (bk == bd and co != "" and r <= co)
+             for r, bk in zip(ranks, buckets)], dtype=bool)
+        return b.filter(pa.array(keep))
+
+    return nonnull.map_batches(final, batch_format="pyarrow")

@@ -3037,3 +3037,43 @@ def test_decontaminate_matches_tuple_oracle():
                 decontaminate(ds, bench, n=n, mode="drop").take_all()}
         assert kept == {d for d, c in expect.items() if c == 0}
     assert sum(1 for c in expect.values() if c > 0) >= 8  # gate fired
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_by_token_budget():
+    """Token-budget sample ≡ the windowed-cumsum definition (scalar
+    oracle), exact at the boundary, partition-invariant, whole-corpus
+    and zero budgets handled."""
+    import hashlib
+    import re
+
+    import ray.data
+
+    from dataguards_ray.aggregates import sample_by_token_budget
+
+    rows = [{"doc_id": i, "text": " ".join(f"t{j}" for j in range((i * 7) % 23 + 1))}
+            for i in range(120)]
+    rows.append({"doc_id": 900, "text": None})
+    rows[50]["text"] = rows[10]["text"]  # duplicated text: id tiebreak
+
+    def oracle(budget):
+        scored = [(hashlib.md5(r["text"].encode()).hexdigest(), r["doc_id"],
+                   len(re.findall(r"\w+", r["text"])))
+                  for r in rows if r["text"] is not None]
+        scored.sort()
+        keep, run = set(), 0
+        for h, d, n in scored:
+            if run + n > budget:
+                break
+            run += n
+            keep.add(d)
+        return keep
+
+    for budget in (0, 137, 600, 10 ** 9):
+        want = oracle(budget)
+        for parts in (1, 6):
+            ds = ray.data.from_items(rows).repartition(parts)
+            got = {r["doc_id"] for r in
+                   sample_by_token_budget(ds, budget).take_all()}
+            assert got == want, (budget, parts, len(got), len(want))
+    assert 0 < len(oracle(600)) < 120  # the mid budget actually cuts
