@@ -17,7 +17,9 @@ def main() -> int:
             "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
             "       python -m dataguards_ray stats OUT_DIR [--top-domains K]\n"
             "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span|line|substring|embedding] [--against PRIOR_OUT] [...]\n"
-            "       python -m dataguards_ray check INPUT --rules RULES.json [--out DIR] [--violations-only]"
+            "       python -m dataguards_ray check INPUT --rules RULES.json [--out DIR] [--violations-only]\n"
+            "       python -m dataguards_ray sample INPUT OUT_DIR [--mode hash|budget|stratified] [...]\n"
+            "       python -m dataguards_ray decontaminate INPUT OUT_DIR --bench BENCH.parquet [--ngram 13] [--drop]"
         )
         return 0
     cmd, rest = sys.argv[1], sys.argv[2:]
@@ -38,6 +40,20 @@ def main() -> int:
 
         sys.argv = ["dedup_job.py", *rest]
         return dedup_main()
+    if cmd == "sample":
+        from jobs.sample_job import main as sample_main
+
+        sys.argv = ["sample_job.py", *rest]
+        return sample_main()
+    if cmd == "decontaminate":
+        from jobs.sample_job import main as sample_main
+
+        rest = list(rest)
+        if "--bench" in rest:
+            i = rest.index("--bench")
+            rest[i] = "--decontaminate"
+        sys.argv = ["sample_job.py", *rest]
+        return sample_main()
     if cmd == "check":
         from jobs.check_job import main as check_main
 

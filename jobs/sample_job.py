@@ -1,0 +1,123 @@
+"""`dg sample` / `dg decontaminate` jobs: training-data mixture building
+over parquet — deterministic sampling and benchmark decontamination as
+runnable pipelines (SURVEY task-brief extras; the operators live in
+dataguards_ray/aggregates.py and textstats.py).
+
+  python jobs/sample_job.py INPUT OUT_DIR --mode hash --frac 0.2
+  python jobs/sample_job.py INPUT OUT_DIR --mode budget --budget 1000000
+  python jobs/sample_job.py INPUT OUT_DIR --mode stratified --key lang \
+      --n-per-group 1000 --order-col warc_ts
+  python jobs/sample_job.py INPUT OUT_DIR --decontaminate BENCH.parquet \
+      [--ngram 13] [--drop]
+
+All modes stream: read → operator → partitioned parquet write; nothing
+corpus-sized on the driver.  Sampling is hash-deterministic
+(parallelism- and rerun-invariant), never ds.random_sample.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("out_dir")
+    ap.add_argument("--mode", choices=("hash", "budget", "stratified"),
+                    default="hash")
+    ap.add_argument("--frac", type=float, default=0.1,
+                    help="hash mode: kept fraction (md5(text) mod 1000)")
+    ap.add_argument("--budget", type=int, default=1_000_000,
+                    help="budget mode: max running RE2-token total")
+    ap.add_argument("--key", default="lang",
+                    help="stratified mode: group column")
+    ap.add_argument("--n-per-group", type=int, default=1000)
+    ap.add_argument("--order-col", default=None,
+                    help="stratified mode: deterministic order column "
+                         "(descending; id tiebreak added)")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--decontaminate", default=None, metavar="BENCH",
+                    help="parquet of benchmark docs: flag (default) or "
+                         "--drop docs sharing any --ngram token n-gram")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--drop", action="store_true")
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(args.input)
+    n_in = ds.count()
+
+    if args.decontaminate is not None:
+        from dataguards_ray.textstats import decontaminate
+
+        bench = ray.data.read_parquet(args.decontaminate,
+                                      columns=[args.text_col])
+        out = decontaminate(ds, bench, text_col=args.text_col,
+                            n=args.ngram,
+                            mode="drop" if args.drop else "flag")
+        op = f"decontaminate(n={args.ngram}, {'drop' if args.drop else 'flag'})"
+    elif args.mode == "hash":
+        import hashlib
+
+        import pyarrow as pa
+
+        thresh = int(args.frac * 1000)
+
+        def f(b: pa.Table) -> pa.Table:
+            mask = [
+                t is not None
+                and int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1000 < thresh
+                for t in b.column(args.text_col).to_pylist()
+            ]
+            return b.filter(pa.array(mask, type=pa.bool_()))
+
+        out = ds.map_batches(f, batch_format="pyarrow")
+        op = f"hash(frac={args.frac})"
+    elif args.mode == "budget":
+        from dataguards_ray.aggregates import sample_by_token_budget
+
+        out = sample_by_token_budget(ds, args.budget,
+                                     text_col=args.text_col,
+                                     id_col=args.id_col)
+        op = f"budget({args.budget})"
+    else:
+        from dataguards_ray.aggregates import stratified_sample
+
+        order = args.order_col or args.id_col
+        out = stratified_sample(ds, args.key, args.n_per_group,
+                                [(order, True), (args.id_col, True)])
+        op = f"stratified({args.key}, n={args.n_per_group})"
+
+    out.write_parquet(args.out_dir)
+    n_out = ray.data.read_parquet(args.out_dir).count()
+    print(json.dumps({"op": op, "input_rows": n_in, "output_rows": n_out,
+                      "seconds": round(time.time() - t0, 2)}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
