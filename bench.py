@@ -110,7 +110,9 @@ def run_bench() -> dict:
                      "dense_rank_cust_balance", "span_dedup_docs",
                      "interval_overlap_click_view", "event_row_number",
                      "tpch_q18_shape", "substring_dedup_docs",
-                     "embedding_dedup"):
+                     "embedding_dedup", "model_quality_scores",
+                     "ppl_buckets", "decontaminate_docs",
+                     "token_budget_sample"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):

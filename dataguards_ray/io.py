@@ -36,6 +36,9 @@ OUTPUT_COLUMNS = [
     "text_scrubbed", "scrub_count", "digest", "part_id",
 ]
 
+#: annotation columns persisted IF the run produced them (opt-in stages)
+OPTIONAL_OUTPUT_COLUMNS = ["quality_score"]
+
 
 def read_pages(path: str, *, columns: list[str] | None = None) -> Dataset:
     """S1: Parquet reader for the §1.2 pages table, schema fail-fast."""
@@ -119,7 +122,11 @@ def write_annotated_partition(group: pa.Table, out_dir: str) -> pa.Table:
     kf = ""
     if kept.num_rows:
         kf = f"kept-{pid:05d}.parquet"
-        _atomic_write_table(kept.select(OUTPUT_COLUMNS), os.path.join(out_dir, kf))
+        # OPTIONAL_OUTPUT_COLUMNS ride along when a run produced them
+        # (e.g. quality_score under dg filter --quality-tau)
+        cols = OUTPUT_COLUMNS + [
+            c for c in OPTIONAL_OUTPUT_COLUMNS if c in kept.schema.names]
+        _atomic_write_table(kept.select(cols), os.path.join(out_dir, kf))
 
     manifest = {
         "part_id": pid,

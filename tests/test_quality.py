@@ -156,3 +156,23 @@ def test_quality_gate_streaming_run(tmp_path):
     FilterPipeline(num_parts=4, quality_tau=tau).run(inp, out)
     kept = dg_io.read_filtered(out).to_pandas()
     assert sorted(kept["url"]) == golden["survivor_urls"]
+
+    # checkpoint resume under the gate: delete two finished partitions
+    # (kept parquet + lineage manifest), resume, survivors byte-equal
+    import os
+
+    done = sorted(dg_io.partitions_by_stage(out)["final"])
+    for pid in done[:2]:
+        os.remove(os.path.join(out, "_lineage", f"part-{pid:05d}.json"))
+        for pref in ("part", "kept"):
+            f = os.path.join(out, f"{pref}-{pid:05d}.parquet")
+            if os.path.exists(f):
+                os.remove(f)
+    FilterPipeline(num_parts=4, quality_tau=tau).run(inp, out, resume=True)
+    kept2 = dg_io.read_filtered(out).to_pandas()
+    assert sorted(kept2["url"]) == golden["survivor_urls"]
+    a = kept.sort_values("url").reset_index(drop=True)
+    b = kept2.sort_values("url").reset_index(drop=True)
+    assert (a["text_scrubbed"] == b["text_scrubbed"]).all()
+    assert (a["quality_score"].astype("float32")
+            == b["quality_score"].astype("float32")).all()
