@@ -1219,10 +1219,19 @@ def sample_by_token_budget(
         non-null-text rows; returns the filtered table too via mask."""
         texts = b.column(text_col).to_pylist()
         ids = b.column(id_col).to_pylist()
+        int_ids = pa.types.is_integer(b.schema.field(id_col).type)
         ranks, buckets = [], []
         for t, i in zip(texts, ids):
             h = hashlib.md5(t.encode("utf-8")).hexdigest()
-            ranks.append(f"{h}|{i:020d}")
+            # tiebreak order = SQL ORDER BY id: zero-padded for ints
+            # (non-negative asserted), lexicographic for strings
+            if int_ids:
+                if i < 0:
+                    raise ValueError("sample_by_token_budget: integer ids "
+                                     "must be non-negative")
+                ranks.append(f"{h}|{i:020d}")
+            else:
+                ranks.append(f"{h}|{i}")
             buckets.append(int(h[:prefix_len], 16))
         ntok = pc.cast(
             pc.count_substring_regex(pa.array(texts, type=pa.string()),
