@@ -1250,13 +1250,20 @@ def sample_by_token_budget(
         g = t.group_by(["bucket"]).aggregate([("n", "sum")])
         return g.rename_columns(["bucket", "n"])
 
-    table, _mat = driver_merge_or_none(
+    # partial ROWS scale with batch count (≤ n_buckets per batch); the
+    # MERGED result is bounded at n_buckets — merge on the driver under
+    # the generic cap, else one distributed groupby of thin partials
+    table, mat = driver_merge_or_none(
         nonnull.map_batches(partials, batch_format="pyarrow"),
-        ["bucket"], [("n", "sum", "n")], max_driver_rows=n_buckets + 16,
+        ["bucket"], [("n", "sum", "n")],
     )
-    assert table is not None  # bounded key space by construction
-    rows = sorted(zip(table.column("bucket").to_pylist(),
-                      table.column("n").to_pylist()))
+    if table is None:
+        merged = _fallback_group_merge(mat, ["bucket"],
+                                       [("n", "sum", "n")]).take_all()
+        rows = sorted((r["bucket"], r["n"]) for r in merged)
+    else:
+        rows = sorted(zip(table.column("bucket").to_pylist(),
+                          table.column("n").to_pylist()))
     cum = 0
     boundary = None
     cum_before = 0
