@@ -85,3 +85,76 @@ def test_langid_empty_and_whitespace():
     langs, scores = langid.score_batch(["", "   ", None], W)
     assert langs[0] == langid.UND and scores[0] == np.float32(0.0)
     assert langs[2] == langid.UND
+
+
+# ---------------------------------------------------------------------------
+# Distributed-operator properties (small Ray datasets, few examples —
+# each example executes real Dataset pipelines)
+# ---------------------------------------------------------------------------
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(DOC, min_size=1, max_size=25),
+    budget=st.integers(min_value=0, max_value=200),
+)
+def test_token_budget_sample_matches_oracle(ray_session, docs, budget):
+    """sample_by_token_budget ≡ the windowed-cumsum scalar definition
+    for arbitrary corpora (duplicated texts, empty docs, any budget)."""
+    import hashlib
+    import re
+
+    import ray.data
+
+    from dataguards_ray.aggregates import sample_by_token_budget
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    scored = sorted(
+        (hashlib.md5(r["text"].encode()).hexdigest(), r["doc_id"],
+         len(re.findall(r"\w+", r["text"])))
+        for r in rows)
+    keep, run = set(), 0
+    for h, d, n in scored:
+        if run + n > budget:
+            break
+        run += n
+        keep.add(d)
+
+    ds = ray.data.from_items(rows).repartition(3)
+    got = {r["doc_id"] for r in sample_by_token_budget(ds, budget).take_all()}
+    assert got == keep
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(DOC, min_size=1, max_size=15),
+    bench=st.lists(DOC, min_size=1, max_size=4),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_decontaminate_matches_oracle_property(ray_session, docs, bench, n):
+    """decontaminate window counts ≡ exact tuple-n-gram overlap for
+    arbitrary corpora and n."""
+    import ray.data
+
+    from dataguards_ray import spec
+    from dataguards_ray.textstats import decontaminate
+
+    grams = set()
+    for t in bench:
+        toks = spec.lm_tokens(t)
+        grams.update(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    expect = {}
+    for i, t in enumerate(docs):
+        toks = spec.lm_tokens(t)
+        expect[i] = sum(1 for j in range(max(0, len(toks) - n + 1))
+                        if tuple(toks[j:j + n]) in grams)
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]).repartition(2)
+    bds = ray.data.from_items([{"text": t} for t in bench])
+    got = {r["doc_id"]: r["n_contaminated"]
+           for r in decontaminate(ds, bds, n=n, mode="flag").take_all()}
+    assert got == expect
