@@ -243,15 +243,24 @@ def ppl_bucket_tags(
         g = key.group_by(["lang", "bin"]).aggregate([("bin", "count")])
         return g.rename_columns(["lang", "bin", "n"])
 
-    from .aggregates import driver_merge_or_none
+    from .aggregates import _fallback_group_merge, driver_merge_or_none
 
+    # partial ROWS scale with batch count (≤ langs × n_buckets per
+    # batch); only the MERGED result is bounded — merge on the driver
+    # under the generic cap, else one distributed groupby of thin
+    # partials (same shape as sample_by_token_budget's merge)
     table, mat = driver_merge_or_none(
         ds.map_batches(partials, batch_format="pyarrow"),
         ["lang", "bin"], [("n", "sum", "n")],
-        max_driver_rows=len(spec.LANGS) * n_buckets + 1024,
     )
-    if table is None:  # > cap is impossible by construction (bounded key
-        raise AssertionError("ppl histogram exceeded its bounded size")
+    if table is None:
+        merged = _fallback_group_merge(
+            mat, ["lang", "bin"], [("n", "sum", "n")]).take_all()
+        table = pa.table({
+            "lang": pa.array([r["lang"] for r in merged], type=pa.string()),
+            "bin": pa.array([r["bin"] for r in merged], type=pa.int64()),
+            "n": pa.array([r["n"] for r in merged], type=pa.int64()),
+        })
 
     bounds: dict[str, list[float]] = {}
     if table.num_rows:
