@@ -1284,11 +1284,16 @@ def sample_by_token_budget(
                           type=pa.string()),
             "n": pa.array(ntok[m], type=pa.int64())})
 
-    bt = nonnull.map_batches(boundary_rows, batch_format="pyarrow").take_all()
-    if len(bt) > max_boundary_rows:
-        raise ValueError(
-            f"boundary bucket holds {len(bt)} rows > {max_boundary_rows}; "
-            "raise prefix_len for a finer bucket grid")
+    # streaming pull with EARLY abort so the cap bounds driver intake
+    bt: "list[dict]" = []
+    for b in nonnull.map_batches(
+            boundary_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        bt.extend(b.to_pylist())
+        if len(bt) > max_boundary_rows:
+            raise ValueError(
+                f"boundary bucket holds > {max_boundary_rows} rows; "
+                "raise prefix_len for a finer bucket grid")
     bt.sort(key=lambda r: r["r"])
     cutoff = ""  # nothing from the boundary bucket
     run = cum_before

@@ -368,10 +368,23 @@ def decontaminate(
              else np.zeros(0, dtype=np.uint64))
         return pa.table({"h": pa.array(u, type=pa.uint64())})
 
-    parts = benchmark.map_batches(bench_partial,
-                                  batch_format="pyarrow").take_all()
-    bench_hashes = np.unique(np.fromiter(
-        (r["h"] for r in parts), dtype=np.uint64, count=len(parts)))
+    # streaming pull with EARLY abort: the cap must bound what reaches
+    # the driver, not just what survives afterwards (a corpus passed as
+    # 'benchmark' by mistake aborts after one over-cap batch)
+    chunks: "list[np.ndarray]" = []
+    pulled = 0
+    for b in benchmark.map_batches(
+            bench_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        pulled += len(h)
+        if pulled > 2 * max_bench_ngrams:
+            raise ValueError(
+                f"benchmark n-gram pull exceeded {2 * max_bench_ngrams} "
+                "rows; is the 'benchmark' side actually a corpus?")
+        chunks.append(h)
+    bench_hashes = (np.unique(np.concatenate(chunks)) if chunks
+                    else np.zeros(0, dtype=np.uint64))
     if len(bench_hashes) > max_bench_ngrams:
         raise ValueError(
             f"benchmark has {len(bench_hashes)} distinct {n}-gram hashes "
