@@ -2843,6 +2843,246 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 late additions: mixture sampling, DSIR selection, TPC-H Q6/Q10/Q14
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 6000
+# identical arithmetic to aggregates.sample_mixture so the SQL literals match
+_MIX_BUDGETS = {
+    s: int(w / float(sum(_MIX_WEIGHTS.values())) * _MIX_BUDGET)
+    for s, w in _MIX_WEIGHTS.items()
+}
+
+
+def _q_sample_mixture(sf_dir: str):
+    """Pile/DoReMi-style mixture building: per-source token budgets
+    (50/30/20% of 6k tokens over three sources), docs taken in
+    md5(text)-then-id order per source while the running total fits.
+    Distributed as thin (source, bucket) partials + per-source boundary
+    resolve + one broadcast filter (aggregates.sample_mixture)."""
+    from dataguards_ray.aggregates import sample_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return sample_mixture(ds, _MIX_BUDGET, _MIX_WEIGHTS).select_columns(
+        ["doc_id", "source"])
+
+
+_SQL_SAMPLE_MIXTURE = rf"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         SUM(len(regexp_extract_all(text, '\w+')))
+             OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS cum
+  FROM documents WHERE text IS NOT NULL AND source IN ('src0','src1','src2')
+) t WHERE cum <= CASE source WHEN 'src0' THEN {_MIX_BUDGETS['src0']}
+                 WHEN 'src1' THEN {_MIX_BUDGETS['src1']}
+                 ELSE {_MIX_BUDGETS['src2']} END
+"""
+
+
+def _q_dsir_logweights(sf_dir: str):
+    """DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bag models fitted on target (lang='en' docs) and the
+    raw corpus, per-doc log p_t(x) - log p_r(x).  Rows-only: the hashed
+    feature models have no SQL equivalent; tests/test_dsir.py pins the
+    values bit-identically against a scalar oracle."""
+    from dataguards_ray.dsir import dsir_log_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow")
+    return dsir_log_weights(docs, target).select_columns(
+        ["doc_id", "dsir_logw"])
+
+
+def _q_dsir_resample(sf_dir: str):
+    """DSIR Gumbel-top-k resampling: 100 docs without replacement with
+    P ∝ importance weight, deterministic in (seed, text, id).  Driver
+    sees k rows only (per-batch top-k partials)."""
+    from dataguards_ray.dsir import dsir_resample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow")
+    return dsir_resample(docs, target, 100).select_columns(
+        ["doc_id", "dsir_logw", "dsir_key"])
+
+
+def _q_tpch_q6_shape(sf_dir: str):
+    """TPC-H Q6 shape: pure scan-filter-global-sum (no shuffle at all —
+    per-row int64 cents, native distributed sum).  Revenue from
+    discounted 1996 shipments with qty < 24 and discount in
+    [0.05, 0.07]."""
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1997-01-01").cast(pa.timestamp("us")).value)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("l_shipdate"), pa.int64())
+        disc = pc.cast(b.column("l_discount"), pa.float64())
+        qty = pc.cast(b.column("l_quantity"), pa.float64())
+        keep = pc.and_(
+            pc.and_(
+                pc.fill_null(pc.greater_equal(ts, lo), False),
+                pc.fill_null(pc.less(ts, hi), False)),
+            pc.and_(
+                pc.fill_null(pc.and_(pc.greater_equal(disc, 0.05),
+                                     pc.less_equal(disc, 0.07)), False),
+                pc.fill_null(pc.less(qty, 24.0), False)))
+        f = b.filter(keep)
+        rev = pc.multiply(pc.cast(f.column("l_extendedprice"), pa.float64()),
+                          pc.cast(f.column("l_discount"), pa.float64()))
+        return pa.table({"rev_cents": _cents(rev)})
+
+    total = li.map_batches(prep, batch_format="pyarrow").sum("rev_cents")
+    return pa.table({"revenue_cents": pa.array([int(total or 0)],
+                                               type=pa.int64())})
+
+
+_SQL_TPCH_Q6 = f"""
+SELECT CAST(COALESCE(SUM({_CENTS_SQL.format(x='l_extendedprice*l_discount')}), 0)
+       AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q_tpch_q10_shape(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer for one
+    quarter's orders, top 20.  Join sides slimmed before the shuffle;
+    customer names attached AFTER the top-k (20-row driver lookup, not
+    a corpus-sized join)."""
+    from dataguards_ray.aggregates import grouped_agg, topk
+    from dataguards_ray.joins import hash_join
+
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1996-04-01").cast(pa.timestamp("us")).value)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.equal(b.column("l_returnflag"), "R"), False)
+        f = b.filter(keep)
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64())
+        di = pc.cast(f.column("l_discount"), pa.float64())
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0, pa.float64()), di))
+        return pa.table({"l_orderkey": f.column("l_orderkey"),
+                         "rev_cents": _cents(rev)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
+                       pc.fill_null(pc.less(ts, hi), False))
+        f = b.filter(keep)
+        return pa.table({"l_orderkey": f.column("o_orderkey"),
+                         "o_custkey": f.column("o_custkey")})
+
+    j = hash_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                  orders.map_batches(prep_o, batch_format="pyarrow"),
+                  on=["l_orderkey"], num_partitions=8)
+    rev = grouped_agg(j, ["o_custkey"],
+                      [("rev_cents", "sum", "revenue_cents")])
+    top = topk(rev, [("revenue_cents", True), ("o_custkey", False)],
+               20).to_pandas()
+
+    keys = pa.array([int(k) for k in top["o_custkey"]], type=pa.int64())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    c20 = cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=keys)),
+        batch_format="pyarrow").to_pandas()
+    c20["acctbal_cents"] = (c20["c_acctbal"] * 100 + 0.5).apply(
+        lambda x: int(np.floor(x)))
+    out = top.merge(c20[["c_custkey", "c_name", "acctbal_cents"]],
+                    left_on="o_custkey", right_on="c_custkey").drop(
+        columns=["c_custkey"])
+    return pa.Table.from_pandas(
+        out[["o_custkey", "c_name", "acctbal_cents", "revenue_cents"]],
+        preserve_index=False)
+
+
+_SQL_TPCH_Q10 = f"""
+SELECT o_custkey, c_name,
+       {_CENTS_SQL.format(x='c_acctbal')} AS acctbal_cents,
+       CAST(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')})
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY o_custkey, c_name, c_acctbal
+ORDER BY revenue_cents DESC, o_custkey
+LIMIT 20
+"""
+
+
+def _q_tpch_q14_shape(sf_dir: str):
+    """TPC-H Q14 shape: promo-type revenue share for one ship-month.
+    part is the broadcast small side (partkey → is-promo flag via
+    ray.put, no shuffle); output is the exact int64 numerator and
+    denominator (a float percentage would not hash-compare)."""
+    lo = int(pa.scalar("1997-06-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1997-07-01").cast(pa.timestamp("us")).value)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = {r["p_partkey"]: r["p_type"] == "PROMO"
+             for r in part.take_all()}
+    import ray as _ray
+
+    from dataguards_ray.steps.dedup import get_broadcast
+    ref = _ray.put(promo)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        pm = get_broadcast(ref)
+        ts = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
+                       pc.fill_null(pc.less(ts, hi), False))
+        f = b.filter(keep)
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64())
+        di = pc.cast(f.column("l_discount"), pa.float64())
+        cents = _cents(pc.multiply(
+            ep, pc.subtract(pa.scalar(1.0, pa.float64()), di)))
+        # INNER-join semantics: drop rows whose partkey is absent from part
+        flags = [pm.get(k) for k in f.column("l_partkey").to_pylist()]
+        present = np.asarray([x is not None for x in flags], dtype=bool)
+        isp = np.asarray([bool(x) for x in flags], dtype=bool)[present]
+        cn = cents.to_numpy(zero_copy_only=False)[present]
+        return pa.table({
+            "promo_cents": pa.array(np.where(isp, cn, 0), type=pa.int64()),
+            "total_cents": pa.array(cn, type=pa.int64())})
+
+    agg = li.map_batches(prep, batch_format="pyarrow").materialize()
+    return pa.table({
+        "promo_cents": pa.array([int(agg.sum("promo_cents") or 0)],
+                                type=pa.int64()),
+        "total_cents": pa.array([int(agg.sum("total_cents") or 0)],
+                                type=pa.int64())})
+
+
+_SQL_TPCH_Q14 = f"""
+SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN
+         {_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')}
+       ELSE 0 END), 0) AS BIGINT) AS promo_cents,
+       CAST(COALESCE(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')}), 0)
+            AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries of this
     # dict against oracle_sql() (rows+schema+hash; rows-only when no SQL
@@ -2861,6 +3101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": _q_ppl_buckets,
         "decontaminate_docs": _q_decontaminate_docs,
         "token_budget_sample": _q_token_budget_sample,
+        "sample_mixture_docs": _q_sample_mixture,
+        "dsir_logweights": _q_dsir_logweights,
+        "dsir_resample_docs": _q_dsir_resample,
+        "tpch_q6_shape": _q_tpch_q6_shape,
+        "tpch_q10_shape": _q_tpch_q10_shape,
+        "tpch_q14_shape": _q_tpch_q14_shape,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
@@ -3042,6 +3288,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_per_month": _SQL_PER_MONTH,
         "priorities_by_status": _SQL_STRING_AGG,
         "tpch_q12_shape": _SQL_Q12,
+        "sample_mixture_docs": _SQL_SAMPLE_MIXTURE,
+        "tpch_q6_shape": _SQL_TPCH_Q6,
+        "tpch_q10_shape": _SQL_TPCH_Q10,
+        "tpch_q14_shape": _SQL_TPCH_Q14,
         "ntile_customer_balance": _SQL_NTILE,
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,

@@ -112,7 +112,8 @@ def run_bench() -> dict:
                      "tpch_q18_shape", "substring_dedup_docs",
                      "embedding_dedup", "model_quality_scores",
                      "ppl_buckets", "decontaminate_docs",
-                     "token_budget_sample"):
+                     "token_budget_sample", "sample_mixture_docs",
+                     "dsir_resample_docs"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):

@@ -1313,3 +1313,160 @@ def sample_by_token_budget(
         return b.filter(pa.array(keep))
 
     return nonnull.map_batches(final, batch_format="pyarrow")
+
+
+def sample_mixture(
+    ds: Dataset,
+    budget: int,
+    weights: "dict[str, float]",
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 3,
+    max_boundary_rows: int = 2_000_000,
+) -> Dataset:
+    """Training-data MIXTURE sampling: per-source token budgets.  Each
+    source s in ``weights`` gets budget_s = floor(w_s/Σw · budget)
+    tokens; within a source docs are taken in md5(text)-then-id order
+    while the running token total stays ≤ budget_s — SQL
+    ``SUM(n_tokens) OVER (PARTITION BY source ORDER BY md5(text), id)
+    <= budget_s``.  Docs from sources NOT in ``weights`` (and NULL
+    texts) are dropped.  This is the Pile/DoReMi-style mixture-building
+    step: fix domain proportions, deterministic membership.
+
+    Scale shape mirrors ``sample_by_token_budget``: pass 1 streams thin
+    ((source, md5-prefix bucket), token-sum) partials — distinct keys
+    ≤ n_sources × 16^prefix_len; the driver cumsums per source to find
+    each source's single BOUNDARY bucket; only those buckets' rows are
+    pulled (capped); pass 2 is one broadcast-filter.  Everything is a
+    pure function of (source, text, id) → parallelism-invariant."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .steps.dedup import get_broadcast
+
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of w >= 0")
+    tot_w = float(sum(weights.values()))
+    if tot_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    budgets = {s: int(w / tot_w * budget) for s, w in weights.items()}
+    sources = sorted(budgets)
+
+    def _rank_cols(b: pa.Table):
+        """(rank strings, bucket ints, token counts, source strings)."""
+        texts = b.column(text_col).to_pylist()
+        ids = b.column(id_col).to_pylist()
+        int_ids = pa.types.is_integer(b.schema.field(id_col).type)
+        ranks, buckets = [], []
+        for t, i in zip(texts, ids):
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if int_ids:
+                if i < 0:
+                    raise ValueError(
+                        "sample_mixture: integer ids must be non-negative")
+                ranks.append(f"{h}|{i:020d}")
+            else:
+                ranks.append(f"{h}|{i}")
+            buckets.append(int(h[:prefix_len], 16))
+        ntok = pc.cast(
+            pc.count_substring_regex(pa.array(texts, type=pa.string()),
+                                     r"\w+"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return (ranks, np.asarray(buckets, dtype=np.int64), ntok,
+                b.column(source_col).to_pylist())
+
+    member = ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.is_valid(b.column(text_col)),
+            pc.is_in(b.column(source_col),
+                     value_set=pa.array(sources, type=pa.string())))),
+        batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        _, buckets, ntok, srcs = _rank_cols(b)
+        t = pa.table({"src": pa.array(srcs, type=pa.string()),
+                      "bucket": pa.array(buckets, type=pa.int64()),
+                      "n": pa.array(ntok, type=pa.int64())})
+        g = t.group_by(["src", "bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["src", "bucket", "n"])
+
+    table, mat = driver_merge_or_none(
+        member.map_batches(partials, batch_format="pyarrow"),
+        ["src", "bucket"], [("n", "sum", "n")],
+    )
+    if table is None:
+        merged = _fallback_group_merge(mat, ["src", "bucket"],
+                                       [("n", "sum", "n")]).take_all()
+        rows = sorted((r["src"], r["bucket"], r["n"]) for r in merged)
+    else:
+        rows = sorted(zip(table.column("src").to_pylist(),
+                          table.column("bucket").to_pylist(),
+                          table.column("n").to_pylist()))
+    # per-source boundary bucket + tokens consumed before it
+    boundary: "dict[str, int]" = {}
+    cum_before: "dict[str, int]" = {}
+    cum: "dict[str, int]" = {s: 0 for s in sources}
+    for s, bkt, n in rows:
+        if s in boundary:
+            continue
+        if cum[s] + n > budgets[s]:
+            boundary[s] = bkt
+            cum_before[s] = cum[s]
+        else:
+            cum[s] += n
+    # sources with no boundary fit entirely: keep all their rows
+
+    if boundary:
+        bset = set(boundary.items())
+
+        def boundary_rows(b: pa.Table) -> pa.Table:
+            ranks, buckets, ntok, srcs = _rank_cols(b)
+            m = np.asarray([(s, bk) in bset
+                            for s, bk in zip(srcs, buckets)], dtype=bool)
+            return pa.table({
+                "src": pa.array([s for s, keep in zip(srcs, m) if keep],
+                                type=pa.string()),
+                "r": pa.array([r for r, keep in zip(ranks, m) if keep],
+                              type=pa.string()),
+                "n": pa.array(ntok[m], type=pa.int64())})
+
+        bt: "list[dict]" = []
+        for b in member.map_batches(
+                boundary_rows, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            bt.extend(b.to_pylist())
+            if len(bt) > max_boundary_rows:
+                raise ValueError(
+                    f"boundary buckets hold > {max_boundary_rows} rows; "
+                    "raise prefix_len for a finer bucket grid")
+        cutoff = {s: "" for s in boundary}
+        run = dict(cum_before)
+        for r in sorted(bt, key=lambda r: (r["src"], r["r"])):
+            s = r["src"]
+            if run[s] + r["n"] > budgets[s]:
+                run[s] = budgets[s] + 1  # source exhausted; skip rest
+                continue
+            run[s] += r["n"]
+            cutoff[s] = r["r"]
+    else:
+        cutoff = {}
+
+    ref = _ray.put({s: (boundary[s], cutoff[s]) for s in boundary})
+
+    def final(b: pa.Table) -> pa.Table:
+        cut = get_broadcast(ref)
+        ranks, buckets, _, srcs = _rank_cols(b)
+        keep = np.empty(b.num_rows, dtype=bool)
+        for i, (s, bk, r) in enumerate(zip(srcs, buckets, ranks)):
+            if s not in cut:
+                keep[i] = True  # whole source fits its budget
+            else:
+                bd, co = cut[s]
+                keep[i] = bk < bd or (bk == bd and co != "" and r <= co)
+        return b.filter(pa.array(keep))
+
+    return member.map_batches(final, batch_format="pyarrow")

@@ -7,6 +7,10 @@ dataguards_ray/aggregates.py and textstats.py).
   python jobs/sample_job.py INPUT OUT_DIR --mode budget --budget 1000000
   python jobs/sample_job.py INPUT OUT_DIR --mode stratified --key lang \
       --n-per-group 1000 --order-col warc_ts
+  python jobs/sample_job.py INPUT OUT_DIR --mode mixture \
+      --weights src0=0.5,src1=0.3,src2=0.2 --budget 1000000
+  python jobs/sample_job.py INPUT OUT_DIR --mode dsir \
+      --target TARGET.parquet --k 100000 [--seed 0]
   python jobs/sample_job.py INPUT OUT_DIR --decontaminate BENCH.parquet \
       [--ngram 13] [--drop]
 
@@ -30,7 +34,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("out_dir")
-    ap.add_argument("--mode", choices=("hash", "budget", "stratified"),
+    ap.add_argument("--mode",
+                    choices=("hash", "budget", "stratified", "mixture",
+                             "dsir"),
                     default="hash")
     ap.add_argument("--frac", type=float, default=0.1,
                     help="hash mode: kept fraction (md5(text) mod 1000)")
@@ -44,6 +50,15 @@ def main() -> int:
                          "(descending; id tiebreak added)")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--weights", default=None,
+                    help="mixture mode: per-source weights, "
+                         "'src0=0.5,src1=0.3' (unlisted sources dropped)")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--target", default=None, metavar="TARGET",
+                    help="dsir mode: parquet of target-domain docs")
+    ap.add_argument("--k", type=int, default=100_000,
+                    help="dsir mode: docs to select (Gumbel-top-k)")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decontaminate", default=None, metavar="BENCH",
                     help="parquet of benchmark docs: flag (default) or "
                          "--drop docs sharing any --ngram token n-gram")
@@ -103,6 +118,29 @@ def main() -> int:
                                      text_col=args.text_col,
                                      id_col=args.id_col)
         op = f"budget({args.budget})"
+    elif args.mode == "mixture":
+        from dataguards_ray.aggregates import sample_mixture
+
+        if not args.weights:
+            ap.error("--mode mixture requires --weights src=w,src=w")
+        weights = {}
+        for kv in args.weights.split(","):
+            s, _, w = kv.partition("=")
+            weights[s.strip()] = float(w)
+        out = sample_mixture(ds, args.budget, weights,
+                             source_col=args.source_col,
+                             text_col=args.text_col, id_col=args.id_col)
+        op = f"mixture({args.budget}, {sorted(weights)})"
+    elif args.mode == "dsir":
+        from dataguards_ray.dsir import dsir_resample
+
+        if not args.target:
+            ap.error("--mode dsir requires --target TARGET.parquet")
+        target = ray.data.read_parquet(args.target,
+                                       columns=[args.text_col])
+        out = dsir_resample(ds, target, args.k, text_col=args.text_col,
+                            id_col=args.id_col, seed=args.seed)
+        op = f"dsir(k={args.k}, seed={args.seed})"
     else:
         from dataguards_ray.aggregates import stratified_sample
 
