@@ -3002,8 +3002,12 @@ def _q_tpch_q10_shape(sf_dir: str):
     c20["acctbal_cents"] = (c20["c_acctbal"] * 100 + 0.5).apply(
         lambda x: int(np.floor(x)))
     out = top.merge(c20[["c_custkey", "c_name", "acctbal_cents"]],
-                    left_on="o_custkey", right_on="c_custkey").drop(
-        columns=["c_custkey"])
+                    left_on="o_custkey", right_on="c_custkey",
+                    how="left").drop(columns=["c_custkey"])
+    if out["c_name"].isna().any():  # SQL's inner join would re-rank;
+        raise ValueError("tpch_q10_shape: o_custkey missing from "
+                         "customer — post-topk lookup is only valid "
+                         "under FK integrity (holds for this corpus)")
     return pa.Table.from_pandas(
         out[["o_custkey", "c_name", "acctbal_cents", "revenue_cents"]],
         preserve_index=False)

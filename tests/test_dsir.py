@@ -135,6 +135,49 @@ def test_gumbel_key_range_and_determinism():
     assert math.isfinite(gumbel_key("", 0, 0))
 
 
+def test_dsir_property_arbitrary_corpora(ray_session):
+    """Hypothesis: distributed DSIR log-weights stay bit-identical to
+    the scalar oracle for arbitrary corpora (unicode, empty docs,
+    duplicated texts, tiny target)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data
+
+    from dataguards_ray.dsir import dsir_log_weights
+
+    WORD = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0, max_size=6)
+    DOC = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=st.lists(DOC, min_size=1, max_size=15),
+           tmask=st.lists(st.booleans(), min_size=15, max_size=15))
+    def inner(docs, tmask):
+        B = 256  # small bucket space → collisions exercised
+        rows = [{"doc_id": i, "text": t, "is_t": bool(tmask[i])}
+                for i, t in enumerate(docs)]
+        t_texts = [r["text"] for r in rows if r["is_t"]] or [rows[0]["text"]]
+        p_t = _scalar_dist(t_texts, B)
+        p_r = _scalar_dist([r["text"] for r in rows], B)
+        lr = np.log(p_t) - np.log(p_r)
+        want = {}
+        for r in rows:
+            fb = _scalar_buckets(r["text"], B)
+            want[r["doc_id"]] = float(lr[fb].sum()) if len(fb) else 0.0
+
+        ds = ray.data.from_items(rows).repartition(3)
+        target = ray.data.from_items(
+            [{"text": t} for t in t_texts])
+        got = {r["doc_id"]: r["dsir_logw"]
+               for r in dsir_log_weights(ds, target,
+                                         n_buckets=B).take_all()}
+        assert got == want
+
+    inner()
+
+
 def test_sample_mixture_matches_scalar_oracle(ray_session):
     """sample_mixture ≡ per-source windowed-cumsum scalar definition on
     a corpus with empty docs, duplicated texts and an unlisted source."""
