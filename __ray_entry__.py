@@ -3087,6 +3087,43 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-0
 """
 
 
+_FD_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus"]
+
+
+def _q_fd_discovery_orders(sf_dir: str):
+    """TANE-style FD discovery over three orders columns (full lattice,
+    prune=False so the SQL oracle can mirror row-for-row).  Per
+    candidate: one thin distinct-(LHS,RHS) exchange + driver-side group
+    stats — a loop over the 9-candidate lattice, never over rows
+    (rules/discovery.py)."""
+    from dataguards_ray.rules.discovery import discover_fds
+
+    ds = _read(sf_dir, "orders", _FD_COLS)
+    return discover_fds(ds, _FD_COLS, max_lhs=2, prune=False)
+
+
+def _fd_discovery_sql() -> str:
+    """DuckDB mirror generated from the SAME candidate lattice.
+    COUNT(DISTINCT x) ignores NULLs in SQL while Arrow's group-distinct
+    counts the NULL value — corrected with a MAX(x IS NULL) term."""
+    from dataguards_ray.rules.discovery import fd_candidates
+
+    parts = []
+    for lhs, rhs in fd_candidates(_FD_COLS, 2):
+        lhs_sql = ", ".join(lhs)
+        inner = (f"SELECT COUNT(DISTINCT {rhs}) + "
+                 f"MAX(CASE WHEN {rhs} IS NULL THEN 1 ELSE 0 END) AS d "
+                 f"FROM orders GROUP BY {lhs_sql}")
+        parts.append(
+            f"SELECT '{','.join(lhs)}' AS lhs, '{rhs}' AS rhs, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            f"CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_violating_groups, "
+            f"SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds "
+            f"FROM ({inner}) t")
+    return "\nUNION ALL\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries of this
     # dict against oracle_sql() (rows+schema+hash; rows-only when no SQL
@@ -3111,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_shape": _q_tpch_q6_shape,
         "tpch_q10_shape": _q_tpch_q10_shape,
         "tpch_q14_shape": _q_tpch_q14_shape,
+        "fd_discovery_orders": _q_fd_discovery_orders,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
@@ -3296,6 +3334,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6_shape": _SQL_TPCH_Q6,
         "tpch_q10_shape": _SQL_TPCH_Q10,
         "tpch_q14_shape": _SQL_TPCH_Q14,
+        "fd_discovery_orders": _fd_discovery_sql(),
         "ntile_customer_balance": _SQL_NTILE,
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,

@@ -4,8 +4,10 @@ The container has no PIL/libav, but several real formats need neither:
 
 - PNG  (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced)
   — zlib inflate + the five scanline filters, per the PNG spec.
-- JPEG (baseline sequential DCT, Huffman, any chroma sampling, restart
-  intervals — ITU-T T.81; progressive/arithmetic/12-bit raise)
+- JPEG (sequential AND progressive DCT — spectral selection +
+  successive approximation, EOB runs — Huffman, any chroma sampling,
+  restart intervals, multi-scan; ITU-T T.81.  Arithmetic / lossless /
+  hierarchical / 12-bit raise)
 - BMP  (uncompressed 24-bit BGR and 8-bit palette, bottom-up or top-down)
 - PPM/PGM (binary P6/P5)
 - WAV  (PCM16/PCM8, mono or interleaved multichannel → mono mean)
@@ -341,18 +343,44 @@ def _unstuff(data: bytes) -> "list[bytes]":
     return intervals
 
 
-def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG → HxW (grayscale) or HxWx3 (RGB) uint8.
+def _entropy_end(blob: bytes, i: int) -> int:
+    """Index just past the entropy-coded segment starting at ``i``:
+    the position of the first 0xFF that is neither byte-stuffing
+    (0xFF00), an RSTn marker, nor a 0xFF fill byte."""
+    n = len(blob)
+    j = i
+    while j < n - 1:
+        if blob[j] != 0xFF:
+            j += 1
+            continue
+        nxt = blob[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            j += 2
+        elif nxt == 0xFF:  # fill byte
+            j += 1
+        else:
+            return j
+    return n
 
-    Supports SOF0 (baseline sequential, 8-bit), Huffman coding, 1- or
-    3-component scans, any sampling factors (4:4:4/4:2:2/4:2:0/...),
-    restart intervals.  Progressive (SOF2) / arithmetic / 12-bit raise
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """JFIF JPEG → HxW (grayscale) or HxWx3 (RGB) uint8.
+
+    Supports SOF0/SOF1 (baseline/extended sequential, 8-bit) AND SOF2
+    (progressive: spectral selection + successive approximation — DC
+    first/refine, AC first/refine with EOB runs, T.81 G.2), Huffman
+    coding, 1- or 3-component frames, interleaved and non-interleaved
+    scans, any sampling factors (4:4:4/4:2:2/4:2:0/...), restart
+    intervals.  Arithmetic / lossless / hierarchical / 12-bit raise
     NotImplementedError; corrupt streams raise ValueError."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    stores = None  # per-component (blocks_y, blocks_x, 64) coefficient grids
+    comp_blocks = None  # per-component non-interleaved (bh, bw)
+    scans_seen = False
     restart_interval = 0
     i = 2
     n = len(blob)
@@ -391,7 +419,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 nv = sum(counts)
                 huff[(tc, th)] = _HuffTable(counts, seg[p + 17:p + 17 + nv])
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -400,11 +428,22 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, hv, tq_ = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            stores, comp_blocks = [], []
+            for cid, hs, vs, tq_ in comps:
+                stores.append(
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64))
+                cw = -(-fw * hs // hmax)  # ceil(fw*hs/hmax), T.81 A.1.1
+                ch = -(-fh * vs // vmax)
+                comp_blocks.append((-(-ch // 8), -(-cw // 8)))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) "
-                "unsupported — baseline sequential only")
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) "
+                "unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -416,94 +455,189 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
                 ci = next(k for k, c in enumerate(frame[2]) if c[0] == cs)
                 scan.append((ci, tt >> 4, tt & 15))
-            return _jpeg_decode_scan(blob[i:], frame, scan, qt, huff,
-                                     restart_interval)
-    raise ValueError("JPEG: no scan data")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            end = _entropy_end(blob, i)
+            _jpeg_decode_scan(blob[i:end], frame, scan, ss, se, ah, al,
+                              huff, restart_interval, stores, comp_blocks)
+            scans_seen = True
+            i = end
+    if not scans_seen:
+        raise ValueError("JPEG: no scan data")
+    return _jpeg_finish(frame, qt, stores)
 
 
-def _jpeg_decode_scan(entropy: bytes, frame, scan, qt, huff,
-                      restart_interval: int) -> np.ndarray:
+def _jpeg_decode_scan(entropy: bytes, frame, scan, ss, se, ah, al,
+                      huff, restart_interval: int, stores,
+                      comp_blocks) -> None:
+    """Decode ONE scan's entropy data into the shared per-component
+    coefficient stores.  Handles all four T.81 scan kinds: sequential
+    (Ss=0..Se=63), progressive DC first/refine (Ss=Se=0, Ah=0/>0) and
+    progressive AC first/refine (Ss>0, single component)."""
     fh, fw, comps = frame
-    if len(scan) == 1 and len(comps) > 1:
-        raise NotImplementedError(
-            "JPEG multi-scan (non-interleaved) baseline unsupported")
-    if len(comps) == 1:
-        # non-interleaved single-component scan: MCU = one data unit and
-        # sampling factors are irrelevant (T.81 A.2.2)
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        n_units = mcus_x * mcus_y
+    else:
+        bh, bw = comp_blocks[scan[0][0]]
+        n_units = bh * bw
+    if ss > 0 and interleaved:
+        raise ValueError("JPEG: AC progressive scan must be single-component")
+
     intervals = _unstuff(entropy)
-
-    # per-component coefficient store: (blocks_y, blocks_x, 64)
-    store = []
-    for cid, hs, vs, tq_ in comps:
-        store.append(np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64))
-
-    pred = [0] * len(comps)
-    mcu = 0
     it = iter(intervals)
     rd = _BitReader(next(it))
-    per_interval = restart_interval or n_mcus
+    per_interval = restart_interval or n_units
     left = per_interval
-    while mcu < n_mcus:
+    pred = [0] * len(comps)
+    eob = 0  # progressive AC end-of-band run counter
+    unit = 0
+    while unit < n_units:
         if left == 0:
             try:
                 rd = _BitReader(next(it))
             except StopIteration as e:
                 raise ValueError("JPEG: truncated entropy data") from e
             pred = [0] * len(comps)
+            eob = 0
             left = per_interval
-        my, mx = divmod(mcu, mcus_x)
-        for (ci, td, ta) in scan:
-            _, hs, vs, _ = comps[ci]
-            dct = huff[(0, td)]
-            act = huff[(1, ta)]
-            for by in range(vs):
-                for bx in range(hs):
-                    coef = np.zeros(64, dtype=np.int64)
-                    # DC
-                    p16 = rd.peek16()
-                    t = int(dct.sym[p16])
-                    ln = int(dct.length[p16])
-                    if ln == 0:
-                        raise ValueError("JPEG: bad Huffman code (DC)")
-                    rd.skip(ln)
-                    diff = _extend(rd.receive(t), t)
-                    pred[ci] += diff
-                    coef[0] = pred[ci]
-                    # AC
-                    k = 1
-                    while k < 64:
-                        p16 = rd.peek16()
-                        rs = int(act.sym[p16])
-                        ln = int(act.length[p16])
-                        if ln == 0:
-                            raise ValueError("JPEG: bad Huffman code (AC)")
-                        rd.skip(ln)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG: AC run past block end")
-                        coef[_ZIGZAG[k]] = _extend(rd.receive(s), s)
-                        k += 1
-                    store[ci][my * vs + by, mx * hs + bx] = coef
-        mcu += 1
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for (ci, td, ta) in scan:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = stores[ci][my * vs + by, mx * hs + bx]
+                        eob = _jpeg_block(rd, coef, huff, td, ta, ss, se,
+                                          ah, al, pred, ci, eob)
+        else:
+            (ci, td, ta) = scan[0]
+            by, bx = divmod(unit, comp_blocks[ci][1])
+            coef = stores[ci][by, bx]
+            eob = _jpeg_block(rd, coef, huff, td, ta, ss, se, ah, al,
+                              pred, ci, eob)
+        unit += 1
         left -= 1
 
-    # vectorized dequant + IDCT per component, then assemble planes
+
+def _huffdec(rd: _BitReader, tbl: _HuffTable, what: str) -> int:
+    p16 = rd.peek16()
+    ln = int(tbl.length[p16])
+    if ln == 0:
+        raise ValueError(f"JPEG: bad Huffman code ({what})")
+    rd.skip(ln)
+    return int(tbl.sym[p16])
+
+
+def _jpeg_block(rd, coef, huff, td, ta, ss, se, ah, al, pred, ci,
+                eob: int) -> int:
+    """Decode one data unit for one scan; returns the updated EOB run."""
+    if ss == 0:
+        if ah == 0:  # DC first (progressive) or sequential DC
+            t = _huffdec(rd, huff[(0, td)], "DC")
+            pred[ci] += _extend(rd.receive(t), t)
+            coef[0] = pred[ci] << al
+        else:  # DC refine: one bit
+            if rd.receive(1):
+                coef[0] |= 1 << al
+        if se == 0:
+            return eob  # progressive DC-only scan
+        # sequential: fall through to the full AC band (Ah=Al=0)
+        act = huff[(1, ta)]
+        k = 1
+        while k <= se:
+            rs = _huffdec(rd, act, "AC")
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG: AC run past block end")
+            coef[_ZIGZAG[k]] = _extend(rd.receive(s), s)
+            k += 1
+        return eob
+    # progressive AC scans (T.81 G.2 / G.1.2.3)
+    act = huff[(1, ta)]
+    if ah == 0:  # AC first
+        if eob > 0:
+            return eob - 1
+        k = ss
+        while k <= se:
+            rs = _huffdec(rd, act, "AC")
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eob = (1 << r) - 1
+                    if r:
+                        eob += rd.receive(r)
+                    return eob
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run past band end")
+            coef[_ZIGZAG[k]] = _extend(rd.receive(s), s) << al
+            k += 1
+        return eob
+    # AC refine: correction bits for known coefficients + new ±1s
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eob == 0:
+        while k <= se:
+            rs = _huffdec(rd, act, "AC")
+            r, s = rs >> 4, rs & 15
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG: AC refine size must be 1")
+                s = p1 if rd.receive(1) else m1
+            else:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += rd.receive(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    if rd.receive(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[_ZIGZAG[k]] = s
+            k += 1
+    if eob > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if coef[z] != 0:
+                if rd.receive(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eob -= 1
+    return eob
+
+
+def _jpeg_finish(frame, qt, stores) -> np.ndarray:
+    """Vectorized dequant + IDCT per component, upsample, color map."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, hs, vs, tq_) in enumerate(comps):
-        by, bx, _ = store[ci].shape
-        blocks = (store[ci] * qt[tq_]).reshape(by, bx, 8, 8).astype(np.float64)
+        by, bx, _ = stores[ci].shape
+        blocks = (stores[ci] * qt[tq_]).reshape(by, bx, 8, 8).astype(np.float64)
         idct = np.einsum("ux,mnuv,vy->mnxy", _DCT_M, blocks, _DCT_M,
                          optimize=True)
         plane = (idct.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)

@@ -26,7 +26,7 @@ def encode_fake_image(w: int, h: int, seed: int) -> bytes:
 
 
 def _decode_one(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """PNG / baseline JPEG / BMP / PPM / PGM decode REAL in pure
+    """PNG / JPEG (sequential + progressive) / BMP / PPM / PGM decode REAL in pure
     numpy+zlib (codecs.py, rounds 3-4); the FAKEIMG fixture format stays
     supported; WebP/AVIF/etc. genuinely need external codecs and raise."""
     if blob is not None and blob.startswith(MAGIC):
@@ -44,7 +44,7 @@ def _decode_one(blob: bytes) -> tuple[int, int, np.ndarray]:
             if "unsupported image format" not in str(e):
                 raise  # corrupt blob of a RECOGNIZED format: clean ValueError
     raise NotImplementedError(
-        "unsupported image format: PNG/baseline-JPEG/BMP/PPM/PGM decode "
+        "unsupported image format: PNG/JPEG/BMP/PPM/PGM decode "
         "in pure numpy (codecs.py); WebP/AVIF need external codecs, "
         "absent from this container"
     )

@@ -2953,7 +2953,7 @@ def test_codecs_jpeg_baseline_gray_and_444():
 
 def test_codecs_jpeg_420_restarts_and_dispatch():
     """4:2:0 chroma subsampling with odd dimensions + restart intervals;
-    decode_image dispatch; progressive SOF2 raises NotImplementedError."""
+    decode_image dispatch; arithmetic SOF raises NotImplementedError."""
     import numpy as np
     import pytest as _pytest
 
@@ -2973,14 +2973,401 @@ def test_codecs_jpeg_420_restarts_and_dispatch():
     w, h, g = decode_image(blob)
     assert (w, h) == (35, 21) and g.shape == (21, 35)
 
-    prog = bytearray(_jpeg_bytes(rgb))
+    # SOF2-flagged stream with a sequential scan decodes identically
+    # (the generic scan decoder keys on Ss/Se, not the SOF marker)
+    seq444 = _jpeg_bytes(rgb)
+    prog = bytearray(seq444)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2  # flip SOF0 -> SOF2
-    with _pytest.raises(NotImplementedError, match="progressive|baseline"):
-        decode_jpeg(bytes(prog))
+    assert np.array_equal(decode_jpeg(bytes(prog)), decode_jpeg(seq444))
+
+    arith = bytearray(_jpeg_bytes(rgb))
+    arith[idx + 1] = 0xC9  # SOF9: arithmetic sequential
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
 
     with _pytest.raises(ValueError):
         decode_jpeg(blob[:40])  # truncated: no scan
+
+
+def _jpeg_progressive_bytes(px, sampling=(1, 1), q=1):
+    """Progressive (SOF2) JFIF encoder for tests — independent of the
+    decoder (own zigzag/DCT/Huffman, T.81 G.1.2 scan procedures written
+    from the spec).  Scan script exercises every progressive block
+    kind: interleaved DC first (Al=1) + DC refine, per-component AC
+    first over two spectral bands at Al=2, then two successive-
+    approximation refinement passes (2→1→0) with libjpeg-style EOBRUN
+    batching and buffered correction bits."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    color = px.ndim == 3
+    fh, fw = px.shape[:2]
+
+    zz = []
+    for s in range(15):
+        d = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        zz.extend(d if s % 2 else d[::-1])
+    zz_nat = np.array([y * 8 + x for y, x in zz])
+
+    M = np.array([[np.sqrt((2 - (u == 0)) / 8)
+                   * np.cos((2 * x + 1) * u * np.pi / 16)
+                   for x in range(8)] for u in range(8)])
+
+    dc_counts = [0, 0, 0, 11, 1] + [0] * 11
+    dc_values = list(range(12))
+    ac_counts = [0] * 7 + [254, 2] + [0] * 7
+    ac_values = list(range(256))
+
+    def canon(counts, values):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                codes[values[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    dc_codes, ac_codes = canon(dc_counts, dc_values), canon(ac_counts, ac_values)
+
+    if color:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        hs0, vs0 = sampling
+        comps = [(1, hs0, vs0), (2, 1, 1), (3, 1, 1)]
+        planes = [y]
+        for c in (cb, cr):
+            if (hs0, vs0) == (1, 1):
+                planes.append(c)
+            else:
+                ph = -(-fh // vs0) * vs0
+                pw = -(-fw // hs0) * hs0
+                cp = np.pad(c, ((0, ph - fh), (0, pw - fw)), mode="edge")
+                planes.append(cp.reshape(ph // vs0, vs0,
+                                         pw // hs0, hs0).mean(axis=(1, 3)))
+    else:
+        comps = [(1, 1, 1)]
+        planes = [px]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    qtab = np.full(64, q, dtype=np.int64)
+
+    # quantized coefficients (zigzag order) per component per block,
+    # on the FULL MCU-padded grid (interleaved DC scans cover padding)
+    seqs = []
+    for (cid, hs, vs), pl in zip(comps, planes):
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        p = np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])),
+                   mode="edge")
+        grid = np.empty((th // 8, tw // 8, 64), dtype=np.int64)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                s = M @ (p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0) @ M.T
+                grid[by, bx] = np.round(s.reshape(64) / q).astype(np.int64)[zz_nat]
+        seqs.append(grid)
+
+    bits = []
+
+    def emit(code, ln):
+        bits.append((code, ln))
+
+    def flush_bits():
+        out = bytearray()
+        acc, nacc = 0, 0
+        for v, ln in bits:
+            acc = (acc << ln) | v
+            nacc += ln
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                nacc -= 8
+                acc &= (1 << nacc) - 1
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    def stv(c, a):  # AC point transform: sign(c) * (|c| >> a)
+        return (abs(int(c)) >> a) * (1 if c > 0 else -1)
+
+    def dc_first_scan(al):
+        preds = [0] * len(comps)
+        if color:  # interleaved MCU order
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci, (cid, hs, vs) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(seqs[ci][my * vs + by, mx * hs + bx][0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = int(diff != 0 and
+                                    int(np.floor(np.log2(abs(diff)))) + 1)
+                            c, ln = dc_codes[t]
+                            emit(c, ln)
+                            if t:
+                                vv = diff if diff > 0 else diff + (1 << t) - 1
+                                emit(vv & ((1 << t) - 1), t)
+        else:
+            g = seqs[0]
+            for by in range(g.shape[0]):
+                for bx in range(g.shape[1]):
+                    v = int(g[by, bx][0]) >> al
+                    diff = v - preds[0]
+                    preds[0] = v
+                    t = int(diff != 0 and int(np.floor(np.log2(abs(diff)))) + 1)
+                    c, ln = dc_codes[t]
+                    emit(c, ln)
+                    if t:
+                        vv = diff if diff > 0 else diff + (1 << t) - 1
+                        emit(vv & ((1 << t) - 1), t)
+
+    def dc_refine_scan(al):
+        if color:
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci, (cid, hs, vs) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            emit((int(seqs[ci][my * vs + by, mx * hs + bx][0])
+                                  >> al) & 1, 1)
+        else:
+            g = seqs[0]
+            for by in range(g.shape[0]):
+                for bx in range(g.shape[1]):
+                    emit((int(g[by, bx][0]) >> al) & 1, 1)
+
+    def comp_block_grid(ci):
+        _, hs, vs = comps[ci]
+        cw = -(-fw * hs // hmax)
+        ch = -(-fh * vs // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def ac_first_scan(ci, ss, se, al):
+        bh, bw = comp_block_grid(ci)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_codes[nb << 4]
+                emit(c, ln)
+                if nb:
+                    emit(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for u in range(bh * bw):
+            by, bx = divmod(u, bw)
+            seq = seqs[ci][by, bx]
+            vals = [stv(seq[k], al) for k in range(ss, se + 1)]
+            nz = [j for j, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for j in range(nz[-1] + 1):
+                v = vals[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    emit(c, ln)
+                    run -= 16
+                sb = int(np.floor(np.log2(abs(v)))) + 1
+                c, ln = ac_codes[(run << 4) | sb]
+                emit(c, ln)
+                vv = v if v > 0 else v + (1 << sb) - 1
+                emit(vv & ((1 << sb) - 1), sb)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+        flush_eob()
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        bh, bw = comp_block_grid(ci)
+        eobrun = 0
+        be = []  # buffered correction bits across the EOB run
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_codes[nb << 4]
+                emit(c, ln)
+                if nb:
+                    emit(eobrun - (1 << nb), nb)
+            for b in be:
+                emit(b, 1)
+            be.clear()
+            eobrun = 0
+
+        for u in range(bh * bw):
+            by, bx = divmod(u, bw)
+            seq = seqs[ci][by, bx]
+            prev = [stv(seq[k], ah) for k in range(ss, se + 1)]
+            cur = [stv(seq[k], al) for k in range(ss, se + 1)]
+            newly = [j for j in range(len(cur)) if prev[j] == 0 and cur[j]]
+            corr = lambda j: (abs(int(seq[ss + j])) >> al) & 1
+            if not newly:
+                eobrun += 1
+                be.extend(corr(j) for j in range(len(cur)) if prev[j])
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            pending = []
+            for j in range(newly[-1] + 1):
+                if prev[j]:
+                    pending.append(corr(j))
+                elif cur[j] == 0:
+                    run += 1
+                    if run == 16:
+                        c, ln = ac_codes[0xF0]
+                        emit(c, ln)
+                        for b in pending:
+                            emit(b, 1)
+                        pending = []
+                        run = 0
+                else:  # newly nonzero: must be ±1 at this level
+                    assert abs(cur[j]) == 1
+                    c, ln = ac_codes[(run << 4) | 1]
+                    emit(c, ln)
+                    emit(1 if cur[j] > 0 else 0, 1)
+                    for b in pending:
+                        emit(b, 1)
+                    pending = []
+                    run = 0
+            # tail after the last newly-nonzero joins the EOB run (the
+            # loop above ends AT the last newly, so pending/run are
+            # freshly reset; decoder-side the EOB consumes correction
+            # bits for the remaining nonzero-history positions)
+            if newly[-1] + 1 <= len(cur) - 1:
+                eobrun += 1
+                be.extend(corr(t) for t in range(newly[-1] + 1, len(cur))
+                          if prev[t])
+        flush_eob()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(scan_comps, ss, se, ah, al):
+        p = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            p += bytes([cid, 0x00])
+        p += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, p)
+
+    out = bytes([0xFF, 0xD8])
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtab[zz_nat].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", fh, fw) + bytes([len(comps)])
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)
+    for tc, counts, values in ((0, dc_counts, dc_values),
+                               (1, ac_counts, ac_values)):
+        out += seg(0xC4, bytes([tc << 4]) + bytes(counts) + bytes(values))
+
+    all_ids = [c[0] for c in comps]
+    # scan script: DC first/refine, AC first per band at Al=2, then two
+    # refinement passes 2->1->0
+    dc_first_scan(1)
+    out += sos(all_ids, 0, 0, 0, 1) + flush_bits()
+    dc_refine_scan(0)
+    out += sos(all_ids, 0, 0, 1, 0) + flush_bits()
+    for ci in range(len(comps)):
+        ac_first_scan(ci, 1, 5, 2)
+        out += sos([comps[ci][0]], 1, 5, 0, 2) + flush_bits()
+        ac_first_scan(ci, 6, 63, 2)
+        out += sos([comps[ci][0]], 6, 63, 0, 2) + flush_bits()
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(len(comps)):
+            ac_refine_scan(ci, 1, 5, ah, al)
+            out += sos([comps[ci][0]], 1, 5, ah, al) + flush_bits()
+            ac_refine_scan(ci, 6, 63, ah, al)
+            out += sos([comps[ci][0]], 6, 63, ah, al) + flush_bits()
+    return out + bytes([0xFF, 0xD9])
+
+
+def test_codecs_jpeg_progressive_gray_noise():
+    """Progressive decode == baseline decode of the SAME quantized
+    coefficients, bit-exact, on dense random data (exercises ZRL, long
+    runs, successive approximation and EOB runs)."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    prog = _jpeg_progressive_bytes(gray)
+    base = _jpeg_bytes(gray)
+    assert prog.find(b"\xff\xc2") > 0  # really SOF2, many scans
+    assert prog.count(b"\xff\xda") == 8  # 2 DC + 2 AC-first + 4 refine
+    out = decode_jpeg(prog)
+    assert out.shape == (24, 40)
+    assert np.array_equal(out, decode_jpeg(base))
+
+
+def test_codecs_jpeg_progressive_color_420():
+    """Progressive 3-component 4:2:0 (interleaved DC scan + per-
+    component non-interleaved AC scans over distinct block grids) ==
+    the baseline encoding of the same planes; smooth image exercises
+    EOBRUN batching across blocks."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_image, decode_jpeg
+
+    yy, xx = np.mgrid[0:21, 0:35]
+    rgb = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                    ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+    prog = _jpeg_progressive_bytes(rgb, sampling=(2, 2))
+    base = _jpeg_bytes(rgb, sampling=(2, 2))
+    out = decode_jpeg(prog)
+    assert out.shape == (21, 35, 3)
+    assert np.array_equal(out, decode_jpeg(base))
+    w, h, g = decode_image(prog)  # sniffing dispatch handles SOF2
+    assert (w, h) == (35, 21) and g.shape == (21, 35)
+
+
+def test_codecs_jpeg_progressive_eob_runs_across_blocks():
+    """Mostly-flat image: 10 of 12 blocks have all-zero AC bands, so
+    the encoder's EOBRUN batching provably emits multi-block runs
+    (consecutive no-content blocks accumulate before one flush), and
+    the featured blocks' refinement bits ride inside/around them —
+    decode must still be bit-exact vs the baseline encoding."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_jpeg
+
+    img = np.full((16, 48), 128, dtype=np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    img[0:8, 0:8] = (128 + 60 * np.cos((2 * xx + 1) * np.pi / 16)
+                     ).clip(0, 255).astype(np.uint8)
+    img[8:16, 40:48] = (128 + 50 * np.cos((2 * yy + 1) * np.pi / 8)
+                        + 9 * np.cos((2 * xx + 1) * 3 * np.pi / 16)
+                        ).clip(0, 255).astype(np.uint8)
+    prog = _jpeg_progressive_bytes(img)
+    base = _jpeg_bytes(img)
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
 
 
 @pytest.mark.usefixtures("ray_session")
