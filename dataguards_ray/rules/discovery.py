@@ -11,16 +11,15 @@ a superset of an already-holding FD with the same RHS is implied and
 skipped (TANE's key rule), so clean data costs only the first lattice
 level.
 
-Scale shape (100 TB): each candidate is ONE streaming pass — per-batch
-`group_by(LHS).aggregate(count_distinct(RHS))` partials are THIN
-((lhs-hash, rhs-set partial) rows bounded by the batch's distinct LHS)
-merged with the adaptive driver/distributed machinery
-(`driver_merge_or_none`); the driver sees per-candidate aggregate
-counts, never rows.  Candidates are evaluated as a driver loop over
-the (small, ≤ cols²·2^max_lhs) lattice — a loop over CANDIDATES, not
-data.  Distinct-count partials use the exact two-level groupby: first
-distinct (LHS, RHS) pairs, then group sizes per LHS — both all-to-all
-exchanges move only the candidate's ≤ 2 columns + hashes.
+Scale shape (100 TB): each candidate is one streaming pass emitting
+batch-local DISTINCT (LHS, RHS) rows (thin: only the candidate's
+columns), merged with the adaptive driver/distributed machinery
+(`driver_merge_or_none`).  Above the driver cap the whole chain stays
+distributed: distinct pairs → per-LHS pair counts (second thin merge)
+→ two scalar aggregates — the driver sees two ints, never rows
+(forced-fallback parity tested).  Candidates are evaluated as a driver
+loop over the (small, ≤ cols²·2^max_lhs) lattice — a loop over
+CANDIDATES, not data; each candidate re-reads only its ≤ 3 columns.
 
 NULL semantics follow SQL GROUP BY: NULL is a value (one group /
 one RHS value), matching the DuckDB oracle exactly.
@@ -34,10 +33,13 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
-def _fd_group_stats(ds: Dataset, lhs: "tuple[str, ...]", rhs: str):
+def _fd_group_stats(ds: Dataset, lhs: "tuple[str, ...]", rhs: str,
+                    max_driver_rows: int = 2_000_000):
     """(n_groups, n_violating_groups) for candidate LHS → RHS: a group
     violates iff it holds > 1 distinct RHS value.  Two thin exchanges:
-    distinct (LHS, RHS) combos, then per-LHS combo counts."""
+    distinct (LHS, RHS) combos, then per-LHS combo counts.
+    ``max_driver_rows`` is the driver-merge cap (test hook: a tiny cap
+    forces the fully-distributed path)."""
     from ..aggregates import (_fallback_group_merge, driver_merge_or_none)
 
     cols = list(lhs) + [rhs]
@@ -52,24 +54,41 @@ def _fd_group_stats(ds: Dataset, lhs: "tuple[str, ...]", rhs: str):
     # same machinery as every thin-partial merge in aggregates.py
     table, mat = driver_merge_or_none(
         pairs.map_batches(
-            lambda b: b.append_column("one", pa.array([1] * b.num_rows,
-                                                      type=pa.int64())),
+            lambda b: b.append_column("n", pa.array([1] * b.num_rows,
+                                                    type=pa.int64())),
             batch_format="pyarrow"),
-        cols, [("one", "sum", "n")],
+        cols, [("n", "sum", "n")], max_driver_rows=max_driver_rows,
     )
-    if table is None:
-        merged = _fallback_group_merge(mat, cols, [("one", "sum", "n")])
-        distinct = merged.select_columns(cols).take_all()
-        lhs_vals = [tuple(r[c] for c in lhs) for r in distinct]
-    else:
-        lhs_cols = [table.column(c).to_pylist() for c in lhs]
-        lhs_vals = list(zip(*lhs_cols)) if lhs_cols else []
-    # per-LHS distinct-RHS counts (the distinct table is already thin)
-    from collections import Counter
+    if table is not None:  # distinct pairs fit the driver: Arrow group
+        from collections import Counter
 
-    per_lhs = Counter(lhs_vals)
-    n_groups = len(per_lhs)
-    n_viol = sum(1 for v in per_lhs.values() if v > 1)
+        lhs_cols = [table.column(c).to_pylist() for c in lhs]
+        per_lhs = Counter(zip(*lhs_cols) if lhs_cols else [])
+        return len(per_lhs), sum(1 for v in per_lhs.values() if v > 1)
+    # big case: stay distributed end-to-end — per-LHS pair counts via a
+    # second thin-partial merge; the driver only ever sees two ints
+    import pyarrow.compute as pc
+
+    pairs_ds = _fallback_group_merge(mat, cols, [("n", "sum", "n")])
+    lhs_l = list(lhs)
+
+    def lhs_partial(b: pa.Table) -> pa.Table:
+        g = b.select(lhs_l).group_by(
+            lhs_l, use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(lhs_l + ["m"])
+
+    ctable, mat2 = driver_merge_or_none(
+        pairs_ds.map_batches(lhs_partial, batch_format="pyarrow"),
+        lhs_l, [("m", "sum", "m")], max_driver_rows=max_driver_rows,
+    )
+    if ctable is not None:
+        ms = ctable.column("m").to_numpy(zero_copy_only=False)
+        return len(ms), int((ms > 1).sum())
+    cd = _fallback_group_merge(mat2, lhs_l, [("m", "sum", "m")]).materialize()
+    n_groups = cd.count()
+    n_viol = cd.map_batches(
+        lambda b: b.filter(pc.greater(b.column("m"), 1)),
+        batch_format="pyarrow").count()
     return n_groups, n_viol
 
 

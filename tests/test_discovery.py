@@ -83,6 +83,25 @@ def test_discover_fds_pruning_skips_implied():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_fd_group_stats_forced_fallback_parity():
+    """A tiny driver-merge cap forces the fully-distributed path (both
+    merge levels); stats must equal the driver-merge path exactly."""
+    import ray.data
+
+    from dataguards_ray.rules.discovery import _fd_group_stats
+
+    df = pd.DataFrame({
+        "u": [f"u{i % 7}" for i in range(60)],
+        "v": [i % 3 if i % 5 else 99 for i in range(60)],
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    fast = _fd_group_stats(ds, ("u",), "v")
+    slow = _fd_group_stats(ds, ("u",), "v", max_driver_rows=1)
+    assert fast == slow
+    assert fast[0] == 7  # seven u-groups
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_discover_fds_lattice_cap():
     import ray.data
 
