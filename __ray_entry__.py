@@ -3124,6 +3124,33 @@ def _fd_discovery_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _q_cfd_mine_source_lang(sf_dir: str):
+    """Constant-CFD mining (CFDMiner-style): per source the majority
+    lang becomes a pattern (source=s → lang=c) kept at support ≥ 5 and
+    confidence ≥ 3/10 (integer cross-multiplied — no float in the
+    decision).  One thin (source, lang, n) exchange; majority pick on
+    the driver below the cap, distributed map_groups above
+    (rules/discovery.py:discover_constant_cfds)."""
+    from dataguards_ray.rules.discovery import discover_constant_cfds
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return discover_constant_cfds(ds, ["source"], "lang",
+                                  min_support=5, min_conf=(3, 10))
+
+
+_SQL_CFD_MINE = """
+WITH pc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source, lang),
+best AS (SELECT source, lang, n,
+                SUM(n) OVER (PARTITION BY source) AS s,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n DESC, lang) AS rn
+         FROM pc)
+SELECT source, lang, n AS support, CAST(s AS BIGINT) AS group_size
+FROM best WHERE rn = 1 AND n >= 5 AND n * 10 >= s * 3
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries of this
     # dict against oracle_sql() (rows+schema+hash; rows-only when no SQL
@@ -3149,6 +3176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10_shape": _q_tpch_q10_shape,
         "tpch_q14_shape": _q_tpch_q14_shape,
         "fd_discovery_orders": _q_fd_discovery_orders,
+        "cfd_mine_source_lang": _q_cfd_mine_source_lang,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
@@ -3335,6 +3363,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10_shape": _SQL_TPCH_Q10,
         "tpch_q14_shape": _SQL_TPCH_Q14,
         "fd_discovery_orders": _fd_discovery_sql(),
+        "cfd_mine_source_lang": _SQL_CFD_MINE,
         "ntile_customer_balance": _SQL_NTILE,
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,

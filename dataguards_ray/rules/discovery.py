@@ -106,6 +106,85 @@ def fd_candidates(columns: "list[str]", max_lhs: int):
     return cands
 
 
+def discover_constant_cfds(
+    ds: Dataset,
+    lhs: "list[str]",
+    rhs: str,
+    *,
+    min_support: int = 10,
+    min_conf: "tuple[int, int]" = (9, 10),
+    max_driver_rows: int = 2_000_000,
+) -> Dataset:
+    """Mine CONSTANT conditional functional dependencies (CFDMiner-style
+    patterns; Fan et al. TKDE 2011 — the discovery counterpart of the
+    `rules/cfd.py` checker): for each LHS value combination, the
+    majority RHS value becomes a candidate pattern (lhs=v̄ → rhs=c),
+    kept when support = majority count ≥ ``min_support`` and
+    confidence = majority/group ≥ ``min_conf[0]/min_conf[1]``
+    (compared by integer cross-multiplication — no float in the
+    decision, so SQL mirrors exactly).  Ties break toward the smallest
+    RHS value (SQL ORDER BY n DESC, rhs parity).
+
+    Returns a Dataset with columns lhs... , rhs, support (majority
+    count), group_size (int64).  NULL is a value (SQL GROUP BY parity).
+
+    Scale shape: ONE streaming pass emits thin per-batch (LHS, RHS, n)
+    partials (bounded by batch-distinct combos); the adaptive merge
+    resolves global counts; the majority step is a driver Arrow pass
+    below ``max_driver_rows`` distinct pairs, else a distributed
+    `groupby(LHS).map_groups` over the thin pair rows.  The driver
+    never holds corpus rows."""
+    from ..aggregates import _fallback_group_merge, driver_merge_or_none
+
+    cn, cd = int(min_conf[0]), int(min_conf[1])
+    if cd <= 0 or cn < 0:
+        raise ValueError("min_conf must be (num >= 0, den > 0)")
+    cols = list(lhs) + [rhs]
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        g = b.select(cols).group_by(
+            cols, use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(cols + ["n"])
+
+    def majority(t: pa.Table) -> pa.Table:
+        """Per-LHS majority pick over a (LHS, RHS, n) pair table —
+        deterministic (n desc, rhs asc) and support/conf filtered."""
+        order = [(c, "ascending") for c in lhs] + [
+            ("n", "descending"), (rhs, "ascending")]
+        t = t.sort_by(order)
+        lhs_keys = list(zip(*(t.column(c).to_pylist() for c in lhs)))
+        ns = t.column("n").to_pylist()
+        first_idx: "dict[tuple, int]" = {}
+        totals: "dict[tuple, int]" = {}
+        for i, k in enumerate(lhs_keys):
+            totals[k] = totals.get(k, 0) + ns[i]
+            first_idx.setdefault(k, i)  # best row: sorted n desc, rhs asc
+        keep, supports, sizes = [], [], []
+        for k, i in first_idx.items():
+            sup, size = ns[i], totals[k]
+            if sup >= min_support and sup * cd >= size * cn:
+                keep.append(i)
+                supports.append(sup)
+                sizes.append(size)
+        picked = t.take(pa.array(keep, type=pa.int64()))
+        return pa.table(
+            {c: picked.column(c) for c in cols}
+            | {"support": pa.array(supports, type=pa.int64()),
+               "group_size": pa.array(sizes, type=pa.int64())})
+
+    table, mat = driver_merge_or_none(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        cols, [("n", "sum", "n")], max_driver_rows=max_driver_rows,
+    )
+    import ray.data as _rd
+
+    if table is not None:
+        return _rd.from_arrow(majority(table))
+    pairs_ds = _fallback_group_merge(mat, cols, [("n", "sum", "n")])
+    return pairs_ds.groupby(list(lhs)).map_groups(
+        majority, batch_format="pyarrow")
+
+
 def discover_fds(
     ds: Dataset,
     columns: "list[str]",

@@ -101,6 +101,80 @@ def test_fd_group_stats_forced_fallback_parity():
     assert fast[0] == 7  # seven u-groups
 
 
+def _scalar_cfds(df, lhs, rhs, min_support, conf):
+    cn, cd = conf
+    out = []
+    key = df[lhs[0]] if len(lhs) == 1 else list(zip(*(df[c] for c in lhs)))
+    for k, grp in df.groupby(key, sort=True, dropna=False):
+        vc = grp[rhs].value_counts(dropna=False)
+        best_n = int(vc.max())
+        best_v = min(v for v, n in vc.items() if n == best_n)  # rhs asc tie
+        size = len(grp)
+        if best_n >= min_support and best_n * cd >= size * cn:
+            out.append((k, best_v, best_n, size))
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_discover_constant_cfds_matches_scalar():
+    import ray.data
+
+    from dataguards_ray.rules.discovery import discover_constant_cfds
+
+    rng = __import__("random").Random(3)
+    rows = [{"g": f"g{rng.randrange(6)}", "v": rng.choice("aab")}
+            for _ in range(300)]
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = discover_constant_cfds(ds, ["g"], "v", min_support=20,
+                                 min_conf=(3, 5)).take_all()
+    got = sorted((r["g"], r["v"], r["support"], r["group_size"])
+                 for r in got)
+    assert got == _scalar_cfds(df, ["g"], "v", 20, (3, 5))
+    assert got  # fixture yields at least one pattern
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_discover_constant_cfds_forced_fallback_parity():
+    import ray.data
+
+    from dataguards_ray.rules.discovery import discover_constant_cfds
+
+    rows = [{"g": f"g{i % 4}", "v": "x" if i % 5 else "y"}
+            for i in range(80)]
+    ds = ray.data.from_items(rows).repartition(3)
+    kw = dict(min_support=2, min_conf=(1, 2))
+    fast = sorted((r["g"], r["v"], r["support"], r["group_size"])
+                  for r in discover_constant_cfds(
+                      ds, ["g"], "v", **kw).take_all())
+    slow = sorted((r["g"], r["v"], r["support"], r["group_size"])
+                  for r in discover_constant_cfds(
+                      ds, ["g"], "v", max_driver_rows=1, **kw).take_all())
+    assert fast == slow and len(fast) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_discover_constant_cfds_thresholds():
+    import ray.data
+
+    from dataguards_ray.rules.discovery import discover_constant_cfds
+
+    rows = ([{"g": "a", "v": "x"}] * 9 + [{"g": "a", "v": "y"}]
+            + [{"g": "b", "v": "x"}] * 5 + [{"g": "b", "v": "y"}] * 5)
+    ds = ray.data.from_items(rows)
+    # conf 9/10: only group a qualifies (b's majority is a 5/10 tie)
+    got = discover_constant_cfds(ds, ["g"], "v", min_support=2,
+                                 min_conf=(9, 10)).take_all()
+    assert [(r["g"], r["v"], r["support"], r["group_size"])
+            for r in got] == [("a", "x", 9, 10)]
+    # b's tie breaks toward the smaller rhs value at looser confidence
+    got = discover_constant_cfds(ds, ["g"], "v", min_support=2,
+                                 min_conf=(1, 2)).take_all()
+    assert sorted((r["g"], r["v"]) for r in got) == [("a", "x"), ("b", "x")]
+    with pytest.raises(ValueError):
+        discover_constant_cfds(ds, ["g"], "v", min_conf=(1, 0))
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_discover_fds_lattice_cap():
     import ray.data
