@@ -1403,6 +1403,20 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup_filter(ds, 0.4).select_columns(["vec_id"]).sort("vec_id")
 
 
+def _q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters
+    over the embedding column, within-cluster pairwise cosine ≥ τ drops
+    all but the centroid-closest representative.  One cluster-keyed
+    all-to-all with thin f32 payloads (similarity.semdedup_filter).
+    Rows-only (k-means isn't SQL-expressible); pytest pins Ray ≡ scalar
+    oracle on seeded corpora."""
+    from dataguards_ray.similarity import semdedup_filter
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (semdedup_filter(ds, 0.4, n_clusters=8)
+            .select_columns(["vec_id"]).sort("vec_id"))
+
+
 def _q_line_dedup_docs(sf_dir: str):
     """RefinedWeb-style corpus-wide exact line dedup
     (spandedup.line_dedup): duplicated normalized lines (≥15 chars)
@@ -3177,6 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14_shape": _q_tpch_q14_shape,
         "fd_discovery_orders": _q_fd_discovery_orders,
         "cfd_mine_source_lang": _q_cfd_mine_source_lang,
+        "semdedup_embeddings": _q_semdedup_embeddings,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,

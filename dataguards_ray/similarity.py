@@ -557,3 +557,165 @@ def embedding_dedup_filter(
         ds, pairs, id_col=id_col, distributed=distributed,
         max_driver_pairs=max_driver_pairs,
         prior_ids=prior.select_columns([id_col]) if prior is not None else None)
+
+
+def semdedup_losers(
+    ds: Dataset,
+    threshold: float,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "closest",
+    max_cluster_rows: int = 65_536,
+    block: int = 4096,
+) -> Dataset:
+    """SemDeDup loser discovery (Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest k-means centroid, then WITHIN
+    each cluster drop every row whose cosine similarity to an
+    earlier-ordered row is ≥ ``threshold``.
+
+    "Earlier-ordered" encodes which duplicate survives (the released
+    SemDeDup code's column-max-over-upper-triangle rule, applied
+    exactly): rows are sorted by similarity-to-centroid with id as the
+    deterministic tiebreak, and row j is dropped iff ``max_{i<j}
+    cos(v_i, v_j) >= threshold``.  ``keep="closest"`` sorts descending
+    (survivors are the centroid-nearest representatives — the released
+    code's behavior); ``keep="farthest"`` sorts ascending (the paper
+    text's "keep low-centroid-similarity examples").
+
+    Scale shape: ONE corpus all-to-all keyed on the cluster id; the
+    shuffle payload per row is (id, centroid-sim, f32 fixed-size-binary
+    vector) — the same thin encoding as the LSH path, never the Arrow
+    list column.  The per-cluster kernel is blockwise (O(m·block)
+    memory, O(m²d) flops — SemDeDup's inherent cost; cluster count
+    controls m).  Clusters above ``max_cluster_rows`` raise with
+    guidance rather than silently OOMing a worker: at 100 TB pass
+    ``n_clusters ≈ corpus_rows / 10⁴`` so expected m stays ~10⁴.
+
+    Returns a thin Dataset with one ``id_col`` row per dropped vector.
+    """
+    if keep not in ("closest", "farthest"):
+        raise ValueError(f"keep must be closest|farthest, got {keep!r}")
+    import pyarrow.compute as pc
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(C)
+    descending = keep == "closest"
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = get_broadcast(ref)
+        e = _normalize(_to_matrix(batch.column(vec_col)))
+        n, dim = e.shape
+        sims = e @ cm.T
+        a = np.argmax(sims, axis=1).astype(np.int32)
+        csim = sims[np.arange(n), a]
+        e32 = np.ascontiguousarray(e, dtype=np.float32)
+        vec_arr = pa.Array.from_buffers(
+            pa.binary(4 * dim), n, [None, pa.py_buffer(e32.tobytes())]
+        )
+        ids = pc.cast(
+            batch.column(id_col).combine_chunks()
+            if isinstance(batch.column(id_col), pa.ChunkedArray)
+            else batch.column(id_col),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(a, type=pa.int32()),
+                id_col: ids,
+                "csim": pa.array(csim, type=pa.float64()),
+                "vec": vec_arr,
+            }
+        )
+
+    thin = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64())})
+        m = group.num_rows
+        if m < 2:
+            return empty
+        if m > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster holds {m} rows (> max_cluster_rows="
+                f"{max_cluster_rows}); raise n_clusters (target m ≈ 10⁴ per "
+                "cluster) or max_cluster_rows"
+            )
+        ids = np.asarray(
+            group.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        csim = np.asarray(
+            group.column("csim").to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        # deterministic survivor order: csim (desc for keep="closest",
+        # asc for keep="farthest"), id ascending as tiebreak
+        order = np.lexsort((ids, -csim if descending else csim))
+        ids = ids[order]
+        arr = group.column("vec").combine_chunks()
+        dim = arr.type.byte_width // 4
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+        mat = flat[arr.offset * dim : (arr.offset + m) * dim].reshape(-1, dim)
+        V = mat[order].astype(np.float64)
+        # re-normalize in f64: kills the f32 rounding of the norm
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        dropped = np.zeros(m, dtype=bool)
+        row_idx = np.arange(m)
+        for j0 in range(1, m, block):
+            j1 = min(j0 + block, m)
+            S = V[:j1] @ V[j0:j1].T  # (j1, j1-j0)
+            # mask i >= j (strict upper triangle in global coordinates)
+            S[row_idx[:j1, None] >= np.arange(j0, j1)[None, :]] = -np.inf
+            dropped[j0:j1] = S.max(axis=0) >= threshold
+        return pa.table({id_col: pa.array(ids[dropped], type=pa.int64())})
+
+    return thin.groupby("cluster").map_groups(dedup_cluster, batch_format="pyarrow")
+
+
+def semdedup_filter(
+    ds: Dataset,
+    threshold: float,
+    *,
+    n_clusters: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "closest",
+    iters: int = 8,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    max_cluster_rows: int = 65_536,
+) -> Dataset:
+    """Semantic dedup (SemDeDup): k-means over the embedding column,
+    within-cluster pairwise-cosine duplicate removal, survivors pass
+    through unchanged.
+
+    ``centroids`` lets a caller reuse an existing IVF index; otherwise
+    ``ivf_train`` fits deterministic spherical k-means on a capped,
+    id-modulo sample (nothing corpus-sized on the driver).  When
+    ``n_clusters`` is also omitted it defaults to ``ceil(sqrt(n))`` —
+    sane for test corpora; at real scale pass ``n_clusters ≈ n / 10⁴``
+    explicitly (cluster size is the O(m²) knob, see
+    ``semdedup_losers``).
+
+    The loser set is dropped via ``anti_join`` — broadcast ``is_in``
+    while the loser count is small, Bloom-prefiltered exact join above
+    it — so a 50 %-duplicate 100 TB corpus never broadcasts a
+    corpus-sized id list."""
+    from .joins import anti_join
+
+    thin = ds.select_columns([id_col, vec_col])
+    if centroids is None:
+        if n_clusters is None:
+            n = thin.count()
+            n_clusters = max(1, int(np.ceil(np.sqrt(n))))
+        centroids = ivf_train(
+            thin, n_clusters, vec_col=vec_col, id_col=id_col,
+            iters=iters, seed=seed,
+        )
+    losers = semdedup_losers(
+        thin, threshold, centroids, vec_col=vec_col, id_col=id_col,
+        keep=keep, max_cluster_rows=max_cluster_rows,
+    )
+    return anti_join(ds, losers, id_col)

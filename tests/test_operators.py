@@ -3464,3 +3464,74 @@ def test_sample_by_token_budget():
                    sample_by_token_budget(ds, budget).take_all()}
             assert got == want, (budget, parts, len(got), len(want))
     assert 0 < len(oracle(600)) < 120  # the mid budget actually cuts
+
+
+def test_semdedup_matches_scalar_oracle():
+    """SemDeDup (Abbas et al. 2023): Ray output equals a scalar oracle
+    that replays the exact spec — nearest-centroid assignment, csim-desc
+    order (id tiebreak), drop j iff max_{i<j} cos >= tau — including the
+    pipeline's f32 vector roundtrip; partition-count invariant; both
+    keep modes."""
+    import ray.data
+
+    from dataguards_ray.similarity import ivf_train, semdedup_filter
+
+    rng = np.random.default_rng(7)
+    n, d, k, thr = 240, 12, 6, 0.99
+    base = rng.normal(size=(n, d))
+    for i in range(50):  # inject near-dup pairs (i, i+120)
+        base[120 + i] = base[i] + rng.normal(scale=0.01, size=d)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), type=pa.int64()),
+                    "embedding": pa.array(list(base.astype(np.float64)))})
+
+    def oracle(keep):
+        C = ivf_train(ray.data.from_arrow(tbl), k, iters=8, seed=42)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        sims = base @ Cn.T
+        assign = sims.argmax(axis=1)
+        csim = sims[np.arange(n), assign]
+        dropped = set()
+        for c in range(k):
+            idx = np.where(assign == c)[0]
+            if len(idx) < 2:
+                continue
+            V = base[idx].astype(np.float32).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            order = np.lexsort(
+                (idx, -csim[idx] if keep == "closest" else csim[idx]))
+            oid, Vo = idx[order], V[order]
+            S = Vo @ Vo.T
+            for j in range(1, len(oid)):
+                if S[:j, j].max() >= thr:
+                    dropped.add(int(oid[j]))
+        return sorted(set(range(n)) - dropped)
+
+    for keep in ("closest", "farthest"):
+        want = oracle(keep)
+        assert len(want) < n  # the injected dups actually drop
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            got = sorted(r["vec_id"] for r in
+                         semdedup_filter(ds, thr, n_clusters=k,
+                                         keep=keep, seed=42).take_all())
+            assert got == want, (keep, parts, len(got), len(want))
+
+
+def test_semdedup_cluster_cap_raises():
+    """Clusters above max_cluster_rows fail loudly with sizing guidance
+    instead of OOMing the worker on the O(m^2) kernel."""
+    import ray.data
+
+    from dataguards_ray.similarity import semdedup_losers
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 4))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table({"vec_id": pa.array(np.arange(40), type=pa.int64()),
+                    "embedding": pa.array(list(vecs))})
+    # one centroid => one 40-row cluster > cap
+    cents = np.ones((1, 4)) / 2.0
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup_losers(ray.data.from_arrow(tbl), 0.9, cents,
+                        max_cluster_rows=16).take_all()
