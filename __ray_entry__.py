@@ -3101,6 +3101,414 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-0
 """
 
 
+def _q_tpch_q7_shape(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): revenue by
+    (supp_nation, cust_nation, ship year) for opposite NATION_1/NATION_2
+    pairs, 1996–1997.  supplier/nation broadcast as dims; customer→
+    nation is a slim Dataset side (NOT broadcast — corpus-sized at
+    scale) joined to orders on custkey, then to the nation-filtered
+    lineitem on orderkey (the canonical two big-big exchanges of Q7),
+    both via the robust tagged-union groupby join."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import outer_join_by_key
+    from dataguards_ray.steps.dedup import get_broadcast
+
+    nat_a, nat_b = "NATION_1", "NATION_2"
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1998-01-01").cast(pa.timestamp("us")).value)
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()
+              if r["n_name"] in (nat_a, nat_b)}
+    sup = {r["s_suppkey"]: nation[r["s_nationkey"]]
+           for r in _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_nationkey"]).take_all()
+           if r["s_nationkey"] in nation}
+    import ray as _ray
+
+    sup_ref = _ray.put(sup)
+    nat_ref = _ray.put(nation)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        nm = get_broadcast(nat_ref)
+        names = [nm.get(k) for k in b.column("c_nationkey").to_pylist()]
+        present = np.asarray([x is not None for x in names], dtype=bool)
+        return pa.table({
+            "o_custkey": b.column("c_custkey").filter(pa.array(present)),
+            "cust_nation": pa.array(
+                [x for x in names if x is not None], type=pa.string())})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # inner = left + non-null filter on the tagged-union groupby join:
+    # immune to Dataset.join's partition-coverage crash on the sparse
+    # nation-filtered key sets (see hash_join docstring)
+    o2n = outer_join_by_key(
+        orders, cust.map_batches(prep_c, batch_format="pyarrow"),
+        "o_custkey", how="left")
+    o2n = o2n.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("cust_nation"))),
+        batch_format="pyarrow").select_columns(["o_orderkey", "cust_nation"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        sm = get_broadcast(sup_ref)
+        ts = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
+                       pc.fill_null(pc.less(ts, hi), False))
+        f = b.filter(keep)
+        names = [sm.get(k) for k in f.column("l_suppkey").to_pylist()]
+        present = pa.array([x is not None for x in names], type=pa.bool_())
+        f = f.filter(present)
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64())
+        di = pc.cast(f.column("l_discount"), pa.float64())
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0, pa.float64()), di))
+        return pa.table({
+            "o_orderkey": f.column("l_orderkey"),
+            "supp_nation": pa.array(
+                [x for x in names if x is not None], type=pa.string()),
+            "l_year": pc.year(pc.cast(f.column("l_shipdate"),
+                                      pa.timestamp("us"))),
+            "rev_cents": _cents(rev)})
+
+    j = outer_join_by_key(li.map_batches(prep_li, batch_format="pyarrow"),
+                          o2n, "o_orderkey", how="left")
+
+    def opposite(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column("cust_nation")),
+                       pc.invert(pc.equal(b.column("supp_nation"),
+                                          b.column("cust_nation"))))
+        return b.filter(pc.fill_null(keep, False))
+
+    agg = grouped_agg(j.map_batches(opposite, batch_format="pyarrow"),
+                      ["supp_nation", "cust_nation", "l_year"],
+                      [("rev_cents", "sum", "revenue_cents")])
+    return agg.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+_SQL_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       CAST(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')})
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def _q_tpch_q13_shape(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts with
+    the priority filter playing the comment-pattern exclusion.  LEFT
+    join via outer_join_by_key (customers with zero qualifying orders
+    count at 0) over a pre-aggregated per-custkey count — the join
+    moves one thin row per customer, never raw orders."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import outer_join_by_key
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderpriority"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.invert(pc.equal(b.column("o_orderpriority"), "1-URGENT")),
+            False)
+        f = b.filter(keep)
+        return pa.table({"o_custkey": f.column("o_custkey"),
+                         "o_orderkey": f.column("o_orderkey")})
+
+    cnt = grouped_agg(orders.map_batches(prep_o, batch_format="pyarrow"),
+                      ["o_custkey"], [("o_orderkey", "count", "c_count")])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = outer_join_by_key(cust, cnt, "c_custkey", right_key="o_custkey",
+                          how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_count": pc.fill_null(
+                pc.cast(b.column("c_count"), pa.int64()), 0)})
+
+    dist = grouped_agg(j.map_batches(fill, batch_format="pyarrow"),
+                       ["c_count"], [("c_custkey", "count", "custdist")])
+    return dist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q_tpch_q15_shape(sf_dir: str):
+    """TPC-H Q15 shape (top supplier view): per-supplier revenue for one
+    quarter, keep the max-revenue supplier(s).  Revenue table is
+    supplier-sized (pre-aggregated partials), so the max + filter pass
+    runs over a materialized thin Dataset; names attach from the
+    broadcast supplier dim."""
+    from dataguards_ray.aggregates import grouped_agg
+
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1996-04-01").cast(pa.timestamp("us")).value)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
+                       pc.fill_null(pc.less(ts, hi), False))
+        f = b.filter(keep)
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64())
+        di = pc.cast(f.column("l_discount"), pa.float64())
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0, pa.float64()), di))
+        return pa.table({"s_suppkey": f.column("l_suppkey"),
+                         "rev_cents": _cents(rev)})
+
+    rev = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                      ["s_suppkey"],
+                      [("rev_cents", "sum", "total_revenue_cents")]
+                      ).materialize()  # supplier-sized; consumed twice
+    mx = rev.max("total_revenue_cents")
+    top = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue_cents"),
+                                    pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+
+    names = {r["s_suppkey"]: r["s_name"]
+             for r in _read(sf_dir, "supplier",
+                            ["s_suppkey", "s_name"]).take_all()}
+    top["s_name"] = top["s_suppkey"].map(names)
+    if top["s_name"].isna().any():
+        raise ValueError("tpch_q15_shape: l_suppkey missing from supplier "
+                         "(FK integrity required for the dim lookup)")
+    top = top.sort_values("s_suppkey").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        top[["s_suppkey", "s_name", "total_revenue_cents"]],
+        preserve_index=False)
+
+
+_SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')})
+              AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM revenue r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def _q_tpch_q16_shape(sf_dir: str):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for filtered parts — partsupp doesn't exist in this corpus, so the
+    part-supplier relation is lineitem's (l_partkey, l_suppkey).  part
+    broadcasts as a dense attribute array (a dim); the count rides
+    grouped_count_distinct (distinct pairs first, thin partials only)."""
+    from dataguards_ray.aggregates import grouped_count_distinct
+    from dataguards_ray.steps.dedup import get_broadcast
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).take_all()
+    attrs = {r["p_partkey"]: (r["p_brand"], r["p_type"], int(r["p_size"]))
+             for r in part
+             if r["p_brand"] != "Brand#21" and r["p_type"] != "PROMO"
+             and int(r["p_size"]) in (1, 3, 5, 7, 9, 12)}
+    import ray as _ray
+
+    ref = _ray.put(attrs)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        am = get_broadcast(ref)
+        got = [am.get(k) for k in b.column("l_partkey").to_pylist()]
+        present = pa.array([x is not None for x in got], type=pa.bool_())
+        hit = [x for x in got if x is not None]
+        return pa.table({
+            "p_brand": pa.array([x[0] for x in hit], type=pa.string()),
+            "p_type": pa.array([x[1] for x in hit], type=pa.string()),
+            "p_size": pa.array([x[2] for x in hit], type=pa.int64()),
+            "l_suppkey": b.column("l_suppkey").filter(present)})
+
+    cnt = grouped_count_distinct(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"], "l_suppkey", "supplier_cnt")
+    return cnt.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                    descending=[True, False, False, False])
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 5, 7, 9, 12)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _q_tpch_q19_shape(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates over
+    lineitem⨝part, one global revenue sum.  part ships once as dense
+    numpy attribute arrays indexed by partkey (vectorized gather — no
+    per-row dict probes), the disjunction is pure numpy masks, and the
+    only aggregation is a native distributed sum: zero shuffle."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).take_all()
+    maxk = max(r["p_partkey"] for r in part)
+    brand_id = np.full(maxk + 1, -1, dtype=np.int32)   # -1 = absent
+    size_arr = np.zeros(maxk + 1, dtype=np.int32)
+    brands = {"Brand#12": 0, "Brand#23": 1, "Brand#3": 2}
+    for r in part:
+        brand_id[r["p_partkey"]] = brands.get(r["p_brand"], 3)
+        size_arr[r["p_partkey"]] = int(r["p_size"])
+    import ray as _ray
+
+    ref = _ray.put((brand_id, size_arr))
+    from dataguards_ray.steps.dedup import get_broadcast
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        bid, siz = get_broadcast(ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        ok = (pk >= 0) & (pk < len(bid))
+        pk = np.where(ok, pk, 0)
+        br = np.where(ok, bid[pk], -1)
+        sz = siz[pk]
+        qty = pc.cast(b.column("l_quantity"), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        m = (((br == 0) & (sz >= 1) & (sz <= 5) & (qty >= 1) & (qty <= 11))
+             | ((br == 1) & (sz >= 1) & (sz <= 10) & (qty >= 10) & (qty <= 20))
+             | ((br == 2) & (sz >= 1) & (sz <= 12) & (qty >= 20) & (qty <= 30)))
+        f = b.filter(pa.array(m))
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64())
+        di = pc.cast(f.column("l_discount"), pa.float64())
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0, pa.float64()), di))
+        return pa.table({"rev_cents": _cents(rev)})
+
+    total = li.map_batches(prep, batch_format="pyarrow").sum("rev_cents")
+    return pa.table({"revenue_cents": pa.array([int(total or 0)],
+                                               type=pa.int64())})
+
+
+_SQL_TPCH_Q19 = f"""
+SELECT CAST(COALESCE(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')}), 0)
+            AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 12
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q_tpch_q22_shape(sf_dir: str):
+    """TPC-H Q22 shape (global-sales-opportunity): customers above the
+    positive-balance average with no orders since 1999, grouped by a
+    custkey-derived country code.  The average threshold is EXACT
+    integer arithmetic (cents·count > total_cents — no float summation
+    order in the hash); the no-orders side is anti_join (broadcast
+    is_in under the cap, Bloom + exact left_anti above it)."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def pos_cents(b: pa.Table) -> pa.Table:
+        cents = _cents(pc.cast(b.column("c_acctbal"), pa.float64()))
+        pos = pc.fill_null(pc.greater(cents, 0), False)
+        f = cents.filter(pos)
+        return pa.table({"cents": f,
+                         "one": pa.array(np.ones(len(f), dtype=np.int64))})
+
+    agg = cust.map_batches(pos_cents, batch_format="pyarrow").materialize()
+    total = int(agg.sum("cents") or 0)
+    cnt = int(agg.sum("one") or 0)
+    if cnt == 0:
+        raise ValueError("tpch_q22_shape: no positive balances")
+
+    lo = int(pa.scalar("1999-01-01").cast(pa.timestamp("us")).value)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda b: b.filter(pc.fill_null(pc.greater_equal(
+            pc.cast(b.column("o_orderdate"), pa.int64()), lo), False)),
+        batch_format="pyarrow").select_columns(["o_custkey"])
+
+    no_ord = anti_join(cust, recent, "c_custkey", right_key="o_custkey")
+
+    def pick(b: pa.Table) -> pa.Table:
+        cents = _cents(pc.cast(b.column("c_acctbal"), pa.float64()))
+        # cents/1 > total/cnt  <=>  cents*cnt > total (exact integers)
+        keep = pc.fill_null(pc.greater(
+            pc.multiply(pc.cast(cents, pa.int64()),
+                        pa.scalar(cnt, pa.int64())),
+            pa.scalar(total, pa.int64())), False)
+        f = b.filter(keep)
+        code = pc.cast(
+            pc.subtract(
+                pc.cast(f.column("c_custkey"), pa.int64()),
+                pc.multiply(
+                    pc.divide(pc.cast(f.column("c_custkey"), pa.int64()),
+                              pa.scalar(10, pa.int64())),
+                    pa.scalar(10, pa.int64()))),
+            pa.int64())
+        return pa.table({
+            "cntrycode": code,
+            "bal_cents": _cents(pc.cast(f.column("c_acctbal"),
+                                        pa.float64())),
+            "one": pa.array(np.ones(f.num_rows, dtype=np.int64))})
+
+    out = grouped_agg(no_ord.map_batches(pick, batch_format="pyarrow"),
+                      ["cntrycode"],
+                      [("one", "sum", "numcust"),
+                       ("bal_cents", "sum", "totacctbal_cents")])
+    return out.sort("cntrycode")
+
+
+_SQL_TPCH_Q22 = f"""
+WITH pos AS (
+  SELECT SUM({_CENTS_SQL.format(x='c_acctbal')}) AS total,
+         COUNT(*) AS cnt
+  FROM customer WHERE {_CENTS_SQL.format(x='c_acctbal')} > 0)
+SELECT CAST(c_custkey % 10 AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM({_CENTS_SQL.format(x='c_acctbal')}) AS BIGINT)
+         AS totacctbal_cents
+FROM customer, pos
+WHERE {_CENTS_SQL.format(x='c_acctbal')} * cnt > total
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _FD_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus"]
 
 
@@ -3192,6 +3600,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery_orders": _q_fd_discovery_orders,
         "cfd_mine_source_lang": _q_cfd_mine_source_lang,
         "semdedup_embeddings": _q_semdedup_embeddings,
+        "tpch_q7_shape": _q_tpch_q7_shape,
+        "tpch_q13_shape": _q_tpch_q13_shape,
+        "tpch_q15_shape": _q_tpch_q15_shape,
+        "tpch_q16_shape": _q_tpch_q16_shape,
+        "tpch_q19_shape": _q_tpch_q19_shape,
+        "tpch_q22_shape": _q_tpch_q22_shape,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
@@ -3379,6 +3793,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_shape": _SQL_TPCH_Q14,
         "fd_discovery_orders": _fd_discovery_sql(),
         "cfd_mine_source_lang": _SQL_CFD_MINE,
+        "tpch_q7_shape": _SQL_TPCH_Q7,
+        "tpch_q13_shape": _SQL_TPCH_Q13,
+        "tpch_q15_shape": _SQL_TPCH_Q15,
+        "tpch_q16_shape": _SQL_TPCH_Q16,
+        "tpch_q19_shape": _SQL_TPCH_Q19,
+        "tpch_q22_shape": _SQL_TPCH_Q22,
         "ntile_customer_balance": _SQL_NTILE,
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,
