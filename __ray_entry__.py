@@ -3187,7 +3187,12 @@ def _q_tpch_q7_shape(sf_dir: str):
     agg = grouped_agg(j.map_batches(opposite, batch_format="pyarrow"),
                       ["supp_nation", "cust_nation", "l_year"],
                       [("rev_cents", "sum", "revenue_cents")])
-    return agg.sort(["supp_nation", "cust_nation", "l_year"])
+    # dim-bounded result (nations² × years); pin the schema so an empty
+    # result at tiny SFs still carries its columns
+    rows = agg.sort(["supp_nation", "cust_nation", "l_year"]).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("l_year", pa.int64()), ("revenue_cents", pa.int64())]))
 
 
 _SQL_TPCH_Q7 = f"""
