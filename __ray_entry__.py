@@ -3514,6 +3514,563 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_tpch_q2_shape(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier per part, argmin join-back):
+    partsupp doesn't exist in this corpus, so the part-supplier relation
+    and its cost derive from lineitem — cost(part,supp) =
+    MIN(cents(l_extendedprice)).  Composition: EUROPE-supplier attrs +
+    filtered-part keys broadcast (dims) → vectorized np.isin prune of
+    lineitem → per-(part,supp) MIN partials (thin: dim×dim bounded) →
+    per-part MIN broadcast back onto the pair aggregate (the correlated
+    subquery) → equality filter → attach supplier attrs → sort + limit
+    on a unique key.  No corpus-sized exchange: both groupbys ride thin
+    partials."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import broadcast_lookup
+    from dataguards_ray.steps.dedup import get_broadcast
+    import math
+    import ray as _ray
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in _read(sf_dir, "region").take_all()}
+    n2r = {k: reg[r]
+           for k, r in ((r["n_nationkey"], r["n_regionkey"])
+                        for r in _read(sf_dir, "nation").take_all())}
+    sup = {r["s_suppkey"]: (r["s_name"], nat[r["s_nationkey"]],
+                            int(math.floor(r["s_acctbal"] * 100 + 0.5)))
+           for r in _read(sf_dir, "supplier").take_all()
+           if n2r[r["s_nationkey"]] == "EUROPE"}
+    parts = np.sort(np.asarray(
+        [r["p_partkey"] for r in _read(
+            sf_dir, "part", ["p_partkey", "p_size", "p_type"]).take_all()
+         if int(r["p_size"]) == 7 and r["p_type"] == "LARGE"],
+        dtype=np.int64))
+    sups = np.sort(np.asarray(sorted(sup), dtype=np.int64))
+    keys_ref = _ray.put((parts, sups))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        pk_arr, sk_arr = get_broadcast(keys_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, pk_arr) & np.isin(sk, sk_arr)
+        f = b.filter(pa.array(keep))
+        return pa.table({"p_partkey": f.column("l_partkey"),
+                         "s_suppkey": f.column("l_suppkey"),
+                         "cost_cents": _cents(f.column("l_extendedprice"))})
+
+    pairs = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                        ["p_partkey", "s_suppkey"],
+                        [("cost_cents", "min", "cost_cents")])
+    mins = {r["p_partkey"]: int(r["mn"]) for r in grouped_agg(
+        pairs, ["p_partkey"], [("cost_cents", "min", "mn")]).take_all()}
+    sup_ref = _ray.put(sup)
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("cost_cents"), b.column("_mn")))
+        sm = get_broadcast(sup_ref)
+        attrs = [sm[k] for k in b.column("s_suppkey").to_pylist()]
+        return pa.table({
+            "s_acctbal_cents": pa.array([a[2] for a in attrs], pa.int64()),
+            "s_name": pa.array([a[0] for a in attrs], pa.string()),
+            "n_name": pa.array([a[1] for a in attrs], pa.string()),
+            "p_partkey": b.column("p_partkey"),
+            "cost_cents": b.column("cost_cents")})
+
+    out = broadcast_lookup(pairs, mins, "p_partkey", "_mn",
+                           out_type=pa.int64()).map_batches(
+        pick, batch_format="pyarrow")
+    rows = out.sort(["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+                    descending=[True, False, False, False]
+                    ).limit(100).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("s_acctbal_cents", pa.int64()), ("s_name", pa.string()),
+         ("n_name", pa.string()), ("p_partkey", pa.int64()),
+         ("cost_cents", pa.int64())]))
+
+
+_SQL_TPCH_Q2 = f"""
+WITH eursup AS (
+  SELECT s_suppkey, s_name, n_name,
+         {_CENTS_SQL.format(x='s_acctbal')} AS s_acctbal_cents
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+ps AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         MIN({_CENTS_SQL.format(x='l_extendedprice')}) AS cost_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+                JOIN eursup ON s_suppkey = l_suppkey
+  WHERE p_size = 7 AND p_type = 'LARGE' GROUP BY 1, 2),
+mn AS (SELECT p_partkey, MIN(cost_cents) AS m FROM ps GROUP BY 1)
+SELECT s_acctbal_cents, s_name, n_name, ps.p_partkey, cost_cents
+FROM ps JOIN mn USING (p_partkey) JOIN eursup USING (s_suppkey)
+WHERE cost_cents = m
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def _q_tpch_q8_shape(sf_dir: str):
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    ECONOMY-part revenue shipped to ASIA customers, by order year
+    1996–1997.  Numerator and denominator are returned as int64 cents
+    (no float division — hash-stable).  part keys + supplier→is-nation
+    broadcast as dims; customer→region is a slim Dataset side joined to
+    orders on custkey, then to part-filtered lineitem on orderkey (Q8's
+    two canonical big-big exchanges), both via the tagged-union groupby
+    join; final aggregate is a 2-row year groupby over thin partials."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import outer_join_by_key
+    from dataguards_ray.steps.dedup import get_broadcast
+    import ray as _ray
+
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in _read(sf_dir, "region").take_all()}
+    n2r = {r["n_nationkey"]: reg[r["n_regionkey"]]
+           for r in _read(sf_dir, "nation").take_all()}
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    asia = np.sort(np.asarray([k for k, v in n2r.items() if v == "ASIA"],
+                              dtype=np.int64))
+    numer = np.sort(np.asarray(
+        [r["s_suppkey"] for r in _read(
+            sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+         if nat[r["s_nationkey"]] == "NATION_3"], dtype=np.int64))
+    parts = np.sort(np.asarray(
+        [r["p_partkey"] for r in _read(
+            sf_dir, "part", ["p_partkey", "p_type"]).take_all()
+         if r["p_type"] == "ECONOMY"], dtype=np.int64))
+    dims_ref = _ray.put((asia, numer, parts))
+    lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1998-01-01").cast(pa.timestamp("us")).value)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        asia_n, _, _ = get_broadcast(dims_ref)
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(np.isin(nk, asia_n)))
+        return pa.table({"o_custkey": f.column("c_custkey"),
+                         "_asia": pa.array(np.ones(len(f), dtype=np.int8))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
+                       pc.fill_null(pc.less(ts, hi), False))
+        f = b.filter(keep)
+        return pa.table({
+            "o_orderkey": f.column("o_orderkey"),
+            "o_custkey": f.column("o_custkey"),
+            "o_year": pc.year(pc.cast(f.column("o_orderdate"),
+                                      pa.timestamp("us")))})
+
+    o2a = outer_join_by_key(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        "o_custkey", how="left")
+    o2a = o2a.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("_asia"))),
+        batch_format="pyarrow").select_columns(["o_orderkey", "o_year"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        _, numer_s, parts_p = get_broadcast(dims_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(np.isin(pk, parts_p)))
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64())
+        di = pc.cast(f.column("l_discount"), pa.float64())
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0, pa.float64()), di))
+        sk = f.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": f.column("l_orderkey"),
+            "rev_cents": _cents(rev),
+            "_is_nat": pa.array(np.isin(sk, numer_s).astype(np.int64))})
+
+    j = outer_join_by_key(li.map_batches(prep_li, batch_format="pyarrow"),
+                          o2a, "o_orderkey", how="left")
+
+    def to_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_year")))
+        rev = pc.cast(b.column("rev_cents"), pa.int64())
+        return pa.table({
+            "o_year": b.column("o_year"),
+            "nation_cents": pc.multiply(rev, b.column("_is_nat")),
+            "total_cents": rev})
+
+    agg = grouped_agg(j.map_batches(to_partial, batch_format="pyarrow"),
+                      ["o_year"], [("nation_cents", "sum", "nation_cents"),
+                                   ("total_cents", "sum", "total_cents")])
+    rows = agg.sort("o_year").take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("o_year", pa.int64()), ("nation_cents", pa.int64()),
+         ("total_cents", pa.int64())]))
+
+
+_SQL_TPCH_Q8 = f"""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN {_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')}
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM({_CENTS_SQL.format(x='l_extendedprice*(1-l_discount)')})
+            AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = cn.n_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_tpch_q9_shape(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation × year): partsupp
+    doesn't exist, so unit cost = p_retailprice; year = ship year (keeps
+    the shape dim-join-only — Q8 already exercises the orders big-big
+    exchange).  profit = l_extendedprice*(1-l_discount) −
+    p_retailprice*l_quantity, summed as cents.  part ships once as a
+    dense retailprice array (absent parts = NaN, vectorized gather);
+    supplier→nation as a dense code array; the only exchange is the
+    (nation, year) groupby over thin partials."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.steps.dedup import get_broadcast
+    import ray as _ray
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_retailprice"]).take_all()
+    maxp = max(r["p_partkey"] for r in part)
+    rp = np.full(maxp + 1, np.nan, dtype=np.float64)
+    for r in part:
+        if "bolt" in r["p_name"]:
+            rp[r["p_partkey"]] = float(r["p_retailprice"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    maxs = max(r["s_suppkey"] for r in sup)
+    names = sorted(set(nat.values()))
+    code = {n: i for i, n in enumerate(names)}
+    sn = np.full(maxs + 1, -1, dtype=np.int32)
+    for r in sup:
+        sn[r["s_suppkey"]] = code[nat[r["s_nationkey"]]]
+    ref = _ray.put((rp, sn, np.asarray(names, dtype=object)))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rp_a, sn_a, names_a = get_broadcast(ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        cost = rp_a[np.clip(pk, 0, len(rp_a) - 1)]
+        cost[pk >= len(rp_a)] = np.nan
+        keep = ~np.isnan(cost)
+        f = b.filter(pa.array(keep))
+        cost = cost[keep]
+        ep = pc.cast(f.column("l_extendedprice"), pa.float64()).to_numpy()
+        di = pc.cast(f.column("l_discount"), pa.float64()).to_numpy()
+        qt = pc.cast(f.column("l_quantity"), pa.float64()).to_numpy()
+        profit = ep * (1.0 - di) - cost * qt
+        sk = f.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nation": pa.array(names_a[sn_a[sk]], type=pa.string()),
+            "o_year": pc.year(pc.cast(f.column("l_shipdate"),
+                                      pa.timestamp("us"))),
+            "profit_cents": _cents(pa.array(profit))})
+
+    agg = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                      ["nation", "o_year"],
+                      [("profit_cents", "sum", "profit_cents")])
+    rows = agg.sort(["nation", "o_year"],
+                    descending=[False, True]).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("nation", pa.string()), ("o_year", pa.int64()),
+         ("profit_cents", pa.int64())]))
+
+
+_SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation, EXTRACT(YEAR FROM l_shipdate) AS o_year,
+       CAST(SUM({_CENTS_SQL.format(
+           x='(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity)')})
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def _q_tpch_q11_shape(sf_dir: str):
+    """TPC-H Q11 shape (important stock, HAVING vs a global total):
+    per-part lineitem value for NATION_7's suppliers, keeping parts
+    whose value exceeds 0.1% of the total.  Pure integer math on both
+    sides (value_cents*1000 > total_cents) — no float fraction.  The
+    per-part aggregate is thin partials; the total is a native
+    distributed sum over that aggregate; the filter is one vectorized
+    map with the scalar captured."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.steps.dedup import get_broadcast
+    import ray as _ray
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    sups = np.sort(np.asarray(
+        [r["s_suppkey"] for r in _read(
+            sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+         if nat[r["s_nationkey"]] == "NATION_7"], dtype=np.int64))
+    ref = _ray.put(sups)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        sk_arr = get_broadcast(ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(np.isin(sk, sk_arr)))
+        return pa.table({"p_partkey": f.column("l_partkey"),
+                         "value_cents": _cents(f.column("l_extendedprice"))})
+
+    agg = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                      ["p_partkey"],
+                      [("value_cents", "sum", "value_cents")])
+    total = int(agg.sum("value_cents") or 0)
+    kept = agg.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(pc.cast(b.column("value_cents"), pa.int64()),
+                        pa.scalar(1000, pa.int64())),
+            pa.scalar(total, pa.int64()))),
+        batch_format="pyarrow")
+    rows = kept.sort(["value_cents", "p_partkey"],
+                     descending=[True, False]).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("p_partkey", pa.int64()), ("value_cents", pa.int64())]))
+
+
+_SQL_TPCH_Q11 = f"""
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         SUM({_CENTS_SQL.format(x='l_extendedprice')}) AS value_cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7' GROUP BY 1)
+SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM v
+WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+def _q_tpch_q20_shape(sf_dir: str):
+    """TPC-H Q20 shape (semi-join on an aggregate-derived set): without
+    partsupp availqty, a supplier 'has excess share' of a part when its
+    1997-shipped quantity exceeds half the part's total 1997 quantity.
+    NATION_2 suppliers appearing in that set, by name.  Composition:
+    date filter + part-name keys broadcast → per-(part,supp) qty
+    partials (thin) → per-part totals broadcast back (the correlated
+    threshold) → vectorized share filter → supplier-dim distinct on the
+    driver → final dim-only projection.  l_quantity is integer-valued
+    so doubled-quantity comparisons are exact."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import broadcast_lookup
+    from dataguards_ray.steps.dedup import get_broadcast
+    import ray as _ray
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in _read(sf_dir, "nation").take_all()}
+    parts = np.sort(np.asarray(
+        [r["p_partkey"] for r in _read(
+            sf_dir, "part", ["p_partkey", "p_name"]).take_all()
+         if r["p_name"].startswith("small")], dtype=np.int64))
+    ref = _ray.put(parts)
+    lo = int(pa.scalar("1997-01-01").cast(pa.timestamp("us")).value)
+    hi = int(pa.scalar("1998-01-01").cast(pa.timestamp("us")).value)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        pk_arr = get_broadcast(ref)
+        ts = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
+                       pc.fill_null(pc.less(ts, hi), False))
+        f = b.filter(keep)
+        pk = f.column("l_partkey").to_numpy(zero_copy_only=False)
+        f = f.filter(pa.array(np.isin(pk, pk_arr)))
+        return pa.table({"p_partkey": f.column("l_partkey"),
+                         "s_suppkey": f.column("l_suppkey"),
+                         "qty": pc.cast(f.column("l_quantity"),
+                                        pa.float64())})
+
+    pairs = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                        ["p_partkey", "s_suppkey"], [("qty", "sum", "q")])
+    tots = {r["p_partkey"]: float(r["tq"]) for r in grouped_agg(
+        pairs, ["p_partkey"], [("q", "sum", "tq")]).take_all()}
+
+    excess = broadcast_lookup(pairs, tots, "p_partkey", "_tq",
+                              out_type=pa.float64()).map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(pc.cast(b.column("q"), pa.float64()),
+                        pa.scalar(2.0, pa.float64())),
+            b.column("_tq"))),
+        batch_format="pyarrow")
+    qual = {r["s_suppkey"] for r in excess.select_columns(
+        ["s_suppkey"]).take_all()}
+
+    out = [(r["s_name"], nat[r["s_nationkey"]])
+           for r in _read(sf_dir, "supplier",
+                          ["s_suppkey", "s_name", "s_nationkey"]).take_all()
+           if r["s_suppkey"] in qual
+           and nat[r["s_nationkey"]] == "NATION_2"]
+    out.sort()
+    return pa.table({
+        "s_name": pa.array([x[0] for x in out], pa.string()),
+        "n_name": pa.array([x[1] for x in out], pa.string())})
+
+
+_SQL_TPCH_Q20 = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(q) AS tq FROM pq GROUP BY 1)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' AND s_suppkey IN (
+  SELECT l_suppkey FROM pq JOIN tot USING (l_partkey) WHERE 2*q > tq)
+ORDER BY s_name
+"""
+
+
+def _q_tpch_q21_shape(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the corpus
+    has no commit/receipt dates, so 'late' = l_shipdate more than 120
+    days after o_orderdate.  A supplier waits an order when it is the
+    ONLY late supplier on a finished multi-supplier order (the EXISTS /
+    NOT-EXISTS pair).  Composition: F-orders ⨝ lineitem on orderkey
+    (the big-big exchange, tagged-union join) → per-(order,supp)
+    any-late partials → per-order [n_suppliers, n_late, the-late-supp]
+    via one more thin groupby (MAX over late?supp:-1 resolves the
+    unique late supplier exactly when n_late=1 — no per-group Python)
+    → filter → supplier-name counts → top-k."""
+    from dataguards_ray.aggregates import grouped_agg
+    from dataguards_ray.joins import broadcast_lookup, outer_join_by_key
+
+    late_us = 120 * 86400 * 1_000_000
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+        return pa.table({"o_orderkey": f.column("o_orderkey"),
+                         "o_ts": pc.cast(f.column("o_orderdate"),
+                                         pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "s_suppkey": b.column("l_suppkey"),
+                         "ship_ts": pc.cast(b.column("l_shipdate"),
+                                            pa.int64())})
+
+    j = outer_join_by_key(li.map_batches(prep_li, batch_format="pyarrow"),
+                          orders.map_batches(prep_o,
+                                             batch_format="pyarrow"),
+                          "o_orderkey", how="left")
+
+    def flag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_ts")))
+        late = pc.cast(pc.greater(
+            b.column("ship_ts"),
+            pc.add(b.column("o_ts"), pa.scalar(late_us, pa.int64()))),
+            pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "s_suppkey": b.column("s_suppkey"),
+                         "late": late})
+
+    per_pair = grouped_agg(j.map_batches(flag, batch_format="pyarrow"),
+                           ["o_orderkey", "s_suppkey"],
+                           [("late", "max", "late")])
+
+    def widen(b: pa.Table) -> pa.Table:
+        late = pc.cast(b.column("late"), pa.int64())
+        sk = pc.cast(b.column("s_suppkey"), pa.int64())
+        late_sk = pc.if_else(pc.equal(late, 1), sk,
+                             pa.scalar(-1, pa.int64()))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                         "late": late, "late_sk": late_sk})
+
+    per_order = grouped_agg(per_pair.map_batches(widen,
+                                                 batch_format="pyarrow"),
+                            ["o_orderkey"],
+                            [("one", "sum", "nsupp"),
+                             ("late", "sum", "nlate"),
+                             ("late_sk", "max", "lsk")])
+    waits = per_order.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(pc.cast(b.column("nsupp"), pa.int64()), 2),
+            pc.equal(pc.cast(b.column("nlate"), pa.int64()), 1))),
+        batch_format="pyarrow")
+
+    names = {r["s_suppkey"]: r["s_name"]
+             for r in _read(sf_dir, "supplier",
+                            ["s_suppkey", "s_name"]).take_all()}
+    named = broadcast_lookup(waits, names, "lsk", "s_name",
+                             out_type=pa.string())
+    cnt = grouped_agg(named.map_batches(
+        lambda b: b.append_column("one", pa.array(
+            np.ones(len(b), dtype=np.int64))), batch_format="pyarrow"),
+        ["s_name"], [("one", "sum", "numwait")])
+    rows = cnt.sort(["numwait", "s_name"],
+                    descending=[True, False]).limit(100).take_all()
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("s_name", pa.string()), ("numwait", pa.int64())]))
+
+
+_SQL_TPCH_Q21 = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+p AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS late
+  FROM l GROUP BY 1, 2),
+g AS (
+  SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate,
+         MAX(CASE WHEN late = 1 THEN l_suppkey ELSE -1 END) AS lsk
+  FROM p GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM g JOIN supplier ON s_suppkey = lsk
+WHERE nsupp >= 2 AND nlate = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 _FD_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus"]
 
 
@@ -3611,6 +4168,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_shape": _q_tpch_q16_shape,
         "tpch_q19_shape": _q_tpch_q19_shape,
         "tpch_q22_shape": _q_tpch_q22_shape,
+        "tpch_q2_shape": _q_tpch_q2_shape,
+        "tpch_q8_shape": _q_tpch_q8_shape,
+        "tpch_q9_shape": _q_tpch_q9_shape,
+        "tpch_q11_shape": _q_tpch_q11_shape,
+        "tpch_q20_shape": _q_tpch_q20_shape,
+        "tpch_q21_shape": _q_tpch_q21_shape,
         # --- r03 driver-green regression tail ---
         "check_config_orders": _q_check_config_orders,
         "dedup_docs_keep_longest": _q_dedup_docs_keep_longest,
@@ -3804,6 +4367,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q16_shape": _SQL_TPCH_Q16,
         "tpch_q19_shape": _SQL_TPCH_Q19,
         "tpch_q22_shape": _SQL_TPCH_Q22,
+        "tpch_q2_shape": _SQL_TPCH_Q2,
+        "tpch_q8_shape": _SQL_TPCH_Q8,
+        "tpch_q9_shape": _SQL_TPCH_Q9,
+        "tpch_q11_shape": _SQL_TPCH_Q11,
+        "tpch_q20_shape": _SQL_TPCH_Q20,
+        "tpch_q21_shape": _SQL_TPCH_Q21,
         "ntile_customer_balance": _SQL_NTILE,
         "tpch_q5_shape": _SQL_TPCH_Q5,
         "balance_histogram": _SQL_BAL_HIST,
