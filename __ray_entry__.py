@@ -3141,15 +3141,13 @@ def _q_tpch_q7_shape(sf_dir: str):
                 [x for x in names if x is not None], type=pa.string())})
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    # inner = left + non-null filter on the tagged-union groupby join:
-    # immune to Dataset.join's partition-coverage crash on the sparse
-    # nation-filtered key sets (see hash_join docstring)
+    # tagged-union groupby join (inner): immune to Dataset.join's
+    # partition-coverage crash on the sparse nation-filtered key sets
+    # (see hash_join docstring)
     o2n = outer_join_by_key(
         orders, cust.map_batches(prep_c, batch_format="pyarrow"),
-        "o_custkey", how="left")
-    o2n = o2n.map_batches(
-        lambda b: b.filter(pc.is_valid(b.column("cust_nation"))),
-        batch_format="pyarrow").select_columns(["o_orderkey", "cust_nation"])
+        "o_custkey", how="inner").select_columns(
+        ["o_orderkey", "cust_nation"])
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate",
@@ -3176,12 +3174,11 @@ def _q_tpch_q7_shape(sf_dir: str):
             "rev_cents": _cents(rev)})
 
     j = outer_join_by_key(li.map_batches(prep_li, batch_format="pyarrow"),
-                          o2n, "o_orderkey", how="left")
+                          o2n, "o_orderkey", how="inner")
 
     def opposite(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(b.column("cust_nation")),
-                       pc.invert(pc.equal(b.column("supp_nation"),
-                                          b.column("cust_nation"))))
+        keep = pc.invert(pc.equal(b.column("supp_nation"),
+                                  b.column("cust_nation")))
         return b.filter(pc.fill_null(keep, False))
 
     agg = grouped_agg(j.map_batches(opposite, batch_format="pyarrow"),
@@ -3675,10 +3672,8 @@ def _q_tpch_q8_shape(sf_dir: str):
     o2a = outer_join_by_key(
         orders.map_batches(prep_o, batch_format="pyarrow"),
         cust.map_batches(prep_c, batch_format="pyarrow"),
-        "o_custkey", how="left")
-    o2a = o2a.map_batches(
-        lambda b: b.filter(pc.is_valid(b.column("_asia"))),
-        batch_format="pyarrow").select_columns(["o_orderkey", "o_year"])
+        "o_custkey", how="inner").select_columns(
+        ["o_orderkey", "o_year"])
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_partkey", "l_suppkey",
@@ -3698,10 +3693,9 @@ def _q_tpch_q8_shape(sf_dir: str):
             "_is_nat": pa.array(np.isin(sk, numer_s).astype(np.int64))})
 
     j = outer_join_by_key(li.map_batches(prep_li, batch_format="pyarrow"),
-                          o2a, "o_orderkey", how="left")
+                          o2a, "o_orderkey", how="inner")
 
     def to_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column("o_year")))
         rev = pc.cast(b.column("rev_cents"), pa.int64())
         return pa.table({
             "o_year": b.column("o_year"),
@@ -3997,10 +3991,9 @@ def _q_tpch_q21_shape(sf_dir: str):
     j = outer_join_by_key(li.map_batches(prep_li, batch_format="pyarrow"),
                           orders.map_batches(prep_o,
                                              batch_format="pyarrow"),
-                          "o_orderkey", how="left")
+                          "o_orderkey", how="inner")
 
     def flag(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column("o_ts")))
         late = pc.cast(pc.greater(
             b.column("ship_ts"),
             pc.add(b.column("o_ts"), pa.scalar(late_us, pa.int64()))),

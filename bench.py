@@ -113,7 +113,8 @@ def run_bench() -> dict:
                      "embedding_dedup", "model_quality_scores",
                      "ppl_buckets", "decontaminate_docs",
                      "token_budget_sample", "sample_mixture_docs",
-                     "dsir_resample_docs"):
+                     "dsir_resample_docs", "tpch_q7_shape",
+                     "tpch_q8_shape", "tpch_q21_shape"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):

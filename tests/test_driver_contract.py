@@ -21,6 +21,9 @@ SUBSET = [
     "rollup_counts", "p90_price_by_priority", "distinct_customers_by_priority",
     "running_total_per_user",
     "first_last_event_type", "tpch_q4_shape", "tpch_q17_shape", "tpch_q18_shape",
+    "tpch_q2_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+    "tpch_q11_shape", "tpch_q13_shape", "tpch_q15_shape", "tpch_q16_shape",
+    "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
 ]
 
 

@@ -920,6 +920,13 @@ def test_outer_join_by_key_full_left_right():
     n_right = len(outer_join_by_key(left, right, "k", how="right").take_all())
     assert n_left == 6  # 4 matches + left-only k=1 + null-key left row
     assert n_right == 6  # 4 matches + right-only k=3 + null-key right row
+    inner = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in outer_join_by_key(left, right, "k", how="inner").take_all()
+    )
+    # matches only: no null-extension, null keys never match
+    assert inner == [(2, "b", "x"), (2, "b", "x2"),
+                     (2, "b2", "x"), (2, "b2", "x2")]
 
 
 def test_lag_gap_and_moving_sum():
