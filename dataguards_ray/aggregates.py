@@ -101,21 +101,34 @@ def _fallback_group_merge(
     partial rows and the first row of each group supplies them."""
     import pyarrow.compute as pc
 
-    keyed = partials.map_batches(
-        lambda b: b.append_column("__gk", encoded_group_key(b, keys)),
-        batch_format="pyarrow",
-    )
-    merge_kernel = {"sum": pc.sum, "min": pc.min, "max": pc.max}
+    # group Ray-side by a HASH BUCKET of the encoded key (one vectorized
+    # Arrow group_by per bucket), not per key — the per-key version is
+    # one Python call per distinct key, a corpus-sized tax exactly when
+    # this path fires (above the driver-merge cap)
+    from .hashutil import fnv1a64_array
 
-    def merge_group(g: pa.Table) -> pa.Table:
-        cols = {k: g.column(k).slice(0, 1) for k in keys}
-        for _, f, out in aggs:
-            v = g.column(out)
-            val = merge_kernel[_MERGE_FN[f]](v)
-            cols[out] = pa.array([val.as_py()], type=val.type)
-        return pa.table(cols)
+    num_buckets = 64
 
-    return keyed.groupby("__gk").map_groups(merge_group, batch_format="pyarrow")
+    def bucketed(b: pa.Table) -> pa.Table:
+        gk = encoded_group_key(b, keys)
+        h = fnv1a64_array(gk)
+        return b.append_column("__gk", gk).append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    keyed = partials.map_batches(bucketed, batch_format="pyarrow")
+    out_names = keys + [out for _, _, out in aggs]
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # within one __gk group every original-key value is identical
+        # (or all-null), so MIN reproduces "first" without an order dep
+        merged = g.group_by("__gk").aggregate(
+            [(out, _MERGE_FN[f]) for _, f, out in aggs]
+            + [(k, "min") for k in keys])
+        merged = merged.rename_columns(
+            ["__gk"] + [out for _, _, out in aggs] + keys)
+        return merged.select(out_names)
+
+    return keyed.groupby("__b").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def salted_groupby(

@@ -3542,3 +3542,35 @@ def test_semdedup_cluster_cap_raises():
     with pytest.raises(Exception, match="max_cluster_rows"):
         semdedup_losers(ray.data.from_arrow(tbl), 0.9, cents,
                         max_cluster_rows=16).take_all()
+
+
+def test_grouped_agg_fallback_merge_parity():
+    """The distributed final merge (above the driver cap) must produce
+    the same groups/values as the driver-side Arrow merge, including
+    the null-key group and count-as-sum merging."""
+    import ray.data
+
+    from dataguards_ray.aggregates import _fallback_group_merge, grouped_agg
+
+    rows = [{"g": ["a", "b", None][i % 3], "h": i % 2, "v": float(i)}
+            for i in range(101)]
+    ds = ray.data.from_items(rows)
+    aggs = [("v", "sum", "s"), ("v", "min", "mn"), ("v", "count", "n")]
+    fast = grouped_agg(ds, ["g", "h"], aggs).take_all()
+
+    def partial(b):
+        g = b.group_by(["g", "h"]).aggregate(
+            [("v", "sum"), ("v", "min"), ("v", "count")])
+        return g.rename_columns(["g", "h", "s", "mn", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    slow = _fallback_group_merge(partials, ["g", "h"], aggs).take_all()
+
+    def key(r):
+        return (str(r["g"]), r["h"])
+
+    def norm(rs):
+        return [(str(r["g"]), r["h"], r["s"], r["mn"], r["n"])
+                for r in sorted(rs, key=key)]
+
+    assert norm(fast) == norm(slow)
