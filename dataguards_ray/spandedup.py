@@ -177,19 +177,39 @@ def _rank_expr(batch: pa.Table, id_col: str) -> pa.Array:
 
 def _losing_spans_gb(occ: Dataset, id_col: str) -> Dataset:
     """Stage-2 fallback (zero driver state): per span hash, every
-    occurrence EXCEPT the global first is a loser."""
+    occurrence EXCEPT the global first is a loser.
 
-    def per_hash(group: pa.Table) -> pa.Table:
+    Grouped by a HASH BUCKET of the span hash, not per hash — this path
+    fires exactly above the broadcast caps (i.e. at corpus scale), where
+    one Python map_groups call per distinct hash would be a per-token
+    tax.  Within a bucket: sort by (h, rank), then a first-of-group mask
+    over dictionary codes — no row loops."""
+    from .hashutil import fnv1a64_array
+
+    num_buckets = 64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = b.column("h").combine_chunks() if isinstance(
+            b.column("h"), pa.ChunkedArray) else b.column("h")
+        return b.append_column("__b", pa.array(
+            (fnv1a64_array(h) % np.uint64(num_buckets)).astype(np.int64)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows <= 1:
             return group.select([id_col, "start"]).slice(0, 0)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        st = group.column("start").to_numpy(zero_copy_only=False)
-        order = np.lexsort((st, ids))
-        keep = order[1:]  # drop the winner
-        return group.take(pa.array(keep, type=pa.int64())).select(
-            [id_col, "start"])
+        t = group.append_column("__rk", _rank_expr(group, id_col))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("h", "ascending"), ("__rk", "ascending")]))
+        enc = pc.dictionary_encode(t.column("h"))
+        codes = (enc.combine_chunks() if isinstance(enc, pa.ChunkedArray)
+                 else enc).indices.to_numpy(zero_copy_only=False)
+        loser = np.empty(len(codes), dtype=bool)
+        loser[0] = False
+        loser[1:] = codes[1:] == codes[:-1]
+        return t.filter(pa.array(loser)).select([id_col, "start"])
 
-    return occ.groupby("h").map_groups(per_hash, batch_format="pyarrow")
+    return occ.map_batches(bucket, batch_format="pyarrow").groupby(
+        "__b").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def losing_spans(
