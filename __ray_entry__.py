@@ -2895,6 +2895,46 @@ SELECT doc_id, source FROM (
 """
 
 
+# UT1-style domain blocklist (frozen test list over the synthetic sources)
+_BLOCKED_DOMAINS = ("src13.com", "src17.com", "src3.com", "src7.com")
+
+
+def _q_url_blocklist_filter(sf_dir: str):
+    """UT1/RefinedWeb-style domain blocklist gate: synthesize a
+    deterministic url per doc (https://www.<source>.com/d/<doc_id> — the
+    documents table carries no url column), extract the registered
+    domain (urltools.url_domain_one through the dictionary-encoded
+    vectorized kernel, so www. strips and only unique hosts hit Python),
+    and drop docs whose domain is on the broadcast blocklist
+    (urltools.block_by_domain: ray.put once + pc.is_in per batch, no
+    shuffle).  The url construction is SQL-mirrored so the oracle checks
+    the whole chain."""
+    from dataguards_ray.urltools import block_by_domain, domains_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def mk_url(b: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            "https://www.", b.column("source"), ".com/d/",
+            pc.cast(b.column("doc_id"), pa.string()), "")
+        return b.append_column("url", urls)
+
+    kept = block_by_domain(
+        ds.map_batches(mk_url, batch_format="pyarrow"), _BLOCKED_DOMAINS)
+
+    def add_dom(b: pa.Table) -> pa.Table:
+        return b.append_column("domain", domains_array(b.column("url")))
+
+    return kept.map_batches(add_dom, batch_format="pyarrow").select_columns(
+        ["doc_id", "source", "domain"])
+
+
+_SQL_URL_BLOCKLIST = f"""
+SELECT doc_id, source, source || '.com' AS domain FROM documents
+WHERE source || '.com' NOT IN ({", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)})
+"""
+
+
 def _q_dsir_logweights(sf_dir: str):
     """DSIR importance log-weights (Xie et al. 2023): hashed
     unigram+bigram bag models fitted on target (lang='en' docs) and the
@@ -4147,6 +4187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate_docs,
         "token_budget_sample": _q_token_budget_sample,
         "sample_mixture_docs": _q_sample_mixture,
+        "url_blocklist_filter": _q_url_blocklist_filter,
         "dsir_logweights": _q_dsir_logweights,
         "dsir_resample_docs": _q_dsir_resample,
         "tpch_q6_shape": _q_tpch_q6_shape,
@@ -4349,6 +4390,7 @@ def oracle_sql() -> dict[str, str]:
         "priorities_by_status": _SQL_STRING_AGG,
         "tpch_q12_shape": _SQL_Q12,
         "sample_mixture_docs": _SQL_SAMPLE_MIXTURE,
+        "url_blocklist_filter": _SQL_URL_BLOCKLIST,
         "tpch_q6_shape": _SQL_TPCH_Q6,
         "tpch_q10_shape": _SQL_TPCH_Q10,
         "tpch_q14_shape": _SQL_TPCH_Q14,

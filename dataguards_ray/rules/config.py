@@ -25,6 +25,11 @@ the FIRST violated rule in config order):
   {"type": "dc", "name": "no.pair", "single": [pred...],
    "eq_keys": ["k"], "pair_atoms": [
       {"left": "ship_ts", "op": "<", "right": "order_ts"}]}   # [DC]
+  {"type": "domain_block", "name": "url.blocklist", "col": "url",
+   "domains": ["bad.com"]}    # or "domains_file": one domain per line,
+                              # '#'-comments allowed; nulls pass;
+                              # "match": either|domain|host (default
+                              # either — UT1 lists mix granularities)
   {"type": "unique", "name": "pk.unique", "cols": ["id"]}
   {"type": "inclusion", "name": "fk.nation", "cols": ["nation_key"],
    "ref_table": "/path/to/nation.parquet", "ref_cols": ["n_nationkey"]}
@@ -40,7 +45,8 @@ from typing import Any, Callable
 
 from .cfd import CFD
 from .dc import Atom, DenialConstraint
-from .dsl import Predicate, PredicateRule, RangeRule, RegexRule, Rule, RuleSet
+from .dsl import (DomainBlockRule, Predicate, PredicateRule, RangeRule,
+                  RegexRule, Rule, RuleSet)
 from .integrity import InclusionRule, UniqueRule
 
 
@@ -83,6 +89,18 @@ def rule_from_config(
             pair_atoms=[Atom(a["left"], a["op"], a["right"])
                         for a in d.get("pair_atoms", [])],
         )
+    if t == "domain_block":
+        domains = d.get("domains")
+        if domains is None and d.get("domains_file"):
+            with open(d["domains_file"]) as f:
+                domains = [ln.strip() for ln in f if ln.strip()
+                           and not ln.lstrip().startswith("#")]
+        if not domains:
+            raise ValueError(f"domain_block rule {name!r} needs 'domains' "
+                             "or a non-empty 'domains_file'")
+        return DomainBlockRule(name=name, col=d.get("col", "url"),
+                               domains=frozenset(domains),
+                               match=d.get("match", "either"))
     if t == "unique":
         return UniqueRule(name=name, cols=list(d["cols"]))
     if t == "inclusion":

@@ -7,6 +7,7 @@ from __future__ import annotations
 from urllib.parse import urlsplit
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 # Frozen snapshot of multi-label public suffixes relevant to the corpora
@@ -50,10 +51,95 @@ def url_domain_one(url: str) -> str:
     return tail2
 
 
+def url_host_one(url: str) -> str:
+    """Lowercased hostname; '' for unparseable."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def _map_unique(urls: "pa.Array | pa.ChunkedArray", fn) -> pa.Array:
+    """Apply a per-string kernel once per UNIQUE value (dictionary-
+    encode → kernel over the dictionary → take; web corpora repeat
+    hosts heavily, so the per-row cost is one vectorized `take`)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    enc = urls.dictionary_encode()
+    vals = pa.array([fn(u) if u else "" for u in enc.dictionary.to_pylist()],
+                    type=pa.string())
+    return vals.take(enc.indices).fill_null("")
+
+
+def domains_array(urls: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized registered-domain extraction (see _map_unique)."""
+    return _map_unique(urls, url_domain_one)
+
+
+def hosts_array(urls: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized lowercased-hostname extraction (see _map_unique)."""
+    return _map_unique(urls, url_host_one)
+
+
+def blocklist_hits(
+    urls: "pa.Array | pa.ChunkedArray",
+    value_set: pa.Array,
+    *,
+    match: str = "either",
+) -> pa.Array:
+    """Boolean hit mask of urls against a blocklist: ``match`` is
+    'domain' (registered domain), 'host' (full lowercased hostname), or
+    'either' (default — UT1-style lists mix registered domains with
+    host-level entries like xxx.example.com, and real matchers probe
+    both)."""
+    if match not in ("domain", "host", "either"):
+        raise ValueError(f"match must be domain|host|either, got {match!r}")
+    hit = None
+    if match in ("domain", "either"):
+        hit = pc.is_in(domains_array(urls), value_set=value_set)
+    if match in ("host", "either"):
+        h = pc.is_in(hosts_array(urls), value_set=value_set)
+        hit = h if hit is None else pc.or_(hit, h)
+    return pc.fill_null(hit, False)
+
+
 def add_url_domain(ds: Dataset, *, col: str = "url", out: str = "domain") -> Dataset:
     def f(batch: pa.Table) -> pa.Table:
-        doms = [url_domain_one(u) if u else "" for u in batch.column(col).to_pylist()]
-        return batch.append_column(out, pa.array(doms, type=pa.string()))
+        return batch.append_column(out, domains_array(batch.column(col)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def block_by_domain(
+    ds: Dataset,
+    blocked: "frozenset[str] | set[str] | list[str]",
+    *,
+    col: str = "url",
+    mode: str = "drop",
+    match: str = "either",
+    out: str = "blocked",
+) -> Dataset:
+    """UT1/RefinedWeb-style domain blocklist gate: drop (or flag, with
+    ``mode='flag'``) every row whose registered domain or full hostname
+    (``match``, see blocklist_hits) is on ``blocked``.
+
+    Scale shape: the blocklist is list-of-domains sized (UT1 ≈ 4M rows,
+    a few MB) — broadcast ONCE via ``ray.put`` and probed per batch with
+    vectorized ``pc.is_in`` over the dictionary-encoded domain/host
+    columns; no shuffle, no per-row Python beyond unique hosts."""
+    import ray
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    blocked_ref = ray.put(pa.array(sorted({d.lower() for d in blocked}),
+                                   type=pa.string()))
+
+    def f(batch: pa.Table) -> pa.Table:
+        hit = blocklist_hits(batch.column(col), ray.get(blocked_ref),
+                             match=match)
+        if mode == "flag":
+            return batch.append_column(out, hit)
+        return batch.filter(pc.invert(hit))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -624,6 +624,58 @@ def test_urltools():
     assert url_domain_one("https://localhost/") == "localhost"
 
 
+def test_domains_array_matches_scalar():
+    import pyarrow as pa
+
+    from dataguards_ray.urltools import domains_array, url_domain_one
+
+    urls = [
+        "https://www.site9.example.com/p",
+        "https://news.bbc.co.uk/x",
+        "http://EXAMPLE.com:8080/y",
+        "https://www.site9.example.com/q",  # repeated host (dict-encode path)
+        None,
+        "",
+        "https://localhost/",
+    ]
+    got = domains_array(pa.chunked_array([urls[:3], urls[3:]])).to_pylist()
+    want = [url_domain_one(u) if u else "" for u in urls]
+    assert got == want
+
+
+def test_block_by_domain_drop_and_flag():
+    import ray.data
+
+    from dataguards_ray.urltools import block_by_domain
+
+    rows = [
+        {"id": 1, "url": "https://www.bad.com/a"},
+        {"id": 2, "url": "https://ok.org/b"},
+        {"id": 3, "url": "https://sub.BAD.com/c"},      # case + subdomain
+        {"id": 4, "url": "https://news.bbc.co.uk/d"},   # PSL 3-label domain
+        {"id": 5, "url": "https://bbc.co.uk/e"},
+    ]
+    ds = ray.data.from_items(rows)
+    blocked = {"bad.com", "BBC.co.uk"}  # mixed case in the list too
+
+    kept = sorted(r["id"] for r in block_by_domain(ds, blocked).take_all())
+    assert kept == [2]
+
+    flagged = {r["id"]: r["blocked"]
+               for r in block_by_domain(ds, blocked, mode="flag").take_all()}
+    assert flagged == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+    # host-level entry (UT1 lists mix granularities): blocks the exact
+    # host (and default 'either' matching), NOT the registered domain
+    kept_host = sorted(r["id"] for r in
+                       block_by_domain(ds, {"news.bbc.co.uk"}).take_all())
+    assert kept_host == [1, 2, 3, 5]
+    # match='domain' ignores host-level entries entirely
+    kept_dom = sorted(r["id"] for r in block_by_domain(
+        ds, {"news.bbc.co.uk"}, match="domain").take_all())
+    assert kept_dom == [1, 2, 3, 4, 5]
+
+
 def test_cast_schema_and_jsonl(tmp_path):
     import json
 

@@ -388,6 +388,56 @@ def test_rules_from_config_all_types(tmp_path, ray_session):
             {"type": "regex", "name": "n", "col": "s", "pattern": "a"}]})
 
 
+def test_domain_block_rule(tmp_path, ray_session):
+    """UT1-style domain blocklist as a first-class rule: registered-
+    domain match (case/subdomain/PSL), nulls pass, config via inline
+    list or domains_file, ray.put'ed Arrow list via domains_ref."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from dataguards_ray.rules.config import rules_from_config
+    from dataguards_ray.rules.dsl import DomainBlockRule, RuleSet
+
+    rows = [
+        {"id": 1, "url": "https://www.bad.com/a", "x": 1},
+        {"id": 2, "url": "https://ok.org/b", "x": 1},
+        {"id": 3, "url": "https://sub.BAD.com/c", "x": 1},
+        {"id": 4, "url": "https://news.bbc.co.uk/d", "x": 1},
+        {"id": 5, "url": None, "x": 1},
+    ]
+    ds = ray.data.from_items(rows)
+
+    rule = DomainBlockRule(name="url.block",
+                           domains={"bad.com", "BBC.co.uk"})
+    out = {r["id"]: r for r in RuleSet([rule]).evaluate(ds).take_all()}
+    assert {i: out[i]["keep"] for i in out} == {
+        1: False, 2: True, 3: False, 4: False, 5: True}
+    assert out[1]["drop_rule"] == "url.block"
+
+    # domains_file config path (comments + blanks ignored)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# UT1 snapshot\nbad.com\n\nbbc.co.uk\n")
+    rs = rules_from_config({"rules": [
+        {"type": "domain_block", "name": "url.block",
+         "domains_file": str(bl)}]})
+    out2 = {r["id"]: r["keep"] for r in rs.evaluate(ds).take_all()}
+    assert out2 == {i: out[i]["keep"] for i in out}
+
+    # object-store blocklist (the UT1-sized path)
+    ref = ray.put(pa.array(["bad.com", "bbc.co.uk"], type=pa.string()))
+    rule3 = DomainBlockRule(name="url.block", domains_ref=ref)
+    out3 = {r["id"]: r["keep"]
+            for r in RuleSet([rule3]).evaluate(ds).take_all()}
+    assert out3 == out2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="domain_block"):
+        rules_from_config({"rules": [
+            {"type": "domain_block", "name": "n"}]})
+
+
 def test_check_job_end_to_end(tmp_path, ray_session):
     """dg check: config-driven violations over parquet + JSON summary."""
     import json
