@@ -28,6 +28,37 @@ def test_normalize_idempotent(t):
     assert textproc.normalize_text_one(once) == once
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_url_kernels_total_functions(u):
+    """url_domain_one / url_host_one are total over arbitrary strings
+    (crawl urls are untrusted input): never raise, return lowercased
+    strs, and the registered domain is host-derived (suffix of the
+    host, or the bare host itself for short/degenerate hosts)."""
+    from dataguards_ray.urltools import url_domain_one, url_host_one
+
+    h = url_host_one(u)
+    d = url_domain_one(u)
+    assert isinstance(h, str) and isinstance(d, str)
+    assert h == h.lower() and d == d.lower()
+    if h and d:
+        assert h == d or h.endswith("." + d) or d == h
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_url_kernels_hostish_fuzz(s):
+    """Same totality with the host-parsing path forced: arbitrary bytes
+    where a hostname should be (malformed ports, brackets, unicode —
+    urlsplit raises ValueError on several of these; the kernels must
+    swallow it)."""
+    from dataguards_ray.urltools import url_domain_one, url_host_one
+
+    for u in (f"http://{s}/p", f"https://{s}:99999/x", f"//{s}"):
+        assert isinstance(url_host_one(u), str)
+        assert isinstance(url_domain_one(u), str)
+
+
 @settings(max_examples=200, deadline=None)
 @given(TEXT)
 def test_measures_total_functions(t):
