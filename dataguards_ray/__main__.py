@@ -17,7 +17,7 @@ def main() -> int:
             "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
             "       python -m dataguards_ray stats OUT_DIR [--top-domains K]\n"
             "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span|line|substring|embedding] [--against PRIOR_OUT] [...]\n"
-            "       python -m dataguards_ray check INPUT --rules RULES.json [--out DIR] [--violations-only]\n"
+            "       python -m dataguards_ray check INPUT --rules RULES.json [--block-domains FILE] [--out DIR] [--violations-only]\n"
             "       python -m dataguards_ray sample INPUT OUT_DIR [--mode hash|budget|stratified|mixture|dsir] [...]\n"
             "       python -m dataguards_ray decontaminate INPUT OUT_DIR --bench BENCH.parquet [--ngram 13] [--drop]"
         )

@@ -116,6 +116,34 @@ def rule_from_config(
     raise ValueError(f"unknown rule type {t!r} in {d!r}")
 
 
+def merge_block_domains(
+    rules_cfg: "str | None",
+    domains_file: str,
+    *,
+    col: str = "url",
+    match: str = "either",
+) -> str:
+    """Append a UT1-style blocklist rule (named 'url.blocklist', read
+    from ``domains_file``) to an optional existing config (path or
+    inline JSON); returns inline JSON, accepted anywhere a config path
+    is.  Backs the jobs' ``--block-domains FILE`` convenience flag —
+    operators have a blocklist file, not a rules JSON."""
+    cfg: Any = {"rules": []}
+    if rules_cfg:
+        s = rules_cfg.strip()
+        if s.startswith("{") or s.startswith("["):
+            cfg = json.loads(s)
+        else:
+            with open(rules_cfg) as f:
+                cfg = json.load(f)
+        if isinstance(cfg, list):
+            cfg = {"rules": cfg}
+    cfg["rules"].append({"type": "domain_block", "name": "url.blocklist",
+                         "col": col, "domains_file": domains_file,
+                         "match": match})
+    return json.dumps(cfg)
+
+
 def rules_from_config(
     cfg: "dict[str, Any] | list | str",
     *,

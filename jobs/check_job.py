@@ -93,8 +93,12 @@ def run_check_job(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
-    ap.add_argument("--rules", required=True,
+    ap.add_argument("--rules", default=None,
                     help="path to the JSON rule config (or inline JSON)")
+    ap.add_argument("--block-domains", default=None, metavar="FILE",
+                    help="UT1-style blocklist file checked as rule "
+                         "'url.blocklist' (shorthand for a domain_block "
+                         "entry in --rules; either flag suffices)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--violations-only", action="store_true")
     ap.add_argument("--num-cpus", type=int,
@@ -113,8 +117,16 @@ def main() -> int:
     ctx.enable_progress_bars = False
     ctx.op_resource_reservation_enabled = False
 
+    rules_cfg = args.rules
+    if args.block_domains:
+        from dataguards_ray.rules.config import merge_block_domains
+
+        rules_cfg = merge_block_domains(rules_cfg, args.block_domains)
+    if rules_cfg is None:
+        ap.error("one of --rules / --block-domains is required")
+
     t0 = time.time()
-    res = run_check_job(args.input, args.rules, out_dir=args.out,
+    res = run_check_job(args.input, rules_cfg, out_dir=args.out,
                         violations_only=args.violations_only)
     res["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(res))

@@ -36,6 +36,11 @@ def main() -> int:
     ap.add_argument("--rules", default=None,
                     help="extra declarative rules (JSON path/inline, "
                          "rules/config.py schema) merged into the gate")
+    ap.add_argument("--block-domains", default=None, metavar="FILE",
+                    help="UT1-style blocklist file (one domain/host per "
+                         "line, '#'-comments) gated as extra rule "
+                         "'url.blocklist' (shorthand for a domain_block "
+                         "entry in --rules)")
     ap.add_argument("--quality-tau", type=float, default=None, nargs="?",
                     const=-1.0, metavar="TAU",
                     help="model-quality gate: drop rows with "
@@ -69,6 +74,12 @@ def main() -> int:
 
         tau = quality.DEFAULT_TAU
 
+    rules_cfg = args.rules
+    if args.block_domains:
+        from dataguards_ray.rules.config import merge_block_domains
+
+        rules_cfg = merge_block_domains(rules_cfg, args.block_domains)
+
     t0 = time.time()
     records = run_filter_job(
         args.input,
@@ -76,7 +87,7 @@ def main() -> int:
         num_parts=args.num_parts,
         concurrency=max(2, args.num_cpus - 2),
         resume=args.resume,
-        rules_config=args.rules,
+        rules_config=rules_cfg,
         input_format=args.input_format,
         quality_tau=tau,
     )

@@ -437,6 +437,20 @@ def test_domain_block_rule(tmp_path, ray_session):
         rules_from_config({"rules": [
             {"type": "domain_block", "name": "n"}]})
 
+    # --block-domains shorthand: appends 'url.blocklist' to an existing
+    # config (path or inline or none) as inline JSON
+    from dataguards_ray.rules.config import merge_block_domains
+
+    merged = rules_from_config(merge_block_domains(None, str(bl)))
+    assert [r.name for r in merged.rules] == ["url.blocklist"]
+    base = tmp_path / "base.json"
+    base.write_text('{"rules": [{"type": "range", "name": "x.range", '
+                    '"col": "x", "lo": 0}]}')
+    merged2 = rules_from_config(merge_block_domains(str(base), str(bl)))
+    assert [r.name for r in merged2.rules] == ["x.range", "url.blocklist"]
+    out4 = {r["id"]: r["keep"] for r in merged2.evaluate(ds).take_all()}
+    assert out4 == out2  # x passes everywhere; blocklist decides
+
 
 def test_check_job_end_to_end(tmp_path, ray_session):
     """dg check: config-driven violations over parquet + JSON summary."""
