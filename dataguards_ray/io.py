@@ -24,6 +24,7 @@ import os
 import uuid
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 from ray.data import Dataset
@@ -342,3 +343,120 @@ def write_jsonl(ds: Dataset, out_dir: str, **kwargs) -> None:
     One file per block, same resumable-partition layout rules as the
     parquet writer: never one giant file."""
     ds.write_json(out_dir, **kwargs)
+
+
+def read_partition_manifests(out_dir: str) -> "dict[int, dict]":
+    """_lineage/part-*.json manifests keyed by part_id (finished
+    partitions of any resumable partitioned write)."""
+    out: dict[int, dict] = {}
+    lin = os.path.join(out_dir, "_lineage")
+    for name in sorted(os.listdir(lin)) if os.path.isdir(lin) else []:
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(lin, name)) as f:
+                m = json.load(f)
+            out[int(m["part_id"])] = m
+    return out
+
+
+def write_partitioned_resumable(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    id_col: str,
+    partitions: int,
+    params: dict,
+    resume: bool = False,
+    transform=None,
+) -> int:
+    """Deterministic id-hash-partitioned parquet write with per-partition
+    lineage manifests and kill-resume — the dedup job's two-phase
+    survivor write (jobs/dedup_job.py) made generic for any job whose
+    output is corpus-sized (e.g. decontaminate --drop at 10^12 docs).
+
+    Rows are bucketed by ``fnv1a64(id) % partitions``; on ``resume``,
+    rows of finished partitions are dropped BEFORE ``transform`` (the
+    expensive per-row stage — a probe, a scorer) and before the write
+    shuffle, so a resumed run pays only the unfinished partitions'
+    compute.  Each partition file is written atomically (tmp +
+    os.replace) inside its groupby task, rows sorted by ``id_col``, so
+    a resumed run's partitions are byte-equal to the single-shot run's.
+    ``params`` (the job's arguments) is embedded in every manifest and
+    validated on resume — resuming with different arguments fails loudly
+    instead of mixing incompatible partitions.
+
+    Returns the total kept rows across all partitions (manifest sum).
+    Requires non-null ``id_col`` values (string or int)."""
+    import numpy as np
+
+    from .hashutil import nid64_array
+    from .spec import fnv1a64
+
+    P = int(partitions)
+    if P <= 0:
+        raise ValueError(f"partitions must be positive, got {partitions}")
+    if has_parquet_files(out_dir) and not resume:
+        raise ValueError(
+            f"{out_dir!r} already contains run artifacts; pass resume=True "
+            "to continue a killed run of the SAME arguments, or use a "
+            "clean directory")
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+
+    full_params = {**params, "partitions": P, "id_col": id_col}
+    done = read_partition_manifests(out_dir) if resume else {}
+    for m in done.values():
+        prev = {k: m.get(k) for k in full_params}
+        if prev != full_params:
+            raise ValueError(
+                f"resume mismatch: partition {m['part_id']} was written "
+                f"with {prev} but this run has {full_params}")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        col = b.column(id_col)
+        try:
+            pid = (nid64_array(col).view(np.uint64) % np.uint64(P)).astype(
+                np.int64)
+            arr = pa.array(pid, type=pa.int64())
+        except TypeError:  # exotic id type → scalar fallback
+            arr = pa.array(
+                [fnv1a64(f"v:{v}".encode()) % P for v in col.to_pylist()],
+                type=pa.int64())
+        return b.append_column("__part", arr)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    if done:
+        done_arr = pa.array(sorted(done), type=pa.int64())
+
+        def skip_done(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(
+                pc.is_in(b.column("__part"), value_set=done_arr)))
+
+        ds = ds.map_batches(skip_done, batch_format="pyarrow")
+    if transform is not None:
+        ds = transform(ds)
+
+    def write_part(group: pa.Table) -> pa.Table:
+        pid = int(group.column("__part")[0].as_py())
+        g = group.drop_columns(["__part"])
+        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
+        fname = f"part-{pid:05d}.parquet"
+        _atomic_write_table(g, os.path.join(out_dir, fname))
+        _atomic_write_json(
+            {"part_id": pid, "kept_rows": g.num_rows, "output_file": fname,
+             **full_params},
+            _manifest_path(out_dir, pid))
+        return pa.table({"part_id": pa.array([pid], type=pa.int64())})
+
+    # the one payload-moving all-to-all; partition files are written
+    # atomically inside the groupby tasks themselves
+    try:
+        ds.groupby("__part").map_groups(
+            write_part, batch_format="pyarrow").count()
+    except Exception:
+        # Ray 2.49: a chain FILTERED to 0 rows loses its schema and the
+        # groupby can't find "__part" — legal only when no rows remained
+        # (e.g. resume with every unfinished partition fully dropped)
+        if ds.count() != 0:
+            raise
+
+    return sum(m["kept_rows"] for m in read_partition_manifests(
+        out_dir).values())

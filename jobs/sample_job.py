@@ -12,11 +12,19 @@ dataguards_ray/aggregates.py and textstats.py).
   python jobs/sample_job.py INPUT OUT_DIR --mode dsir \
       --target TARGET.parquet --k 100000 [--seed 0]
   python jobs/sample_job.py INPUT OUT_DIR --decontaminate BENCH.parquet \
-      [--ngram 13] [--drop]
+      [--ngram 13] [--drop] [--resume] [--partitions P]
 
 All modes stream: read → operator → partitioned parquet write; nothing
 corpus-sized on the driver.  Sampling is hash-deterministic
 (parallelism- and rerun-invariant), never ds.random_sample.
+
+Decontamination's OUTPUT is corpus-sized (sampling outputs are
+budget-bound), so it writes through
+``io.write_partitioned_resumable``: deterministic id-hash partition
+files + per-partition ``_lineage`` manifests; ``--resume`` skips
+finished partitions BEFORE the n-gram probe and the write shuffle, and
+resumed output is byte-equal per partition to a single-shot run
+(test_decontaminate_job_kill_and_resume).
 """
 
 from __future__ import annotations
@@ -28,6 +36,41 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_decontaminate_job(
+    input_path: str,
+    out_dir: str,
+    bench_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+    drop: bool = False,
+    resume: bool = False,
+    partitions: int = 64,
+) -> dict:
+    """Benchmark decontamination as a resumable job (module docstring).
+    Returns {"op", "output_rows"}."""
+    import ray.data
+
+    from dataguards_ray.io import write_partitioned_resumable
+    from dataguards_ray.textstats import decontaminate
+
+    ds = ray.data.read_parquet(input_path)
+    bench = ray.data.read_parquet(bench_path, columns=[text_col])
+    mode = "drop" if drop else "flag"
+    kept = write_partitioned_resumable(
+        ds, out_dir,
+        id_col=id_col,
+        partitions=partitions,
+        params={"op": "decontaminate", "ngram": ngram, "mode": mode,
+                "text_col": text_col},
+        resume=resume,
+        transform=lambda d: decontaminate(
+            d, bench, text_col=text_col, n=ngram, mode=mode),
+    )
+    return {"op": f"decontaminate(n={ngram}, {mode})", "output_rows": kept}
 
 
 def main() -> int:
@@ -64,6 +107,12 @@ def main() -> int:
                          "--drop docs sharing any --ngram token n-gram")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--drop", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="decontaminate only: continue a killed run "
+                         "(same arguments) — finished partitions skip "
+                         "both the probe and the write")
+    ap.add_argument("--partitions", type=int, default=64,
+                    help="decontaminate only: output partition count")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -86,15 +135,16 @@ def main() -> int:
     n_in = ds.count()
 
     if args.decontaminate is not None:
-        from dataguards_ray.textstats import decontaminate
-
-        bench = ray.data.read_parquet(args.decontaminate,
-                                      columns=[args.text_col])
-        out = decontaminate(ds, bench, text_col=args.text_col,
-                            n=args.ngram,
-                            mode="drop" if args.drop else "flag")
-        op = f"decontaminate(n={args.ngram}, {'drop' if args.drop else 'flag'})"
-    elif args.mode == "hash":
+        res = run_decontaminate_job(
+            args.input, args.out_dir, args.decontaminate,
+            text_col=args.text_col, id_col=args.id_col, ngram=args.ngram,
+            drop=args.drop, resume=args.resume, partitions=args.partitions)
+        print(json.dumps({"op": res["op"], "input_rows": n_in,
+                          "output_rows": res["output_rows"],
+                          "seconds": round(time.time() - t0, 2)}))
+        ray.shutdown()
+        return 0
+    if args.mode == "hash":
         import hashlib
 
         import pyarrow as pa

@@ -161,3 +161,51 @@ def test_fnv1a64_array_parity():
     exp_i = np.array([fnv1a64(f"v:{v}".encode()) - (1 << 63)
                       for v in iids.to_pylist()], dtype=np.int64)
     assert (nid64_array(iids) == exp_i).all()
+
+
+@pytest.mark.parametrize("drop", [True, False])
+def test_decontaminate_job_kill_and_resume(tmp_path, ray_session, drop):
+    """Corpus-sized decontaminate output rides the generic
+    io.write_partitioned_resumable: killed-after-k-partitions + --resume
+    is row- and byte-equal to single-shot, for drop and flag modes."""
+    from jobs.sample_job import run_decontaminate_job
+
+    t = _corpus(n=120)
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    # benchmark shares the repeated phrase of every 4th base text, so a
+    # deterministic subset of docs is contaminated (13-gram overlap)
+    bench = pa.Table.from_pylist(
+        [{"text": t.column("text")[i].as_py()} for i in range(0, 120, 4)])
+    bpath = tmp_path / "bench.parquet"
+    pq.write_table(bench, str(bpath))
+
+    kw = dict(ngram=13, drop=drop, partitions=8)
+    out_s = str(tmp_path / "single")
+    res_s = run_decontaminate_job(str(src), out_s, str(bpath), **kw)
+    if drop:
+        assert 0 < res_s["output_rows"] < 120  # some really dropped
+    else:
+        assert res_s["output_rows"] == 120  # flag mode keeps all rows
+
+    out_k = str(tmp_path / "killed")
+    run_decontaminate_job(str(src), out_k, str(bpath), **kw)
+    assert _kill_partitions(out_k) >= 2
+
+    res_r = run_decontaminate_job(str(src), out_k, str(bpath), resume=True,
+                                  **kw)
+    assert res_r["output_rows"] == res_s["output_rows"]
+    for f in sorted(os.listdir(out_s)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            with open(os.path.join(out_s, f), "rb") as a, \
+                    open(os.path.join(out_k, f), "rb") as b:
+                assert a.read() == b.read(), f
+
+    # resume with different arguments fails loudly
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_decontaminate_job(str(src), out_k, str(bpath), ngram=8,
+                              drop=drop, partitions=8, resume=True)
+    # rerun WITHOUT resume on a populated dir fails loudly
+    with pytest.raises(ValueError, match="clean directory"):
+        run_decontaminate_job(str(src), out_k, str(bpath), **kw)
