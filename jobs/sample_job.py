@@ -64,8 +64,8 @@ def run_decontaminate_job(
         ds, out_dir,
         id_col=id_col,
         partitions=partitions,
-        params={"op": "decontaminate", "ngram": ngram, "mode": mode,
-                "text_col": text_col},
+        params={"op": "decontaminate", "bench": bench_path, "ngram": ngram,
+                "mode": mode, "text_col": text_col},
         resume=resume,
         transform=lambda d: decontaminate(
             d, bench, text_col=text_col, n=ngram, mode=mode),

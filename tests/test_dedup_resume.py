@@ -209,3 +209,24 @@ def test_decontaminate_job_kill_and_resume(tmp_path, ray_session, drop):
     # rerun WITHOUT resume on a populated dir fails loudly
     with pytest.raises(ValueError, match="clean directory"):
         run_decontaminate_job(str(src), out_k, str(bpath), **kw)
+
+
+def test_decontaminate_resume_rejects_changed_benchmark(tmp_path,
+                                                        ray_session):
+    """Resuming against a DIFFERENT benchmark must fail loudly — mixed
+    partitions would have been probed against different n-gram sets."""
+    from jobs.sample_job import run_decontaminate_job
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(_corpus(n=40), str(src / "p.parquet"))
+    b1, b2 = tmp_path / "b1.parquet", tmp_path / "b2.parquet"
+    pq.write_table(pa.table({"text": ["the quick brown fox " * 5]}), str(b1))
+    pq.write_table(pa.table({"text": ["a different eval set " * 5]}), str(b2))
+
+    out = str(tmp_path / "out")
+    run_decontaminate_job(str(src), out, str(b1), drop=True, partitions=4)
+    _kill_partitions(out, fraction=0.5)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_decontaminate_job(str(src), out, str(b2), drop=True,
+                              partitions=4, resume=True)
