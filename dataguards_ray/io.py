@@ -417,8 +417,15 @@ def write_partitioned_resumable(
                 np.int64)
             arr = pa.array(pid, type=pa.int64())
         except TypeError:  # exotic id type → scalar fallback
+            # SAME partition function as the vectorized path:
+            # ((fnv1a64 - 2**63) mod 2**64) % P — the signed nid64 view
+            # reinterpreted as uint64.  The two paths must agree even
+            # when P is not a power of two, or a resume whose id column
+            # arrives with a different Arrow type would silently shift
+            # rows between partitions.
             arr = pa.array(
-                [fnv1a64(f"v:{v}".encode()) % P for v in col.to_pylist()],
+                [(fnv1a64(f"v:{v}".encode()) - (1 << 63)) % (1 << 64) % P
+                 for v in col.to_pylist()],
                 type=pa.int64())
         return b.append_column("__part", arr)
 
@@ -451,12 +458,33 @@ def write_partitioned_resumable(
     try:
         ds.groupby("__part").map_groups(
             write_part, batch_format="pyarrow").count()
-    except Exception:
+    except Exception as e:
         # Ray 2.49: a chain FILTERED to 0 rows loses its schema and the
-        # groupby can't find "__part" — legal only when no rows remained
-        # (e.g. resume with every unfinished partition fully dropped)
+        # groupby raises a column/schema error — legal only when no rows
+        # remained (e.g. resume with every unfinished partition fully
+        # dropped).  Any OTHER failure (disk full, permissions, a
+        # transform bug) must surface immediately; only the
+        # column-not-found shape pays the (pipeline-re-executing) count
+        # probe that confirms the zero-row case.
+        msg = str(e)
+        if "__part" not in msg and "schema" not in msg.lower():
+            raise
         if ds.count() != 0:
             raise
+
+    # A partition whose rows were ALL dropped (by the transform, or
+    # absent from the input entirely) forms no group and writes no
+    # manifest.  The write above completed, so every assigned partition
+    # IS finished — mark the absent ones with zero-row manifests so a
+    # resume of a completed run skips them instead of re-paying their
+    # probe every time.
+    present = read_partition_manifests(out_dir)
+    for pid in range(P):
+        if pid not in present:
+            _atomic_write_json(
+                {"part_id": pid, "kept_rows": 0, "output_file": None,
+                 **full_params},
+                _manifest_path(out_dir, pid))
 
     return sum(m["kept_rows"] for m in read_partition_manifests(
         out_dir).values())

@@ -166,9 +166,15 @@ class DomainBlockRule(Rule):
         vs = getattr(self, "_vs", None)
         if vs is None:
             if self.domains_ref is not None:
+                import pyarrow.compute as pc
                 import ray
 
-                vs = ray.get(self.domains_ref)
+                # extracted domains/hosts are always lowercased, so a
+                # mixed-case object-store list must be lowered too or
+                # it silently never matches (the inline path lowers)
+                vs = pc.utf8_lower(ray.get(self.domains_ref))
+                if isinstance(vs, pa.ChunkedArray):
+                    vs = vs.combine_chunks()
             else:
                 vs = pa.array(sorted({d.lower() for d in self.domains}),
                               type=pa.string())

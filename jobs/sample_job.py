@@ -64,7 +64,8 @@ def run_decontaminate_job(
         ds, out_dir,
         id_col=id_col,
         partitions=partitions,
-        params={"op": "decontaminate", "bench": bench_path, "ngram": ngram,
+        params={"op": "decontaminate", "input": input_path,
+                "bench": bench_path, "ngram": ngram,
                 "mode": mode, "text_col": text_col},
         resume=resume,
         transform=lambda d: decontaminate(

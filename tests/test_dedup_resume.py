@@ -230,3 +230,104 @@ def test_decontaminate_resume_rejects_changed_benchmark(tmp_path,
     with pytest.raises(ValueError, match="resume mismatch"):
         run_decontaminate_job(str(src), out, str(b2), drop=True,
                               partitions=4, resume=True)
+
+
+def test_decontaminate_resume_rejects_changed_input(tmp_path, ray_session):
+    """Resuming against a DIFFERENT input corpus must fail loudly —
+    finished partitions from the old corpus would silently mix with
+    new-corpus partitions (ADVICE r04: input identity was unvalidated)."""
+    from jobs.sample_job import run_decontaminate_job
+
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    pq.write_table(_corpus(n=40), str(src1 / "p.parquet"))
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(_corpus(n=60), str(src2 / "p.parquet"))
+    bpath = tmp_path / "b.parquet"
+    pq.write_table(pa.table({"text": ["the quick brown fox " * 5]}),
+                   str(bpath))
+
+    out = str(tmp_path / "out")
+    run_decontaminate_job(str(src1), out, str(bpath), drop=True,
+                          partitions=4)
+    _kill_partitions(out, fraction=0.5)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_decontaminate_job(str(src2), out, str(bpath), drop=True,
+                              partitions=4, resume=True)
+
+
+def test_add_part_hash_paths_agree():
+    """The partitioned writer's vectorized and scalar partition
+    functions must implement the SAME mapping for every P, including
+    non-powers-of-two (ADVICE r04: they used to disagree for P=7/100)."""
+    from dataguards_ray.hashutil import nid64_array
+    from dataguards_ray.spec import fnv1a64
+
+    ids = pa.array([f"doc-{i}" for i in range(300)])
+    vals = ids.to_pylist()
+    for P in (7, 100, 64, 1000):
+        vec = (nid64_array(ids).view(np.uint64)
+               % np.uint64(P)).astype(np.int64)
+        scal = np.array(
+            [(fnv1a64(f"v:{v}".encode()) - (1 << 63)) % (1 << 64) % P
+             for v in vals], dtype=np.int64)
+        assert (vec == scal).all(), P
+
+
+def test_fully_dropped_partitions_marked_done(tmp_path, ray_session):
+    """A partition whose rows are ALL dropped by the transform writes a
+    zero-row manifest, so resuming a COMPLETED drop-heavy run skips it
+    instead of re-paying its probe (ADVICE r04)."""
+    import ray.data
+
+    from dataguards_ray.io import (read_partition_manifests,
+                                   write_partitioned_resumable)
+
+    t = _corpus(n=40)
+    P = 8
+    params = {"op": "t"}
+
+    def drop_all(d):
+        import pyarrow.compute as pc
+
+        return d.map_batches(
+            lambda b: b.filter(pc.equal(b.column("doc_id"), -1)),
+            batch_format="pyarrow")
+
+    out = str(tmp_path / "out")
+    kept = write_partitioned_resumable(
+        ray.data.from_arrow(t), out, id_col="doc_id", partitions=P,
+        params=params, transform=drop_all)
+    assert kept == 0
+    mans = read_partition_manifests(out)
+    assert sorted(mans) == list(range(P))  # every pid marked done
+    assert all(m["kept_rows"] == 0 for m in mans.values())
+
+    # resume of the completed run: a no-op that still returns 0
+    kept2 = write_partitioned_resumable(
+        ray.data.from_arrow(t), out, id_col="doc_id", partitions=P,
+        params=params, resume=True, transform=drop_all)
+    assert kept2 == 0
+
+
+def test_partitioned_write_propagates_transform_errors(tmp_path,
+                                                       ray_session):
+    """A failing transform (disk full, a bug) must surface — the
+    zero-row schema-loss catch is narrowed to column/schema errors
+    (ADVICE r04: the bare except swallowed everything at count 0)."""
+    import ray.data
+
+    from dataguards_ray.io import write_partitioned_resumable
+
+    def boom(d):
+        def f(b):
+            raise OSError("disk exploded")
+
+        return d.map_batches(f, batch_format="pyarrow")
+
+    with pytest.raises(Exception, match="disk exploded"):
+        write_partitioned_resumable(
+            ray.data.from_arrow(_corpus(n=20)), str(tmp_path / "out"),
+            id_col="doc_id", partitions=4, params={"op": "t"},
+            transform=boom)

@@ -431,6 +431,15 @@ def test_domain_block_rule(tmp_path, ray_session):
             for r in RuleSet([rule3]).evaluate(ds).take_all()}
     assert out3 == out2
 
+    # MIXED-CASE object-store blocklist must behave like the inline
+    # path (which lowercases): extracted domains are always lowercase,
+    # so the ref list is lowered before probing
+    ref_mc = ray.put(pa.array(["BAD.com", "Bbc.CO.UK"], type=pa.string()))
+    rule4 = DomainBlockRule(name="url.block", domains_ref=ref_mc)
+    out4 = {r["id"]: r["keep"]
+            for r in RuleSet([rule4]).evaluate(ds).take_all()}
+    assert out4 == out2
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="domain_block"):
