@@ -56,6 +56,62 @@ def ensure_corpus() -> str:
     return CORPUS
 
 
+def _probe_spin(stop_at: float, started) -> None:
+    with started.get_lock():
+        started.value += 1
+    x = 0
+    while time.time() < stop_at:
+        x += 1
+
+
+def host_probe(n_procs: int, seconds: float = 2.0) -> dict:
+    """Host-contention evidence embedded in the bench artifact: spin
+    ``n_procs`` busy processes and sample /proc/stat during — on this
+    shared sandbox CPU STEAL is near 0 when idle but has been measured
+    at 40%+ the moment the VM goes wide (hypervisor contention), which
+    moves every wall time here by 1.5-2x run-to-run.  Reporting
+    steal/idle-under-load alongside the timings lets a reader separate
+    host weather from code regressions."""
+    import multiprocessing as mp
+
+    def snap():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
+    try:
+        la0 = open("/proc/loadavg").read().split()[0]
+        stop_at = time.time() + seconds + 3.0
+        started = mp.Value("i", 0)
+        procs = [mp.Process(target=_probe_spin, args=(stop_at, started))
+                 for _ in range(n_procs)]
+        for p in procs:
+            p.start()
+        # sample only once every spinner is live (forking 32 procs from
+        # a heavy driver can take >0.3 s; sampling early reads as idle)
+        t_wait = time.time() + 2.5
+        while started.value < n_procs and time.time() < t_wait:
+            time.sleep(0.02)
+        a = snap()
+        time.sleep(seconds)
+        b = snap()
+        for p in procs:  # stateless spinners: kill, don't drain
+            p.terminate()
+        for p in procs:
+            p.join()
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d) or 1
+        names = ["user", "nice", "sys", "idle", "iowait", "irq",
+                 "softirq", "steal"]
+        pct = {n: round(100.0 * v / tot, 1) for n, v in zip(names, d)}
+        return {"steal_pct_under_load": pct["steal"],
+                "idle_pct_under_load": pct["idle"],
+                "work_pct_under_load": round(
+                    pct["user"] + pct["nice"] + pct["sys"], 1),
+                "loadavg_before_probe": float(la0)}
+    except Exception as e:  # non-linux / restricted /proc: omit, don't fail
+        return {"error": str(e)}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -95,7 +151,8 @@ def run_bench() -> dict:
     # the read / sort / write task ops (a full-width pool deadlocks the
     # downstream sort).
     conc = max(2, NUM_CPUS - 2)
-    t0 = time.time()
+    host_pre = host_probe(NUM_CPUS)  # bracket the flagship: contention
+    t0 = time.time()                 # on this host arrives in waves
     recs = FilterPipeline(concurrency=conc).run(corpus, out_dir)
     flagship_sec = time.time() - t0
     n_in = sum(r["input_rows"] for r in recs)
@@ -130,6 +187,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_docs": n_in,
         "docs_per_sec": round(n_in / flagship_sec, 1),
+        "host_before": host_pre,
+        "host_after": host_probe(NUM_CPUS),
     }
     ray.shutdown()
     return result
