@@ -1194,6 +1194,59 @@ def grouped_mad(
     return grouped_quantile(dev_ds, keys, col, out, 0.5, max_group=max_group)
 
 
+def _check_sample_ids(col, fname: str) -> None:
+    """Integer sampler ids must be non-negative (the zero-padded rank
+    tiebreak assumes it) — one vectorized min probe per batch."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type):
+        mn = pc.min(col).as_py()
+        if mn is not None and mn < 0:
+            raise ValueError(f"{fname}: integer ids must be non-negative")
+
+
+def _token_counts(col) -> pa.Array:
+    """DuckDB-parity RE2 ``\\w+`` token count per row, vectorized."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.count_substring_regex(
+        pc.cast(col, pa.string()), r"\w+"), pa.int64())
+
+
+def _text_digests(col, prefix_len: int):
+    """(md5 digest matrix uint8[n,16], hex-prefix bucket int64[n]) for
+    a text column — the samplers' per-row hash, all buffer-level (see
+    hashutil.md5_digest_matrix)."""
+    from .hashutil import hex_prefix_buckets, md5_digest_matrix
+
+    dig = md5_digest_matrix(col)
+    return dig, hex_prefix_buckets(dig, prefix_len)
+
+
+def _text_buckets(col, prefix_len: int) -> np.ndarray:
+    return _text_digests(col, prefix_len)[1]
+
+
+def _rank_strings(dig: np.ndarray, idcol, fname: str) -> pa.Array:
+    """``md5hex|paddedid`` rank strings for an already-FILTERED subset
+    (digest rows + matching id column): SQL ``ORDER BY md5(text), id``
+    as one lexicographic key.  Int ids zero-pad to 20 (non-negative
+    checked); string ids join verbatim.  Arrow kernels end-to-end."""
+    import pyarrow.compute as pc
+
+    from .hashutil import md5_hex_array
+
+    _check_sample_ids(idcol, fname)
+    if isinstance(idcol, pa.ChunkedArray):
+        idcol = idcol.combine_chunks()
+    hexes = md5_hex_array(dig)
+    if pa.types.is_integer(idcol.type):
+        ids = pc.utf8_lpad(pc.cast(idcol, pa.string()), 20, "0")
+    else:
+        ids = pc.cast(idcol, pa.string())
+    return pc.binary_join_element_wise(hexes, ids, "|")
+
+
 def sample_by_token_budget(
     ds: Dataset,
     budget: int,
@@ -1217,49 +1270,29 @@ def sample_by_token_budget(
     capped, assert above ``max_boundary_rows``) are pulled to resolve
     the exact cutoff rank; pass 2 is one broadcast-filter.  Everything
     is a pure function of (text, id), so the sample is
-    parallelism-invariant and reproducible."""
-    import hashlib
+    parallelism-invariant and reproducible.
 
+    Per-pass cost (round-5 rework): md5 runs as an OpenSSL loop over
+    Arrow buffer slices (hashutil.md5_digest_matrix — no per-row Python
+    strings), buckets/hex/token counts are numpy/Arrow kernels, rank
+    strings are built ONLY for boundary-bucket rows, and the \\w+ token
+    regex runs ONLY in pass 1 (and over the tiny boundary subset) —
+    the final filter never tokenizes."""
     import pyarrow.compute as pc
     import ray as _ray
 
     from .steps.dedup import get_broadcast
-
-    n_buckets = 16 ** prefix_len
-
-    def _rank_cols(b: pa.Table) -> "tuple[list, np.ndarray, np.ndarray]":
-        """(rank strings md5|paddedid, bucket ints, token counts) for
-        non-null-text rows; returns the filtered table too via mask."""
-        texts = b.column(text_col).to_pylist()
-        ids = b.column(id_col).to_pylist()
-        int_ids = pa.types.is_integer(b.schema.field(id_col).type)
-        ranks, buckets = [], []
-        for t, i in zip(texts, ids):
-            h = hashlib.md5(t.encode("utf-8")).hexdigest()
-            # tiebreak order = SQL ORDER BY id: zero-padded for ints
-            # (non-negative asserted), lexicographic for strings
-            if int_ids:
-                if i < 0:
-                    raise ValueError("sample_by_token_budget: integer ids "
-                                     "must be non-negative")
-                ranks.append(f"{h}|{i:020d}")
-            else:
-                ranks.append(f"{h}|{i}")
-            buckets.append(int(h[:prefix_len], 16))
-        ntok = pc.cast(
-            pc.count_substring_regex(pa.array(texts, type=pa.string()),
-                                     r"\w+"), pa.int64()).to_numpy(
-            zero_copy_only=False)
-        return ranks, np.asarray(buckets, dtype=np.int64), ntok
 
     nonnull = ds.map_batches(
         lambda b: b.filter(pc.is_valid(b.column(text_col))),
         batch_format="pyarrow")
 
     def partials(b: pa.Table) -> pa.Table:
-        _, buckets, ntok = _rank_cols(b)
+        _check_sample_ids(b.column(id_col), "sample_by_token_budget")
+        buckets = _text_buckets(b.column(text_col), prefix_len)
+        ntok = _token_counts(b.column(text_col))
         t = pa.table({"bucket": pa.array(buckets, type=pa.int64()),
-                      "n": pa.array(ntok, type=pa.int64())})
+                      "n": ntok})
         g = t.group_by(["bucket"]).aggregate([("n", "sum")])
         return g.rename_columns(["bucket", "n"])
 
@@ -1290,12 +1323,13 @@ def sample_by_token_budget(
         return nonnull
 
     def boundary_rows(b: pa.Table) -> pa.Table:
-        ranks, buckets, ntok = _rank_cols(b)
+        dig, buckets = _text_digests(b.column(text_col), prefix_len)
         m = buckets == boundary
+        f = b.filter(pa.array(m))
         return pa.table({
-            "r": pa.array([r for r, keep in zip(ranks, m) if keep],
-                          type=pa.string()),
-            "n": pa.array(ntok[m], type=pa.int64())})
+            "r": _rank_strings(dig[m], f.column(id_col),
+                               "sample_by_token_budget"),
+            "n": _token_counts(f.column(text_col))})
 
     # streaming pull with EARLY abort so the cap bounds driver intake
     bt: "list[dict]" = []
@@ -1319,10 +1353,15 @@ def sample_by_token_budget(
 
     def final(b: pa.Table) -> pa.Table:
         bd, co = get_broadcast(ref)
-        ranks, buckets, _ = _rank_cols(b)
-        keep = np.asarray(
-            [bk < bd or (bk == bd and co != "" and r <= co)
-             for r, bk in zip(ranks, buckets)], dtype=bool)
+        _check_sample_ids(b.column(id_col), "sample_by_token_budget")
+        dig, buckets = _text_digests(b.column(text_col), prefix_len)
+        keep = buckets < bd
+        eq = buckets == bd
+        if co != "" and eq.any():
+            ranks = _rank_strings(dig[eq], b.column(id_col).filter(
+                pa.array(eq)), "sample_by_token_budget")
+            keep[eq] = pc.less_equal(ranks, pa.scalar(co)).to_numpy(
+                zero_copy_only=False)
         return b.filter(pa.array(keep))
 
     return nonnull.map_batches(final, batch_format="pyarrow")
@@ -1353,9 +1392,12 @@ def sample_mixture(
     ≤ n_sources × 16^prefix_len; the driver cumsums per source to find
     each source's single BOUNDARY bucket; only those buckets' rows are
     pulled (capped); pass 2 is one broadcast-filter.  Everything is a
-    pure function of (source, text, id) → parallelism-invariant."""
-    import hashlib
+    pure function of (source, text, id) → parallelism-invariant.
 
+    Per-pass cost matches ``sample_by_token_budget``'s round-5 rework:
+    buffer-level md5, numpy buckets, Arrow token counts; rank strings
+    and the token regex only touch boundary-bucket subsets after
+    pass 1."""
     import pyarrow.compute as pc
     import ray as _ray
 
@@ -1369,29 +1411,6 @@ def sample_mixture(
     budgets = {s: int(w / tot_w * budget) for s, w in weights.items()}
     sources = sorted(budgets)
 
-    def _rank_cols(b: pa.Table):
-        """(rank strings, bucket ints, token counts, source strings)."""
-        texts = b.column(text_col).to_pylist()
-        ids = b.column(id_col).to_pylist()
-        int_ids = pa.types.is_integer(b.schema.field(id_col).type)
-        ranks, buckets = [], []
-        for t, i in zip(texts, ids):
-            h = hashlib.md5(t.encode("utf-8")).hexdigest()
-            if int_ids:
-                if i < 0:
-                    raise ValueError(
-                        "sample_mixture: integer ids must be non-negative")
-                ranks.append(f"{h}|{i:020d}")
-            else:
-                ranks.append(f"{h}|{i}")
-            buckets.append(int(h[:prefix_len], 16))
-        ntok = pc.cast(
-            pc.count_substring_regex(pa.array(texts, type=pa.string()),
-                                     r"\w+"), pa.int64()).to_numpy(
-            zero_copy_only=False)
-        return (ranks, np.asarray(buckets, dtype=np.int64), ntok,
-                b.column(source_col).to_pylist())
-
     member = ds.map_batches(
         lambda b: b.filter(pc.and_(
             pc.is_valid(b.column(text_col)),
@@ -1400,10 +1419,11 @@ def sample_mixture(
         batch_format="pyarrow")
 
     def partials(b: pa.Table) -> pa.Table:
-        _, buckets, ntok, srcs = _rank_cols(b)
-        t = pa.table({"src": pa.array(srcs, type=pa.string()),
+        _check_sample_ids(b.column(id_col), "sample_mixture")
+        buckets = _text_buckets(b.column(text_col), prefix_len)
+        t = pa.table({"src": pc.cast(b.column(source_col), pa.string()),
                       "bucket": pa.array(buckets, type=pa.int64()),
-                      "n": pa.array(ntok, type=pa.int64())})
+                      "n": _token_counts(b.column(text_col))})
         g = t.group_by(["src", "bucket"]).aggregate([("n", "sum")])
         return g.rename_columns(["src", "bucket", "n"])
 
@@ -1437,15 +1457,18 @@ def sample_mixture(
         bset = set(boundary.items())
 
         def boundary_rows(b: pa.Table) -> pa.Table:
-            ranks, buckets, ntok, srcs = _rank_cols(b)
-            m = np.asarray([(s, bk) in bset
-                            for s, bk in zip(srcs, buckets)], dtype=bool)
+            dig, buckets = _text_digests(b.column(text_col), prefix_len)
+            src = pc.cast(b.column(source_col), pa.string())
+            m = np.zeros(b.num_rows, dtype=bool)
+            for s, bk in bset:  # |bset| ≤ n_sources: tiny
+                m |= (pc.equal(src, pa.scalar(s)).to_numpy(
+                    zero_copy_only=False) & (buckets == bk))
+            f = b.filter(pa.array(m))
             return pa.table({
-                "src": pa.array([s for s, keep in zip(srcs, m) if keep],
-                                type=pa.string()),
-                "r": pa.array([r for r, keep in zip(ranks, m) if keep],
-                              type=pa.string()),
-                "n": pa.array(ntok[m], type=pa.int64())})
+                "src": pc.cast(f.column(source_col), pa.string()),
+                "r": _rank_strings(dig[m], f.column(id_col),
+                                   "sample_mixture"),
+                "n": _token_counts(f.column(text_col))})
 
         bt: "list[dict]" = []
         for b in member.map_batches(
@@ -1472,14 +1495,23 @@ def sample_mixture(
 
     def final(b: pa.Table) -> pa.Table:
         cut = get_broadcast(ref)
-        ranks, buckets, _, srcs = _rank_cols(b)
-        keep = np.empty(b.num_rows, dtype=bool)
-        for i, (s, bk, r) in enumerate(zip(srcs, buckets, ranks)):
-            if s not in cut:
-                keep[i] = True  # whole source fits its budget
-            else:
-                bd, co = cut[s]
-                keep[i] = bk < bd or (bk == bd and co != "" and r <= co)
+        _check_sample_ids(b.column(id_col), "sample_mixture")
+        dig, buckets = _text_digests(b.column(text_col), prefix_len)
+        src = pc.cast(b.column(source_col), pa.string())
+        # sources absent from cut fit their budget entirely: keep
+        keep = np.ones(b.num_rows, dtype=bool)
+        for s, (bd, co) in cut.items():  # |cut| ≤ n_sources: tiny
+            ms = pc.equal(src, pa.scalar(s)).to_numpy(
+                zero_copy_only=False)
+            keep[ms & (buckets > bd)] = False
+            eq = ms & (buckets == bd)
+            if co == "":
+                keep[eq] = False
+            elif eq.any():
+                ranks = _rank_strings(dig[eq], b.column(id_col).filter(
+                    pa.array(eq)), "sample_mixture")
+                keep[eq] = pc.less_equal(ranks, pa.scalar(co)).to_numpy(
+                    zero_copy_only=False)
         return b.filter(pa.array(keep))
 
     return member.map_batches(final, batch_format="pyarrow")

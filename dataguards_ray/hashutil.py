@@ -105,3 +105,69 @@ def nid64_array(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     prefixed = pc.binary_join_element_wise(
         pa.array(["v:"] * len(s), type=pa.string()), s, "")
     return (fnv1a64_array(prefixed) - np.uint64(1 << 63)).view(np.int64)
+
+
+def _string_buffer_view(arr: "pa.Array | pa.ChunkedArray"):
+    """(offsets int64[n+1], memoryview of the utf-8 data buffer) for a
+    string/binary Arrow array — the raw slices Arrow already holds, so
+    per-row hashing needs no Python string/bytes object per row."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.int64
+    else:
+        raise TypeError(f"need a string/binary array, got {t}")
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return offsets, data
+
+
+def md5_digest_matrix(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """MD5 digest per row of a string/binary array → uint8[n,16],
+    identical to ``hashlib.md5(text.encode()).digest()`` per row (Arrow
+    string payloads ARE the utf-8 bytes).  The loop hashes memoryview
+    slices of the shared data buffer — OpenSSL does the work; no
+    per-row Python string/encode/hexdigest objects.  Null rows hash
+    like empty rows (zero-length slice); mask nulls upstream if they
+    must stay distinct."""
+    import hashlib
+
+    offsets, data = _string_buffer_view(arr)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty((0, 16), dtype=np.uint8)
+    md5 = hashlib.md5
+    o = offsets.tolist()
+    raw = b"".join([md5(data[s:e]).digest() for s, e in zip(o, o[1:])])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(n, 16)
+
+
+def hex_prefix_buckets(dig: np.ndarray, prefix_len: int) -> np.ndarray:
+    """``int(hexdigest[:prefix_len], 16)`` per row from a digest
+    matrix, vectorized — one numpy pass per NIBBLE (prefix_len ≤ 8)."""
+    if not 1 <= prefix_len <= 8:
+        raise ValueError("prefix_len must be in 1..8")
+    out = np.zeros(len(dig), dtype=np.int64)
+    for i in range(prefix_len):
+        byte = dig[:, i // 2].astype(np.int64)
+        nib = (byte >> 4) if i % 2 == 0 else (byte & 15)
+        out = out * 16 + nib
+    return out
+
+
+def md5_hex_array(dig: np.ndarray) -> pa.Array:
+    """Digest matrix → Arrow string array of lowercase 32-char
+    hexdigests (one C hexlify over the whole matrix, no per-row
+    Python)."""
+    import binascii
+
+    if len(dig) == 0:
+        return pa.array([], type=pa.string())
+    hexes = np.frombuffer(binascii.hexlify(
+        np.ascontiguousarray(dig).tobytes()), dtype="S32")
+    return pa.array(hexes.astype("U32"), type=pa.string())

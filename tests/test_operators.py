@@ -3626,3 +3626,34 @@ def test_grouped_agg_fallback_merge_parity():
                 for r in sorted(rs, key=key)]
 
     assert norm(fast) == norm(slow)
+
+
+def test_md5_kernel_parity():
+    """hashutil's buffer-level md5 kernels are bit-identical to
+    hashlib per row (the samplers' DuckDB-parity rank derivation rides
+    them), incl. unicode, empties, sliced and chunked arrays."""
+    import binascii
+    import hashlib
+
+    from dataguards_ray.hashutil import (hex_prefix_buckets,
+                                         md5_digest_matrix, md5_hex_array)
+
+    texts = ["", "a", "ü ünïcode ☃", "x" * 5000,
+             "the quick brown fox"] * 3
+    arr = pa.array(texts)
+    dig = md5_digest_matrix(arr)
+    hexes = md5_hex_array(dig).to_pylist()
+    for i, t in enumerate(texts):
+        h = hashlib.md5(t.encode("utf-8"))
+        assert dig[i].tobytes() == h.digest()
+        assert hexes[i] == h.hexdigest()
+        for p in (1, 2, 3, 4):
+            assert hex_prefix_buckets(dig, p)[i] == int(
+                h.hexdigest()[:p], 16)
+    # zero-copy offset handling: sliced + chunked views hash the same
+    sl = arr.slice(3, 4)
+    assert md5_digest_matrix(sl)[0].tobytes() == hashlib.md5(
+        texts[3].encode()).digest()
+    ch = pa.chunked_array([arr.slice(0, 5), arr.slice(5)])
+    assert (md5_digest_matrix(ch) == dig).all()
+    assert md5_digest_matrix(pa.array([], type=pa.string())).shape == (0, 16)
