@@ -3166,19 +3166,43 @@ def _q_tpch_q7_shape(sf_dir: str):
            if r["s_nationkey"] in nation}
     import ray as _ray
 
-    sup_ref = _ray.put(sup)
-    nat_ref = _ray.put(nation)
+    # broadcast as (sorted keys, name code) numpy pairs: the per-batch
+    # lookup is one searchsorted over the corpus-sized column instead
+    # of a per-row Python dict probe (Q8's np.isin pattern, plus the
+    # name payload as an int8 code into the 2-name dictionary)
+    names_dict = pa.array([nat_a, nat_b], type=pa.string())
+
+    def _lookup_pair(m: dict) -> tuple:
+        keys = np.sort(np.asarray(list(m), dtype=np.int64))
+        codes = np.asarray([0 if m[k] == nat_a else 1 for k in keys],
+                           dtype=np.int8)
+        return keys, codes
+
+    sup_ref = _ray.put(_lookup_pair(sup))
+    nat_ref = _ray.put(_lookup_pair(nation))
+
+    def _code_lookup(col: "pa.ChunkedArray", ref) -> tuple:
+        """(present bool mask over col, matched rows' name StringArray).
+        Null keys count as absent (the dict .get semantics)."""
+        keys, codes = get_broadcast(ref)
+        k = pc.fill_null(pc.cast(col, pa.int64()),
+                         -1).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return np.zeros(len(k), dtype=bool), pa.array(
+                [], type=pa.string())
+        idx = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+        present = keys[idx] == k
+        names = pc.take(names_dict,
+                        pa.array(codes[idx[present]].astype(np.int32)))
+        return present, names
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def prep_c(b: pa.Table) -> pa.Table:
-        nm = get_broadcast(nat_ref)
-        names = [nm.get(k) for k in b.column("c_nationkey").to_pylist()]
-        present = np.asarray([x is not None for x in names], dtype=bool)
+        present, names = _code_lookup(b.column("c_nationkey"), nat_ref)
         return pa.table({
             "o_custkey": b.column("c_custkey").filter(pa.array(present)),
-            "cust_nation": pa.array(
-                [x for x in names if x is not None], type=pa.string())})
+            "cust_nation": names})
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     # tagged-union groupby join (inner): immune to Dataset.join's
@@ -3194,21 +3218,18 @@ def _q_tpch_q7_shape(sf_dir: str):
                 "l_extendedprice", "l_discount"])
 
     def prep_li(b: pa.Table) -> pa.Table:
-        sm = get_broadcast(sup_ref)
         ts = pc.cast(b.column("l_shipdate"), pa.int64())
         keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
                        pc.fill_null(pc.less(ts, hi), False))
         f = b.filter(keep)
-        names = [sm.get(k) for k in f.column("l_suppkey").to_pylist()]
-        present = pa.array([x is not None for x in names], type=pa.bool_())
-        f = f.filter(present)
+        present, names = _code_lookup(f.column("l_suppkey"), sup_ref)
+        f = f.filter(pa.array(present))
         ep = pc.cast(f.column("l_extendedprice"), pa.float64())
         di = pc.cast(f.column("l_discount"), pa.float64())
         rev = pc.multiply(ep, pc.subtract(pa.scalar(1.0, pa.float64()), di))
         return pa.table({
             "o_orderkey": f.column("l_orderkey"),
-            "supp_nation": pa.array(
-                [x for x in names if x is not None], type=pa.string()),
+            "supp_nation": names,
             "l_year": pc.year(pc.cast(f.column("l_shipdate"),
                                       pa.timestamp("us"))),
             "rev_cents": _cents(rev)})
