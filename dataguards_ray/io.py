@@ -52,8 +52,27 @@ def read_pages(path: str, *, columns: list[str] | None = None) -> Dataset:
 
 
 def read_table(sf_dir: str, name: str, *, columns: list[str] | None = None) -> Dataset:
-    """S2: generic reader for the driver test tables."""
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    """S2: generic reader for the driver test tables.
+
+    Small-input fast path: Ray's default parallelism floor (≥ 2×CPUs
+    read tasks) turns a few-MB table into 64 near-empty blocks, and
+    every downstream stage then pays 64 task launches for microseconds
+    of work — measured ~2 s of pure scheduling on a 2 MB table at 32
+    CPUs.  For inputs under 64 MB we size blocks at ~4 MB (min 4);
+    larger inputs keep Ray's own size-based splitting untouched, so the
+    100 TB path is exactly stock Ray Data."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    kw: dict = {}
+    try:
+        sz = os.path.getsize(path) if os.path.isfile(path) else sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path))
+        if sz < 64 << 20:
+            # floor 16 keeps compute-heavy downstream stages (minhash,
+            # perplexity) parallel; 1 MB blocks cap the task count
+            kw["override_num_blocks"] = min(64, max(16, sz >> 20))
+    except OSError:
+        pass
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 def _atomic_write_table(table: pa.Table, path: str) -> None:

@@ -795,10 +795,20 @@ def asof_join(
     right_suffix: str = "_r",
     bucket_us: int | None = None,
     max_summaries: int = 2_000_000,
+    num_buckets: int = 256,
 ) -> Dataset:
     """J4 as-of join: for each left row, the LATEST right row of the same
     key with right.ts ≤ left.ts (backward, inclusive — DuckDB ASOF JOIN
     semantics).  Left rows with no match keep nulls.
+
+    ``num_buckets`` (round-5): the default path groups by
+    ``fnv1a64(key) % num_buckets`` instead of by raw key, and one
+    vectorized kernel handles every key in the bucket (dictionary-
+    encoded key codes + a rank-composite searchsorted) — a corpus with
+    millions of keys pays ``num_buckets`` kernel calls, not millions.
+    Size it so corpus/num_buckets fits a worker's heap (one bucket is
+    materialized per kernel call); the per-key memory bound of the old
+    path becomes a per-bucket bound here.
 
     Implementation (ray_guide as-of pattern): tag sides, union, one
     hash-partitioned ``groupby``; inside each group a numpy
@@ -886,10 +896,62 @@ def asof_join(
     ).union(r_tag.map_batches(lambda b: widen(b, all_cols), batch_format="pyarrow"))
 
     if bucket_us is None:
-        both_k = both.map_batches(
-            lambda b: b.append_column("__ak", _enc_key(b)), batch_format="pyarrow"
-        )
-        return both_k.groupby("__ak").map_groups(kernel, batch_format="pyarrow")
+        from .hashutil import fnv1a64_array
+
+        B = int(num_buckets)
+
+        def add_hb(b: pa.Table) -> pa.Table:
+            ak = _enc_key(b)
+            hb = (fnv1a64_array(ak) % np.uint64(B)).astype(np.int64)
+            return b.append_column("__ak", ak).append_column(
+                "__hb", pa.array(hb, type=pa.int64()))
+
+        def kernel_multi(group: pa.Table) -> pa.Table:
+            """All keys of one hash bucket in one vectorized pass: sort
+            both sides by (key code, ts rank) and one searchsorted over
+            the composite rank finds each left row's backward match —
+            exact per-key semantics, zero per-key Python."""
+            ak = group.column("__ak")
+            if isinstance(ak, pa.ChunkedArray):
+                ak = ak.combine_chunks()
+            codes = ak.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            side = group.column("__side").to_numpy(zero_copy_only=False)
+            ts = pc.cast(group.column(ts_col), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            # composite = code * span + rank(ts): globally sorted by
+            # (key, ts); rank-space keeps it overflow-safe (< n²) and
+            # preserves ts ties exactly (equal rank ⇔ equal ts)
+            uniq_ts = np.unique(ts)
+            comb = codes * np.int64(len(uniq_ts) + 1) + np.searchsorted(
+                uniq_ts, ts)
+            l_idx = np.nonzero(side == 0)[0]
+            r_idx = np.nonzero(side == 1)[0]
+            l_sorted = l_idx[np.argsort(comb[l_idx], kind="stable")]
+            r_sorted = r_idx[np.argsort(comb[r_idx], kind="stable")]
+            if len(r_sorted) == 0:
+                r_take = pa.nulls(len(l_sorted), type=pa.int64())
+            else:
+                pos = np.searchsorted(comb[r_sorted], comb[l_sorted],
+                                      side="right") - 1
+                safe = np.clip(pos, 0, None)
+                # a hit must be the SAME key, not just an earlier code
+                matched = (pos >= 0) & (
+                    codes[r_sorted[safe]] == codes[l_sorted])
+                r_take = pa.array(
+                    np.where(matched, r_sorted[safe], 0).astype(np.int64),
+                    mask=~matched, type=pa.int64())
+            l_take = pa.array(l_sorted.astype(np.int64), type=pa.int64())
+            cols: dict[str, pa.Array] = {}
+            for c in l_cols:
+                cols[c] = pc.take(group.column(c), l_take)
+            for c in r_cols:
+                cols[out_r_cols[c]] = pc.take(group.column(c), r_take)
+            return pa.table(cols)
+
+        both_k = both.map_batches(add_hb, batch_format="pyarrow")
+        return both_k.groupby("__hb").map_groups(
+            kernel_multi, batch_format="pyarrow")
 
     # --- time-range-salted path -------------------------------------------
     def add_bucket(b: pa.Table) -> pa.Table:
