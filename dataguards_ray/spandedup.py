@@ -323,11 +323,42 @@ def losing_spans(
     return occ2_again.map_batches(filt, batch_format="pyarrow")
 
 
+# auto-streaming pivot (span_dedup streaming_discovery=None): estimated
+# occurrence-stream bytes above this pin in the object store no more —
+# recompute-twice instead.  ~a single node's comfortable pin budget; on
+# a multi-node cluster materialize() distributes, but a 100 TB
+# substring stream should never rely on that.
+AUTO_STREAM_PIN_CAP = 32 << 30
+
+
+def _input_file_bytes(ds: Dataset) -> "int | None":
+    """Total bytes of the dataset's input files (parquet metadata only —
+    nothing executes), or None when unknowable (in-memory datasets,
+    remote paths this process can't stat)."""
+    import os
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    tot = 0
+    for f in files:
+        p = f[len("file://"):] if f.startswith("file://") else f
+        if not os.path.isfile(p):
+            return None
+        tot += os.path.getsize(p)
+    return tot
+
+
 def span_dedup(
     docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
     n_sent: int = 3, segmenter=sentence_segments, min_norm_chars: int = 1,
     max_driver_winners: int = 2_000_000, max_broadcast_losers: int = 2_000_000,
-    streaming_discovery: bool = False,
+    streaming_discovery: "bool | None" = None,
+    occ_bytes_factor: float = 2.0,
+    prior_hashes: "Dataset | None" = None,
 ) -> Dataset:
     """Remove duplicated ``n_sent``-sentence spans corpus-wide, keeping
     the first occurrence.  Returns (id_col, text_col, n_spans_removed);
@@ -338,8 +369,26 @@ def span_dedup(
     instead of pinned once in the object store (see losing_spans).
     Identical output; pick it when the occurrence stream is
     corpus-sized — substring mode's one-row-per-token stream at 100 TB —
-    and re-segmenting is cheaper than holding the pin."""
+    and re-segmenting is cheaper than holding the pin.  Default
+    ``None`` = AUTO (round-5): stream when input-file bytes ×
+    ``occ_bytes_factor`` (the mode's occurrence-stream blowup — ~2× for
+    span/line, ~20× for substring's row-per-token) exceeds
+    ``AUTO_STREAM_PIN_CAP``; unknown sizes (in-memory inputs) pin.
+
+    ``prior_hashes`` (round-5, incremental ``--against``): a Dataset
+    with a string column ``h`` of span digests from PRIOR runs' INPUT
+    corpora.  Every occurrence of a prior span in ``docs`` loses
+    (prior occurrences outrank all new ones — exact single-shot
+    equivalence needs INPUT-derived hashes: output-derived ones miss
+    spans removed as surgery collateral and invent spans born at
+    surgery seams).  Probed with a semi-join over the thin occurrence
+    stream — no corpus-sized driver state."""
     from .steps.dedup import get_broadcast
+
+    if streaming_discovery is None:
+        est = _input_file_bytes(docs)
+        streaming_discovery = bool(
+            est is not None and est * occ_bytes_factor > AUTO_STREAM_PIN_CAP)
 
     occ = span_occurrences(docs, id_col=id_col, text_col=text_col,
                            n_sent=n_sent, segmenter=segmenter,
@@ -351,10 +400,21 @@ def span_dedup(
                                     n_sent=n_sent, segmenter=segmenter,
                                     min_norm_chars=min_norm_chars)
     id_type = pa.schema(docs.schema().base_schema).field(id_col).type
-    losers = losing_spans(occ, id_col=id_col,
-                          max_driver_winners=max_driver_winners,
-                          id_type=id_type,
-                          occ_factory=occ_factory).materialize()
+    losers_ds = losing_spans(occ, id_col=id_col,
+                             max_driver_winners=max_driver_winners,
+                             id_type=id_type,
+                             occ_factory=occ_factory)
+    if prior_hashes is not None:
+        from .aggregates import distinct
+        from .joins import semi_join
+
+        probe = occ_factory() if occ_factory is not None else occ
+        prior_l = semi_join(
+            probe, prior_hashes, "h").select_columns([id_col, "start"])
+        # distinct: a span both prior-losing and internally-losing must
+        # count once in n_spans_removed
+        losers_ds = distinct(losers_ds.union(prior_l), [id_col, "start"])
+    losers = losers_ds.materialize()
 
     def _surgery(text, starts):
         segs = segmenter(text)
@@ -470,6 +530,7 @@ def substring_dedup(
     first occurrence — the same frozen overlap rule as C4 span dedup.
     Returns (id_col, text_col, n_spans_removed) where the count is
     losing WINDOWS, not distinct regions."""
+    kwargs.setdefault("occ_bytes_factor", 20.0)  # one occ row per TOKEN
     return span_dedup(docs, id_col=id_col, text_col=text_col, n_sent=window,
                       segmenter=token_segments, min_norm_chars=1, **kwargs)
 

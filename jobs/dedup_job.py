@@ -48,6 +48,13 @@ the fp anti-join), so the union keeps one NULL survivor per run
 run's manifest includes the prior rows, so chains only ever need the
 latest output as --against.
 
+--against also works for span/line/substring (round 5): the manifest is
+the distinct span digests of the run's INPUT corpus (∪ prior manifest;
+``span_params.json`` pins the window geometry and is validated), and
+every new occurrence of a prior span loses via a semi-join over the
+thin occurrence stream — prior-output ∪ new-output text row-equals the
+single-shot run over both corpora (monotone ids across runs).
+
 exact   : hash-partition exact dedup (min-id winner per text fingerprint)
 minhash : MinHash+LSH near-dedup (distributed pair discovery + connected
           components; see dataguards_ray/neardup.py)
@@ -160,7 +167,7 @@ def run_dedup_job(
     against: str | None = None,
     window: int = 50,
     vec_col: str = "embedding",
-    streaming_discovery: bool = False,
+    streaming_discovery: "bool | None" = None,
     resume: bool = False,
     partitions: int = 32,
 ) -> dict:
@@ -260,9 +267,24 @@ def run_dedup_job(
                 "(manifests are written since round 3)")
         return ray.data.read_parquet(d, columns=columns)
 
-    if against and mode not in ("exact", "minhash", "embedding"):
-        raise ValueError(
-            f"--against is only supported for exact/minhash/embedding, not {mode!r}")
+    def _span_params(m: str) -> dict:
+        # the digest geometry an incremental chain must agree on: a
+        # mismatched window/segmenter silently no-ops the cross-run probe
+        return {"mode": m, "window": window if m == "substring" else None}
+
+    def _check_span_params(base: str, m: str) -> None:
+        p = os.path.join(_manifest_dir(base, m), "_span_params.json")
+        if not os.path.isfile(p):
+            raise ValueError(
+                f"--against {base!r}: {m!r} manifest lacks _span_params.json "
+                "(prior run predates incremental span dedup — rerun it)")
+        with open(p) as f:
+            prev = json.load(f)
+        cur = _span_params(m)
+        if prev != cur:
+            raise ValueError(
+                f"--against span-params mismatch: prior run used {prev}, "
+                f"this run has {cur}")
 
     def _rename(d: "ray.data.Dataset", old: str, new: str) -> "ray.data.Dataset":
         if old == new:
@@ -332,22 +354,23 @@ def run_dedup_job(
         else:
             out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
                                     threshold=threshold)
-    elif mode == "span":
-        from dataguards_ray.spandedup import span_dedup
+    elif mode in ("span", "line", "substring"):
+        from dataguards_ray.spandedup import (line_dedup, span_dedup,
+                                              substring_dedup)
 
-        out = span_dedup(ds, text_col=text_col, id_col=id_col,
-                         streaming_discovery=streaming_discovery)
-    elif mode == "line":
-        from dataguards_ray.spandedup import line_dedup
-
-        out = line_dedup(ds, text_col=text_col, id_col=id_col,
-                         streaming_discovery=streaming_discovery)
-    elif mode == "substring":
-        from dataguards_ray.spandedup import substring_dedup
-
-        out = substring_dedup(ds, text_col=text_col, id_col=id_col,
-                              window=window,
-                              streaming_discovery=streaming_discovery)
+        prior_h = None
+        if against:
+            _check_span_params(against, mode)
+            prior_h = _read_manifest(against, mode, columns=["h"])
+        kw = dict(text_col=text_col, id_col=id_col,
+                  streaming_discovery=streaming_discovery,
+                  prior_hashes=prior_h)
+        if mode == "span":
+            out = span_dedup(ds, **kw)
+        elif mode == "line":
+            out = line_dedup(ds, **kw)
+        else:
+            out = substring_dedup(ds, window=window, **kw)
     elif mode == "embedding":
         # cosine near-dup dedup over a list<float> column; discovery
         # prunes internally (select_columns pushdown + auto LSH above
@@ -451,6 +474,45 @@ def run_dedup_job(
             man.write_parquet(man_dir)
         if not has_parquet_files(man_dir):
             _pq.write_table(_EMPTIES[mode], os.path.join(man_dir, "empty.parquet"))
+
+    if mode in ("span", "line", "substring"):
+        # thin incremental manifest: distinct span digests of this run's
+        # INPUT corpus (∪ prior manifest).  INPUT-derived, not
+        # output-derived: surgery collateral removes spans from the
+        # output that must still outrank later runs, and surgery seams
+        # invent spans that never existed (spandedup.span_dedup
+        # docstring) — only input hashes give single-shot equivalence.
+        import pyarrow.parquet as _pq
+
+        from dataguards_ray.aggregates import distinct as _distinct
+        from dataguards_ray.spandedup import (line_segments,
+                                              span_occurrences,
+                                              token_segments)
+
+        man_dir = _manifest_dir(out_dir, mode)
+        shutil.rmtree(man_dir, ignore_errors=True)
+        os.makedirs(man_dir, exist_ok=True)
+        thin = _read_thin()
+        if mode == "span":
+            occm = span_occurrences(thin, id_col=id_col, text_col=text_col,
+                                    n_sent=3)
+        elif mode == "line":
+            occm = span_occurrences(thin, id_col=id_col, text_col=text_col,
+                                    n_sent=1, segmenter=line_segments,
+                                    min_norm_chars=15)
+        else:
+            occm = span_occurrences(thin, id_col=id_col, text_col=text_col,
+                                    n_sent=window, segmenter=token_segments,
+                                    min_norm_chars=1)
+        man = occm.select_columns(["h"])
+        if against:
+            man = man.union(_read_manifest(against, mode, columns=["h"]))
+        _distinct(man, ["h"]).write_parquet(man_dir)
+        if not has_parquet_files(man_dir):
+            _pq.write_table(pa.table({"h": pa.array([], type=pa.string())}),
+                            os.path.join(man_dir, "empty.parquet"))
+        _atomic_write_json(_span_params(mode),
+                           os.path.join(man_dir, "_span_params.json"))
 
     res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
            "dropped_rows": n_in - n_out}
@@ -704,7 +766,9 @@ def main() -> int:
                         id_col=args.id_col, against=args.against,
                         window=args.window, vec_col=args.vec_col,
                         resume=args.resume, partitions=args.partitions,
-                        streaming_discovery=args.streaming_discovery)
+                        # flag → force streaming; absent → auto (None)
+                        streaming_discovery=(True if args.streaming_discovery
+                                             else None))
     res["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     ray.shutdown()

@@ -3657,3 +3657,111 @@ def test_md5_kernel_parity():
     ch = pa.chunked_array([arr.slice(0, 5), arr.slice(5)])
     assert (md5_digest_matrix(ch) == dig).all()
     assert md5_digest_matrix(pa.array([], type=pa.string())).shape == (0, 16)
+
+
+def test_incremental_span_dedup_against_prior(tmp_path):
+    """Round-5: --against for span/line/substring.  With monotone ids,
+    prior-output + incremental-output must row-equal (ids, text bytes,
+    n_spans_removed) the single-shot run over both corpora."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    # sentence-shaped texts so span mode (3-sentence windows) engages;
+    # shared blocks cross corpora and within each corpus
+    blk_a = ("First shared sentence one.\nSecond shared sentence two.\n"
+             "Third shared sentence three.\n")
+    blk_b = ("Unique opener for doc %d.\nAnother line of text here.\n"
+             "Closing thought number %d.\n")
+    corpus_a = [
+        {"doc_id": 1, "text": blk_a * 3 + blk_b % (1, 1)},
+        {"doc_id": 2, "text": blk_b % (2, 2) + blk_a * 2},  # internal dup
+        {"doc_id": 3, "text": blk_b % (3, 3) * 2},
+    ]
+    corpus_b = [
+        {"doc_id": 11, "text": blk_a + blk_b % (11, 11)},   # cross-run dup
+        {"doc_id": 12, "text": blk_b % (12, 12) * 3},       # internal dup
+        {"doc_id": 13, "text": "totally fresh material here. " * 8},
+    ]
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+        return str(d)
+
+    src_a = write(corpus_a, "a")
+    src_b = write(corpus_b, "b")
+    src_ab = write(corpus_a + corpus_b, "ab")
+
+    def rows_of(out_dir):
+        return sorted(
+            (r["doc_id"], r["text"], r["n_spans_removed"])
+            for r in ray.data.read_parquet(out_dir).take_all())
+
+    for mode in ("span", "line", "substring"):
+        kw = {"window": 6} if mode == "substring" else {}
+        out_a = str(tmp_path / f"{mode}_outa")
+        out_b = str(tmp_path / f"{mode}_outb")
+        out_s = str(tmp_path / f"{mode}_outs")
+        run_dedup_job(src_a, out_a, mode=mode, **kw)
+        res = run_dedup_job(src_b, out_b, mode=mode, against=out_a, **kw)
+        run_dedup_job(src_ab, out_s, mode=mode, **kw)
+        assert rows_of(out_a) + rows_of(out_b) == rows_of(out_s), mode
+        assert res["against"] == out_a
+        # the incremental run really removed cross-run spans
+        assert res["spans_removed"] > 0, mode
+
+        # chaining: C against B's output alone must still know corpus A
+        corpus_c = [{"doc_id": 21, "text": blk_a + "tail only here. "},
+                    {"doc_id": 22, "text": "never seen text at all. " * 6}]
+        src_c = write(corpus_c, f"{mode}_c")
+        out_c = str(tmp_path / f"{mode}_outc")
+        run_dedup_job(src_c, out_c, mode=mode, against=out_b, **kw)
+        src_abc = write(corpus_a + corpus_b + corpus_c, f"{mode}_abc")
+        out_sc = str(tmp_path / f"{mode}_outsc")
+        run_dedup_job(src_abc, out_sc, mode=mode, **kw)
+        assert (rows_of(out_a) + rows_of(out_b) + rows_of(out_c)
+                == rows_of(out_sc)), mode
+
+    # window geometry is pinned: resuming the chain with a different
+    # substring window fails loudly instead of silently no-opping
+    with pytest.raises(ValueError, match="span-params mismatch"):
+        run_dedup_job(src_b, str(tmp_path / "w_out"), mode="substring",
+                      window=9, against=str(tmp_path / "substring_outa"))
+
+
+def test_span_dedup_auto_streaming_parity(tmp_path, monkeypatch):
+    """Round-5 auto-switch: with the pin cap forced tiny, the default
+    (auto) path streams (recompute-twice) and its output byte-equals
+    the pinned path; in-memory inputs (unknown size) stay pinned."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dataguards_ray import spandedup
+
+    rows = [{"doc_id": i,
+             "text": (f"alpha beta gamma {i % 4}. second sentence here. "
+                      f"third sentence too. ") * 3}
+            for i in range(40)]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+
+    ds = ray.data.read_parquet(str(src))
+    est = spandedup._input_file_bytes(ds)
+    assert est is not None and est > 0
+    assert spandedup._input_file_bytes(ray.data.from_items([{"a": 1}])) is None
+
+    pinned = sorted(
+        (r["doc_id"], r["text"], r["n_spans_removed"])
+        for r in spandedup.span_dedup(
+            ray.data.read_parquet(str(src)),
+            streaming_discovery=False).take_all())
+    monkeypatch.setattr(spandedup, "AUTO_STREAM_PIN_CAP", 1)
+    auto = sorted(
+        (r["doc_id"], r["text"], r["n_spans_removed"])
+        for r in spandedup.span_dedup(
+            ray.data.read_parquet(str(src))).take_all())
+    assert auto == pinned
