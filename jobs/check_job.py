@@ -30,12 +30,28 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _cfg_token(cfg: "str | dict | list") -> str:
+    """Stable identity of a rule config for resume validation: file
+    configs hash their CONTENT (same path, edited rules → mismatch)."""
+    import hashlib
+
+    if isinstance(cfg, str):
+        if os.path.isfile(cfg):
+            with open(cfg, "rb") as f:
+                return "md5:" + hashlib.md5(f.read()).hexdigest()
+        return cfg
+    return json.dumps(cfg, sort_keys=True)
+
+
 def run_check_job(
     input_path: str,
     rules_cfg: "str | dict | list",
     *,
     out_dir: str | None = None,
     violations_only: bool = False,
+    id_col: str | None = None,
+    partitions: int = 64,
+    resume: bool = False,
 ) -> dict:
     import pyarrow as pa
     import ray
@@ -45,30 +61,60 @@ def run_check_job(
     from dataguards_ray.rules.dsl import violation_report
 
     assert ray.is_initialized(), "caller owns the Ray session"
-    if out_dir and os.path.isdir(out_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(out_dir)
-    ):
-        raise ValueError(
-            f"out_dir {out_dir!r} already contains parquet files; "
-            "use a clean directory")
 
     ruleset = rules_from_config(rules_cfg)
     ds = ray.data.read_parquet(input_path)
     annotated = ruleset.evaluate(ds)
 
-    if out_dir:
-        to_write = annotated
+    def _annot(d: "ray.data.Dataset") -> "ray.data.Dataset":
+        a = ruleset.evaluate(d)
         if violations_only:
             def only_bad(b: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
                 return b.filter(pc.invert(b.column("keep")))
 
-            to_write = annotated.map_batches(only_bad, batch_format="pyarrow")
-        to_write.write_parquet(out_dir)
-        n_rows = ds.count()
-        from dataguards_ray.io import has_parquet_files
+            a = a.map_batches(only_bad, batch_format="pyarrow")
+        return a
 
+    if out_dir:
+        from dataguards_ray.io import (has_parquet_files,
+                                       write_partitioned_resumable)
+
+        schema_names = list(pa.schema(ds.schema().base_schema).names)
+        idc = id_col or next(
+            (c for c in ("doc_id", "id", "url") if c in schema_names), None)
+        n_rows = ds.count()
+        if idc is not None:
+            # resumable partitioned write (round-5, VERDICT item #7).
+            # Row-LOCAL rulesets evaluate inside the per-partition
+            # transform, so a resume skips finished partitions' rule
+            # compute too; corpus-global rules (unique / inclusion)
+            # must see the whole corpus, so they evaluate upstream and
+            # resume skips only the write.
+            row_local_only = all(r.row_local for r in ruleset.rules)
+            params = {"op": "check", "input": input_path,
+                      "rules": _cfg_token(rules_cfg),
+                      "violations_only": violations_only}
+            if row_local_only:
+                write_partitioned_resumable(
+                    ds, out_dir, id_col=idc, partitions=partitions,
+                    params=params, resume=resume, transform=_annot)
+            else:
+                write_partitioned_resumable(
+                    _annot(ds), out_dir, id_col=idc, partitions=partitions,
+                    params=params, resume=resume)
+        else:
+            # no id-shaped column to key partitions on: one-shot write
+            if resume:
+                raise ValueError(
+                    "--resume needs an id column to key partitions "
+                    "(pass --id-col)")
+            if os.path.isdir(out_dir) and has_parquet_files(out_dir):
+                raise ValueError(
+                    f"out_dir {out_dir!r} already contains parquet files; "
+                    "use a clean directory")
+            _annot(ds).write_parquet(out_dir)
         os.makedirs(out_dir, exist_ok=True)
         if not has_parquet_files(out_dir):
             # clean data + --violations-only: Ray writes NOTHING for an
@@ -101,6 +147,12 @@ def main() -> int:
                          "entry in --rules; either flag suffices)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--violations-only", action="store_true")
+    ap.add_argument("--id-col", default=None,
+                    help="partition-key column for the resumable --out "
+                         "layout (auto: doc_id/id/url)")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a killed --out run (same arguments)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -127,7 +179,9 @@ def main() -> int:
 
     t0 = time.time()
     res = run_check_job(args.input, rules_cfg, out_dir=args.out,
-                        violations_only=args.violations_only)
+                        violations_only=args.violations_only,
+                        id_col=args.id_col, partitions=args.partitions,
+                        resume=args.resume)
     res["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     ray.shutdown()

@@ -18,13 +18,15 @@ All modes stream: read → operator → partitioned parquet write; nothing
 corpus-sized on the driver.  Sampling is hash-deterministic
 (parallelism- and rerun-invariant), never ds.random_sample.
 
-Decontamination's OUTPUT is corpus-sized (sampling outputs are
-budget-bound), so it writes through
-``io.write_partitioned_resumable``: deterministic id-hash partition
-files + per-partition ``_lineage`` manifests; ``--resume`` skips
-finished partitions BEFORE the n-gram probe and the write shuffle, and
-resumed output is byte-equal per partition to a single-shot run
-(test_decontaminate_job_kill_and_resume).
+Every mode writes through ``io.write_partitioned_resumable`` (round 5):
+deterministic id-hash partition files + per-partition ``_lineage``
+manifests, and ``--resume`` continues a killed run byte-equal to
+single-shot.  Decontaminate additionally skips the n-gram PROBE for
+finished partitions (membership is per-row); the samplers' membership
+is a global function of the corpus, so a resume recomputes the eager
+thin passes (bucket partials + boundary resolve — cheap) and skips
+only the finished partitions' write
+(test_decontaminate_job_kill_and_resume, test_sample_job_kill_and_resume).
 """
 
 from __future__ import annotations
@@ -109,11 +111,11 @@ def main() -> int:
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--drop", action="store_true")
     ap.add_argument("--resume", action="store_true",
-                    help="decontaminate only: continue a killed run "
-                         "(same arguments) — finished partitions skip "
-                         "both the probe and the write")
+                    help="continue a killed run (same arguments): "
+                         "finished partitions skip the write — and, for "
+                         "decontaminate, the n-gram probe too")
     ap.add_argument("--partitions", type=int, default=64,
-                    help="decontaminate only: output partition count")
+                    help="output partition count (resumable layout)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -146,18 +148,24 @@ def main() -> int:
         ray.shutdown()
         return 0
     if args.mode == "hash":
-        import hashlib
-
+        import numpy as np
         import pyarrow as pa
 
         thresh = int(args.frac * 1000)
 
         def f(b: pa.Table) -> pa.Table:
-            mask = [
-                t is not None
-                and int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1000 < thresh
-                for t in b.column(args.text_col).to_pylist()
-            ]
+            # int(md5(text)[:8], 16) == big-endian uint32 of the first 4
+            # digest bytes — buffer-level kernel, no per-row Python
+            from dataguards_ray.hashutil import md5_digest_matrix
+
+            col = b.column(args.text_col)
+            dig = md5_digest_matrix(col)
+            v = dig[:, :4].astype(np.uint64)
+            h32 = (v[:, 0] << 24) | (v[:, 1] << 16) | (v[:, 2] << 8) | v[:, 3]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            mask = valid & ((h32 % 1000) < thresh)
             return b.filter(pa.array(mask, type=pa.bool_()))
 
         out = ds.map_batches(f, batch_format="pyarrow")
@@ -198,10 +206,23 @@ def main() -> int:
         order = args.order_col or args.id_col
         out = stratified_sample(ds, args.key, args.n_per_group,
                                 [(order, True), (args.id_col, True)])
-        op = f"stratified({args.key}, n={args.n_per_group})"
+        op = (f"stratified({args.key}, n={args.n_per_group}, "
+              f"order={order})")
 
-    out.write_parquet(args.out_dir)
-    n_out = ray.data.read_parquet(args.out_dir).count()
+    # resumable partitioned write (round-5, VERDICT item #7).  Sample
+    # MEMBERSHIP is a pure deterministic function of the full input
+    # corpus (hash/rank/seeded-Gumbel — never random_sample), and the
+    # samplers' global passes (bucket partials, boundary resolve) run
+    # eagerly over the FULL corpus before this lazy write, so a resumed
+    # run recomputes the same membership and skips only the finished
+    # partitions' write — byte-equal to single-shot (tests).
+    from dataguards_ray.io import write_partitioned_resumable
+
+    n_out = write_partitioned_resumable(
+        out, args.out_dir, id_col=args.id_col, partitions=args.partitions,
+        params={"op": "sample", "input": args.input, "spec": op,
+                "text_col": args.text_col, "id_col": args.id_col},
+        resume=args.resume)
     print(json.dumps({"op": op, "input_rows": n_in, "output_rows": n_out,
                       "seconds": round(time.time() - t0, 2)}))
     ray.shutdown()
