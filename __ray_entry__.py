@@ -1640,15 +1640,17 @@ def _q_multimodal_audio(sf_dir: str):
 
 
 def _q_multimodal_frames(sf_dir: str):
-    """Video plumbing: doc_id-seeded FAKEVID blobs → actor-pool frame
-    sampling (flat explode: one row per kept frame; rows-only)."""
-    from dataguards_ray.multimodal import encode_fake_video, sample_frames
+    """Video: doc_id-seeded REAL AVI-MJPEG blobs (baseline JPEG frames
+    in a RIFF container, both pure-numpy codecs) → actor-pool frame
+    sampling (flat explode: one row per kept frame) → real JPEG decode
+    (rows-only)."""
+    from dataguards_ray.multimodal import encode_mjpeg_video, sample_frames
 
     ds = _read(sf_dir, "documents", ["doc_id"]).limit(100)
 
     def make(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_pylist()
-        blobs = [encode_fake_video(8, 6, 6, seed=int(i)) for i in ids]
+        blobs = [encode_mjpeg_video(8, 6, 6, seed=int(i)) for i in ids]
         return pa.table(
             {"vid_id": pc.cast(b.column("doc_id"), pa.int64()),
              "video": pa.array(blobs, type=pa.binary())}

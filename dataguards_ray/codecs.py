@@ -718,3 +718,226 @@ def decode_wav(blob: bytes) -> "tuple[int, np.ndarray]":
     if channels and channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return rate, x
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG ENCODER (round 5) — grayscale, sequential, flat quant.
+# Self-derived: the Huffman tables are built per image as fixed-8-bit
+# canonical codes over the symbols actually used (valid per T.81 —
+# bits[8]=N, vals in order; the decoder reconstructs codes 0..N-1), so
+# no spec constant tables are needed.  Compression ratio is not the
+# point; well-formed real JPEG bytes for the MJPEG video path are.
+# ---------------------------------------------------------------------------
+
+_ZZ_ORDER = None
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural index per zigzag position, derived from the diagonal
+    walk (same derivation as the decoder's table)."""
+    global _ZZ_ORDER
+    if _ZZ_ORDER is None:
+        zz = []
+        for s in range(15):
+            d = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+            zz.extend(d[::-1] if s % 2 == 0 else d)
+        _ZZ_ORDER = np.array([y * 8 + x for y, x in zz], dtype=np.int64)
+    return _ZZ_ORDER
+
+
+def _dct_mat() -> np.ndarray:
+    u = np.arange(8)
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    m = 0.5 * c[:, None] * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    return m
+
+
+def _cat(v: np.ndarray) -> np.ndarray:
+    """JPEG magnitude category per value (bits needed for |v|)."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    a = np.abs(v)
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def done(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per T.81
+        return bytes(self.out)
+
+
+def encode_jpeg_gray(px: np.ndarray, q: int = 1) -> bytes:
+    """HxW uint8 → baseline sequential grayscale JPEG (flat quant
+    ``q``; q=1 is near-lossless up to DCT rounding).  Verified by
+    round-trip through this module's own T.81 decoder (which is itself
+    pinned against an independent in-test encoder)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.pad(px.astype(np.float64) - 128.0,
+                 ((0, ph - h), (0, pw - w)), mode="edge")
+    m = _dct_mat()
+    # blockwise 2-D DCT: reshape to (by, 8, bx, 8) and tensordot
+    blocks = img.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,byxv,wv->byuw", m, blocks, m)
+    qc = np.round(coef / float(q)).astype(np.int64)
+    zz = _zigzag_order()
+    flat = qc.reshape(-1, 64)[:, zz]  # zigzag per block, raster order
+
+    # symbol streams
+    dc = flat[:, 0]
+    diffs = np.diff(np.concatenate([[0], dc]))
+    dc_cats = _cat(diffs)
+
+    def _vbits(v: int, s: int) -> int:
+        return v if v >= 0 else v + (1 << s) - 1
+
+    ac_syms: "list[int]" = []
+    per_block: "list[list[tuple[int, int, int]]]" = []
+    for bi in range(flat.shape[0]):
+        row = flat[bi]
+        ops: "list[tuple[int, int, int]]" = []
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(row[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append((0xF0, 0, 0))
+                run -= 16
+            s = int(_cat(np.array([v]))[0])
+            ops.append(((run << 4) | s, _vbits(v, s), s))
+            run = 0
+        if last_nz < 63:
+            ops.append((0x00, 0, 0))  # EOB
+        per_block.append(ops)
+        ac_syms.extend(sym for sym, _, _ in ops)
+
+    def _fixed8_table(symbols: "list[int]") -> "tuple[bytes, dict]":
+        vals = sorted(set(symbols))
+        if len(vals) > 255:
+            raise ValueError("too many Huffman symbols")  # unreachable
+        bits = [0] * 16
+        bits[7] = len(vals)  # every code 8 bits, canonical 0..N-1
+        enc = {s: (i, 8) for i, s in enumerate(vals)}
+        return bytes(bits) + bytes(vals), enc
+
+    dc_tbl, dc_enc = _fixed8_table([int(c) for c in dc_cats])
+    ac_tbl, ac_enc = _fixed8_table(ac_syms if ac_syms else [0x00])
+
+    wtr = _BitWriter()
+    for bi in range(flat.shape[0]):
+        s = int(dc_cats[bi])
+        code, ln = dc_enc[s]
+        wtr.put(code, ln)
+        if s:
+            wtr.put(_vbits(int(diffs[bi]), s), s)
+        for sym, vb, vs in per_block[bi]:
+            code, ln = ac_enc[sym]
+            wtr.put(code, ln)
+            if vs:
+                wtr.put(vb, vs)
+    entropy = wtr.done()
+
+    qt = np.ones(64, dtype=np.uint8) * np.uint8(q)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xDB, b"\x00" + qt.tobytes())  # DQT, table 0, 8-bit
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + dc_tbl)  # DHT DC table 0
+    out += seg(0xC4, b"\x10" + ac_tbl)  # DHT AC table 0
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"  # EOI
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) MJPEG container: demuxer + minimal muxer (round 5).
+# Each '##dc'/'##db' chunk of the 'movi' list is one standalone JPEG
+# image (the MJPEG convention); 'rec ' sub-lists are descended.
+# ---------------------------------------------------------------------------
+
+
+def iter_avi_mjpeg_frames(blob: bytes):
+    """Yield each video-frame payload (JPEG bytes) of an AVI container
+    in stream order.  Raises ValueError for non-AVI input; frames that
+    omit Huffman tables (some hardware MJPEG writers) fail later in
+    decode_jpeg — table-less MJPEG is not supported."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF 'AVI ') container")
+    end = min(len(blob), 8 + int.from_bytes(blob[4:8], "little"))
+
+    def walk(off: int, stop: int):
+        while off + 8 <= stop:
+            four = blob[off:off + 4]
+            size = int.from_bytes(blob[off + 4:off + 8], "little")
+            body = off + 8
+            if four == b"LIST" and size >= 4:
+                ltype = blob[body:body + 4]
+                if ltype in (b"movi", b"rec "):
+                    yield from walk(body + 4, body + size)
+            elif (four[2:4] in (b"dc", b"db") and four[:2].isdigit()):
+                yield blob[body:body + size]
+            off = body + size + (size & 1)
+
+    yield from walk(12, end)
+
+
+def encode_avi_mjpeg(frames: "list[bytes]", w: int, h: int,
+                     fps: int = 10) -> bytes:
+    """Minimal standards-shaped AVI-MJPEG muxer (fixtures + tests):
+    RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh, strf } },
+    LIST movi { 00dc … }, idx1 }."""
+    def chunk(four: bytes, data: bytes) -> bytes:
+        return (four + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    n = len(frames)
+    maxb = max((len(f) for f in frames), default=0)
+    avih = struct.pack("<14I", 1_000_000 // fps, maxb * fps, 0, 0x10,
+                       n, 0, 1, maxb, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                          maxb, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_chunks)
+    idx = bytearray()
+    off = 4  # per convention: offset of the chunk fourcc from 'movi'
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body

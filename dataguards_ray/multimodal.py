@@ -190,11 +190,35 @@ def encode_fake_video(w: int, h: int, n_frames: int, seed: int) -> bytes:
     return b"".join(out)
 
 
+def encode_mjpeg_video(w: int, h: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic REAL video fixture (round 5): seeded grayscale
+    gradient frames, baseline-JPEG-encoded (codecs.encode_jpeg_gray)
+    and muxed into an AVI-MJPEG container (codecs.encode_avi_mjpeg) —
+    the whole video path exercises real parsers end to end."""
+    from .codecs import encode_avi_mjpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (h, w)).astype(np.int64)
+    frames = [
+        encode_jpeg_gray(((base + 11 * i) % 256).astype(np.uint8))
+        for i in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, w, h)
+
+
 def _iter_video_frames(blob: bytes):
+    if blob is not None and blob[:4] == b"RIFF":
+        # real AVI container: each movi '##dc' chunk is one JPEG frame
+        from .codecs import iter_avi_mjpeg_frames
+
+        yield from iter_avi_mjpeg_frames(blob)
+        return
     if blob is None or not blob.startswith(VIDEO_MAGIC):
         raise NotImplementedError(
-            "real video demuxers are not available in this container; only "
-            "the FAKEVID fixture format is decodable"
+            "unsupported video container: AVI-MJPEG demuxes real "
+            "(codecs.iter_avi_mjpeg_frames); MP4/MKV/etc. need external "
+            "codecs, absent from this container; the FAKEVID fixture "
+            "format also decodes"
         )
     head = blob[len(VIDEO_MAGIC):]
     n_s, rest = head.split(b"|", 1)

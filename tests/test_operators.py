@@ -3765,3 +3765,93 @@ def test_span_dedup_auto_streaming_parity(tmp_path, monkeypatch):
         for r in spandedup.span_dedup(
             ray.data.read_parquet(str(src))).take_all())
     assert auto == pinned
+
+
+def test_codecs_jpeg_encoder_roundtrip():
+    """Round-5 baseline JPEG ENCODER: bit-exact round-trip through the
+    (independently verified) decoder at flat quant 1, incl. non-multiple
+    -of-8 dims; q>1 stays within quantization tolerance."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(11)
+    for h, w in ((24, 40), (17, 23), (8, 8), (1, 1), (9, 64)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        gray = ((yy * 4 + xx * 3) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_gray(gray))
+        assert out.shape == (h, w)
+        assert np.abs(out.astype(int) - gray.astype(int)).max() <= 1, (h, w)
+    noisy = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(noisy, q=4))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 4 * 8
+
+
+def test_codecs_avi_mjpeg_demux():
+    """AVI-MJPEG mux → demux yields the exact frame bytes; decoded
+    frames match the known-good source arrays; 'rec '-grouped and
+    padded (odd-size) chunks demux too; non-AVI raises."""
+    import struct
+
+    import numpy as np
+
+    from dataguards_ray.codecs import (decode_jpeg, encode_avi_mjpeg,
+                                       encode_jpeg_gray,
+                                       iter_avi_mjpeg_frames)
+
+    yy, xx = np.mgrid[0:12, 0:16]
+    srcs = [((yy * 3 + xx * 5 + 17 * i) % 256).astype(np.uint8)
+            for i in range(5)]
+    frames = [encode_jpeg_gray(s) for s in srcs]
+    avi = encode_avi_mjpeg(frames, 16, 12, fps=5)
+    back = list(iter_avi_mjpeg_frames(avi))
+    assert back == frames
+    for s, f in zip(srcs, back):
+        assert np.abs(decode_jpeg(f).astype(int) - s.astype(int)).max() <= 1
+
+    # hand-build a movi with a 'rec ' group and an audio chunk to skip
+    def chunk(four, data):
+        return four + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b"")
+
+    movi_body = (b"movi" + chunk(b"01wb", b"AUDIO") +
+                 chunk(b"LIST", b"rec " + chunk(b"00dc", frames[0])) +
+                 chunk(b"00db", frames[1]))
+    body = b"AVI " + chunk(b"LIST", movi_body)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert list(iter_avi_mjpeg_frames(blob)) == [frames[0], frames[1]]
+
+    with pytest.raises(ValueError, match="AVI"):
+        list(iter_avi_mjpeg_frames(b"\x00\x01\x02\x03" * 8))
+
+
+def test_multimodal_real_video_frames(ray_session):
+    """End-to-end real video path: AVI-MJPEG fixture → sample_frames
+    actor pool (every 2nd frame) → real JPEG decode; frame pixel means
+    match the deterministic source arrays."""
+    import numpy as np
+    import ray.data
+
+    from dataguards_ray.codecs import decode_jpeg
+    from dataguards_ray.multimodal import (decode_images,
+                                           encode_mjpeg_video,
+                                           sample_frames)
+
+    rows = [{"vid_id": i, "video": encode_mjpeg_video(8, 6, 6, seed=i)}
+            for i in range(4)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    frames = sample_frames(ds, every_k=2)
+    got = frames.take_all()
+    assert len(got) == 4 * 3  # 6 frames, every 2nd
+    assert sorted({r["frame_idx"] for r in got}) == [0, 2, 4]
+    # decoded mean matches recomputing the source frame directly
+    r0 = next(r for r in got if r["vid_id"] == 2 and r["frame_idx"] == 2)
+    rng = np.random.RandomState(2)
+    base = rng.randint(0, 256, (6, 8)).astype(np.int64)
+    src = ((base + 11 * 2) % 256).astype(np.uint8)
+    dec_px = decode_jpeg(bytes(r0["image"]))
+    assert dec_px.shape == src.shape
+    # q=1 is near-lossless: random noise rounds within ±2 through DCT
+    assert np.abs(dec_px.astype(int) - src.astype(int)).max() <= 2
+    dec = decode_images(frames).take_all()
+    assert len(dec) == 12 and all("mean_px" in r for r in dec)
