@@ -10,7 +10,11 @@ The container has no PIL/libav, but several real formats need neither:
   hierarchical / 12-bit raise)
 - BMP  (uncompressed 24-bit BGR and 8-bit palette, bottom-up or top-down)
 - PPM/PGM (binary P6/P5)
+- GIF  (87a/89a: LZW, interlace, transparency, full animation
+  compositing with disposal none/background/previous — round 5)
 - WAV  (PCM16/PCM8, mono or interleaved multichannel → mono mean)
+- AVI-MJPEG (RIFF demux to per-frame JPEG + minimal muxer — round 5),
+  plus a baseline grayscale JPEG ENCODER for real video fixtures
 
 Color images reduce to luminance (ITU-R BT.601: 0.299 R + 0.587 G +
 0.114 B) because every downstream stage consumes grayscale; alpha is
@@ -678,6 +682,8 @@ def decode_image(blob: bytes) -> "tuple[int, int, np.ndarray]":
             fmt, px = "PPM", decode_ppm(blob)
         elif blob[:2] == b"\xff\xd8":
             fmt, px = "JPEG", decode_jpeg(blob)
+        elif blob[:6] in (b"GIF87a", b"GIF89a"):
+            fmt, px = "GIF", decode_gif(blob)
         else:
             raise ValueError("unsupported image format")
     except NotImplementedError:
@@ -941,3 +947,166 @@ def encode_avi_mjpeg(frames: "list[bytes]", w: int, h: int,
         off += 8 + len(f) + (len(f) & 1)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) decoder: LZW + frame compositing (round 5).
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
+    """GIF-flavor LZW: LSB-first variable-width codes, clear/EOI,
+    dictionary to 4096 entries.  Returns uint8 palette indices[npix]."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(npix, dtype=np.uint8)
+    n_out = 0
+    # code reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    codesize = min_code_size + 1
+    table: "list[bytes]" = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: "bytes | None" = None
+    while n_out < npix:
+        while nbits < codesize:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << codesize) - 1)
+        acc >>= codesize
+        nbits -= codesize
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            codesize = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: invalid LZW code")
+        take = min(len(entry), npix - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << codesize) and codesize < 12:
+            codesize += 1
+    if n_out < npix:
+        raise ValueError("GIF: LZW stream ended early")
+    return out
+
+
+def _gif_subblocks(blob: bytes, i: int) -> "tuple[bytes, int]":
+    parts = []
+    while True:
+        if i >= len(blob):
+            raise ValueError("GIF: truncated sub-blocks")
+        n = blob[i]
+        i += 1
+        if n == 0:
+            break
+        parts.append(blob[i:i + n])
+        i += n
+    return b"".join(parts), i
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def iter_gif_frames(blob: bytes):
+    """Yield each animation frame as a fully-COMPOSITED HxW uint8
+    grayscale array (logical-screen canvas; disposal methods none/keep,
+    restore-background, restore-previous; transparency honored)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _ = struct.unpack("<HHBBB", blob[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob[i:i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    if gct is not None and bg_idx < len(gct):
+        bg = gct[bg_idx].astype(np.uint8)
+    else:
+        bg = np.zeros(3, dtype=np.uint8)
+    canvas = np.tile(bg, (sh, sw, 1))
+    transparent = None
+    disposal = 0
+    while i < len(blob):
+        b0 = blob[i]
+        if b0 == 0x3B:  # trailer
+            return
+        if b0 == 0x21:  # extension
+            label = blob[i + 1]
+            if label == 0xF9:  # graphic control
+                sz = blob[i + 2]
+                gflags = blob[i + 3]
+                disposal = (gflags >> 2) & 7
+                transparent = blob[i + 6] if (gflags & 1) else None
+                i += 2 + 1 + sz
+                if blob[i] != 0:
+                    raise ValueError("GIF: bad GCE terminator")
+                i += 1
+            else:  # comment / app / plain text: skip sub-blocks
+                i += 2
+                _, i = _gif_subblocks(blob, i)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+        fx, fy, fw, fh, lflags = struct.unpack("<HHHHB", blob[i + 1:i + 10])
+        i += 10
+        pal = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            pal = np.frombuffer(blob[i:i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no palette for frame")
+        mcs = blob[i]
+        i += 1
+        data, i = _gif_subblocks(blob, i)
+        idx = _gif_lzw(data, mcs, fw * fh).reshape(fh, fw)
+        if lflags & 0x40:  # interlaced: reorder rows
+            de = np.empty_like(idx)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, fh, step)
+                for y in rows:
+                    de[y] = idx[r]
+                    r += 1
+            idx = de
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        px = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = px[opaque]
+        else:
+            region[...] = px
+        yield _to_gray(canvas)
+        if disposal == 2:
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+        elif disposal == 3:
+            canvas = saved
+        disposal = 0
+        transparent = None
+    raise ValueError("GIF: missing trailer")
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First composited frame as HxW uint8 grayscale (the still-image
+    view of an animation)."""
+    for frame in iter_gif_frames(blob):
+        return frame
+    raise ValueError("GIF: no image data")

@@ -3855,3 +3855,120 @@ def test_multimodal_real_video_frames(ray_session):
     assert np.abs(dec_px.astype(int) - src.astype(int)).max() <= 2
     dec = decode_images(frames).take_all()
     assert len(dec) == 12 and all("mean_px" in r for r in dec)
+
+
+def _gif_bytes(frames, palette, sw=None, sh=None, *, bg=0, gce=None,
+               interlace_frame=None):
+    """Minimal GIF89a writer for tests — independent of the decoder:
+    literal LZW (a CLEAR code before every pixel code keeps every code
+    a root, codesize fixed), global palette, optional per-frame GCE
+    (disposal, transparency) and interlace flag.
+
+    frames: list of (x, y, 2-D index array); gce: list of
+    (disposal, transparent_idx|None) per frame."""
+    import struct
+
+    import numpy as np
+
+    mcs = max(2, int(np.ceil(np.log2(len(palette)))))
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    cs = mcs + 1
+
+    def lzw_literal(idx):
+        acc = 0
+        nb = 0
+        out = bytearray()
+
+        def put(code):
+            nonlocal acc, nb
+            acc |= code << nb
+            nb += cs
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        put(clear)
+        for v in idx.flatten():
+            put(int(v))
+            put(clear)  # dictionary never grows; codesize stays fixed
+        put(eoi)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    sw = sw or max(x + a.shape[1] for x, _, a in frames)
+    sh = sh or max(y + a.shape[0] for _, y, a in frames)
+    pbits = mcs - 1
+    head = (b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | pbits, bg, 0)
+            + b"".join(bytes(c) for c in palette)
+            + b"\x00" * (3 * ((2 << pbits) - len(palette))))
+    body = b""
+    for fi, (x, y, idx) in enumerate(frames):
+        g = gce[fi] if gce else None
+        if g is not None:
+            disp, trans = g
+            flags = (disp << 2) | (1 if trans is not None else 0)
+            body += (b"\x21\xf9\x04" + bytes([flags]) + b"\x00\x00"
+                     + bytes([trans if trans is not None else 0]) + b"\x00")
+        ilace = 0x40 if interlace_frame == fi else 0
+        if ilace:
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order.extend(range(start, idx.shape[0], step))
+            idx = idx[order]
+        body += (b"\x2c" + struct.pack("<HHHHB", x, y, idx.shape[1],
+                                       idx.shape[0], ilace)
+                 + bytes([mcs]))
+        data = lzw_literal(idx)
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            body += bytes([len(chunk)]) + chunk
+        body += b"\x00"
+    return head + body + b"\x3b"
+
+
+def test_codecs_gif_decode():
+    """GIF: literal-LZW frames, compositing with disposal 1/2/3,
+    transparency, interlace, decode_image dispatch — vs known-good
+    arrays computed by hand."""
+    import numpy as np
+
+    from dataguards_ray.codecs import decode_gif, decode_image, iter_gif_frames
+
+    pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0)]
+    gray = [0, 255, 76, 150]  # BT.601 of the palette rows
+
+    # single frame, full screen
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    g = decode_gif(_gif_bytes([(0, 0, idx)], pal))
+    exp = np.array([[gray[v] for v in row] for row in idx])
+    assert np.array_equal(g, exp)
+    w, h, g2 = decode_image(_gif_bytes([(0, 0, idx)], pal))
+    assert (w, h) == (3, 2) and np.array_equal(g2, exp)
+
+    # interlaced frame decodes identically
+    big = np.arange(40, dtype=np.uint8).reshape(10, 4) % 4
+    plain = decode_gif(_gif_bytes([(0, 0, big)], pal))
+    laced = decode_gif(_gif_bytes([(0, 0, big)], pal, interlace_frame=0))
+    assert np.array_equal(plain, laced)
+
+    # animation: disposal 1 (keep), 2 (restore bg), 3 (restore prev),
+    # transparency punches through to the canvas
+    f0 = np.full((2, 2), 1, dtype=np.uint8)          # white screen
+    f1 = np.array([[2]], dtype=np.uint8)              # red dot at (1,1)
+    f2 = np.array([[3, 0]], dtype=np.uint8)           # green+transparent
+    frames = list(iter_gif_frames(_gif_bytes(
+        [(0, 0, f0), (1, 1, f1), (0, 0, f2)], pal, sw=2, sh=2,
+        gce=[(1, None), (3, None), (0, 0)])))
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], np.full((2, 2), 255))
+    exp1 = np.array([[255, 255], [255, 76]])
+    assert np.array_equal(frames[1], exp1)
+    # frame 1 had disposal 3 → canvas back to all-white before frame 2;
+    # frame 2: green at (0,0), index 0 transparent → keeps white
+    exp2 = np.array([[150, 255], [255, 255]])
+    assert np.array_equal(frames[2], exp2)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
