@@ -4191,13 +4191,47 @@ FROM best WHERE rn = 1 AND n >= 5 AND n * 10 >= s * 3
 """
 
 
+# Round-5 driver window (VERDICT r04 item #8): every query whose code
+# path changed this round (samplers, Q7 prep, as-of bucketing, span
+# dedup defaults, real MJPEG video, check job, read_table block sizing
+# touches ALL — the full 132-query sweep also ran green in-session),
+# then the entries whose last driver check was the r02 window (oldest
+# coverage first).
+_R05_WINDOW = [
+    "token_budget_sample", "sample_mixture_docs", "tpch_q7_shape",
+    "asof_click_purchase", "asof_next_purchase", "multimodal_video_frames",
+    "span_dedup_docs", "line_dedup_docs", "substring_dedup_docs",
+    "check_config_orders", "hash_sample", "dedup_docs_exact",
+    "minhash_near_dups", "embedding_dedup", "flagship_pipeline",
+    "tpch_q8_shape", "tpch_q21_shape", "knn_embeddings",
+    # oldest driver coverage (green r02, unseen since)
+    "tpch_q1", "filter_project", "join_customer_orders",
+    "join_region_nation_customer", "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders", "hash_join_supplier_nation",
+    "topk_orders", "distinct_flag_status", "union_all_names",
+    "nations_without_suppliers_negbal", "latest_event_per_user",
+    "json_props_stats", "window_tumbling_events", "window_hopping_events",
+    "window_distinct_users", "running_total_per_user",
+    "range_join_click_purchase", "interval_overlap_click_view",
+    "event_gap_lag", "moving_sum_events", "range_sum_events",
+    "rank_customer_balance", "pivot_orders_status",
+    "full_outer_nation_balance", "var_price_by_status", "top_tokens",
+    "tpch_q3", "median_price_by_priority", "mad_price_by_priority",
+    "p90_price_by_priority", "distinct_customers_by_priority",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver verifies the FIRST 50 entries of this
     # dict against oracle_sql() (rows+schema+hash; rows-only when no SQL
-    # entry exists).  r02 covered one 50-window, r03 a disjoint one; for
-    # r04 the FIRST entries are the only ones never driver-checked (4
-    # past every prior window — VERDICT r03 item #1) plus the round-4
-    # additions; the rest of the window re-verifies r03 entries.
+    # entry exists).  r02/r03/r04 rotated disjoint windows until every
+    # entry had a driver row; round 5 leads with _R05_WINDOW (above).
+    q = _queries_registry()
+    lead = {name: q[name] for name in _R05_WINDOW}
+    return lead | {k: v for k, v in q.items() if k not in lead}
+
+
+def _queries_registry() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never in any driver window before round 4 ---
         "multimodal_decode": _q_multimodal_decode,
