@@ -735,7 +735,7 @@ def exact_dedup_filter_pruned(
 
     from .aggregates import grouped_agg
     from .steps.dedup import get_broadcast
-    from .textstats import add_fingerprint, md5_hex
+    from .textstats import add_fingerprint
 
     withfp = add_fingerprint(thin.select_columns([id_col, text_col]),
                              text_col, "__fp")
@@ -765,22 +765,35 @@ def exact_dedup_filter_pruned(
     ref = ray.put((fp_set, winners, null_win))
 
     def flag(batch: pa.Table) -> pa.Table:
+        from .textstats import md5_hex_column
+
         fset, wins, nwin = get_broadcast(ref)
-        ids = batch.column(id_col).to_pylist()
         if fp_col is not None:
-            fps = batch.column(fp_col).to_pylist()
+            fpa = batch.column(fp_col)
+            if isinstance(fpa, pa.ChunkedArray):
+                fpa = fpa.combine_chunks()
         else:
-            fps = md5_hex(batch.column(text_col).to_pylist())
-        fpa = pa.array(fps, type=pa.string())
+            fpa = md5_hex_column(batch.column(text_col))
         hot = pc.fill_null(pc.is_in(fpa, value_set=fset), False)\
             .to_numpy(zero_copy_only=False)
         keep = np.ones(batch.num_rows, dtype=bool)
-        for i in np.nonzero(hot)[0]:
-            keep[i] = ids[i] == wins[fps[i]]
+        if hot.any():
+            # per-row Python only over the HOT (duplicated-fp) rows —
+            # a tiny fraction of a web corpus
+            idx = np.nonzero(hot)[0]
+            take = pa.array(idx, type=pa.int64())
+            sub_ids = batch.column(id_col).take(take).to_pylist()
+            sub_fps = fpa.take(take).to_pylist()
+            for j, i in enumerate(idx):
+                keep[i] = sub_ids[j] == wins[sub_fps[j]]
         if nwin is not None:
-            for i, f in enumerate(fps):
-                if f is None:
-                    keep[i] = ids[i] == nwin
+            nulls = pc.is_null(fpa).to_numpy(zero_copy_only=False)
+            if nulls.any():
+                idxn = np.nonzero(nulls)[0]
+                take = pa.array(idxn, type=pa.int64())
+                sub_ids = batch.column(id_col).take(take).to_pylist()
+                for j, i in enumerate(idxn):
+                    keep[i] = sub_ids[j] == nwin
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
     return full.map_batches(flag, batch_format="pyarrow")

@@ -62,12 +62,29 @@ def md5_hex(texts) -> list:
     ]
 
 
+def md5_hex_column(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized md5 hexdigest of a string column (null → null) —
+    bit-identical to the scalar ``md5_hex`` helper, but hashing Arrow
+    buffer slices (hashutil.md5_digest_matrix): the exact-dedup and
+    decontaminate fingerprint passes run with no per-row Python."""
+    import pyarrow.compute as pc
+
+    from .hashutil import md5_digest_matrix, md5_hex_array
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    hexes = md5_hex_array(md5_digest_matrix(col))
+    if col.null_count:
+        hexes = pc.if_else(col.is_valid(), hexes,
+                           pa.scalar(None, pa.string()))
+    return hexes
+
+
 def add_fingerprint(ds: Dataset, col: str = "text", out: str = "fingerprint") -> Dataset:
     """MD5 content fingerprint (hex) — SQL-checkable (DuckDB md5())."""
 
     def f(batch: pa.Table) -> pa.Table:
-        fps = md5_hex(batch.column(col).to_pylist())
-        return batch.append_column(out, pa.array(fps, type=pa.string()))
+        return batch.append_column(out, md5_hex_column(batch.column(col)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
