@@ -213,12 +213,22 @@ def _iter_video_frames(blob: bytes):
 
         yield from iter_avi_mjpeg_frames(blob)
         return
+    if blob is not None and blob[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF as a video source: composited grayscale frames
+        # re-emitted as PGM (P5) bytes — a real format decode_images
+        # reads, so the frame column stays decodable blobs
+        from .codecs import iter_gif_frames
+
+        for px in iter_gif_frames(blob):
+            h, w = px.shape
+            yield b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+        return
     if blob is None or not blob.startswith(VIDEO_MAGIC):
         raise NotImplementedError(
-            "unsupported video container: AVI-MJPEG demuxes real "
-            "(codecs.iter_avi_mjpeg_frames); MP4/MKV/etc. need external "
-            "codecs, absent from this container; the FAKEVID fixture "
-            "format also decodes"
+            "unsupported video container: AVI-MJPEG and animated GIF "
+            "demux real (codecs.py); MP4/MKV/etc. need external codecs, "
+            "absent from this container; the FAKEVID fixture format "
+            "also decodes"
         )
     head = blob[len(VIDEO_MAGIC):]
     n_s, rest = head.split(b"|", 1)

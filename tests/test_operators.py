@@ -3972,3 +3972,28 @@ def test_codecs_gif_decode():
 
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOTAGIF" + b"\x00" * 20)
+
+
+def test_multimodal_gif_video_source(ray_session):
+    """Animated GIF rides the video path: frames composited, sampled by
+    the actor pool as decodable PGM blobs, decoded back bit-exact."""
+    import numpy as np
+    import ray.data
+
+    from dataguards_ray.codecs import decode_image
+    from dataguards_ray.multimodal import sample_frames
+
+    pal = [(i, i, i) for i in range(4)]
+    f0 = np.zeros((3, 4), dtype=np.uint8)
+    f1 = np.full((3, 4), 1, dtype=np.uint8)
+    f2 = np.full((3, 4), 3, dtype=np.uint8)
+    gif = _gif_bytes([(0, 0, f0), (0, 0, f1), (0, 0, f2)], pal)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"vid_id": 1, "video": gif}]))
+    got = sorted(sample_frames(ds, every_k=2).take_all(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in got] == [0, 2]
+    w, h, px0 = decode_image(bytes(got[0]["image"]))
+    assert (w, h) == (4, 3) and np.array_equal(px0, np.zeros((3, 4)))
+    _, _, px2 = decode_image(bytes(got[1]["image"]))
+    assert np.array_equal(px2, np.full((3, 4), 3))
