@@ -211,11 +211,40 @@ def dsir_resample(
         target_text_col=target_text_col, n_buckets=n_buckets)
 
     def add_key(b: pa.Table) -> pa.Table:
-        texts = b.column(text_col).to_pylist()
-        ids = b.column(id_col).to_pylist()
+        import pyarrow.compute as pc
+
+        from .hashutil import (fnv1a64_array, md5_digest_matrix,
+                               md5_hex_array)
+
         w = b.column("dsir_logw").to_numpy(zero_copy_only=False)
-        g = np.fromiter((gumbel_key(t, i, seed) for t, i in zip(texts, ids)),
-                        dtype=np.float64, count=b.num_rows)
+        idt = b.schema.field(id_col).type
+        idc = b.column(id_col)
+        vec_ids = (pa.types.is_integer(idt) or pa.types.is_string(idt)
+                   or pa.types.is_large_string(idt)) and idc.null_count == 0
+        if vec_ids:
+            # vectorized gumbel_key, bit-identical to the scalar
+            # expression: Arrow payload build + FNV kernel; the +1 is
+            # applied in uint64 BEFORE the float conversion (float(h)+1
+            # ≠ float(h+1) near 2**64)
+            col = b.column(text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            hexes = md5_hex_array(md5_digest_matrix(col))
+            payload = pc.binary_join_element_wise(
+                pa.array([str(seed)] * b.num_rows, type=pa.string()),
+                hexes, pc.cast(idc, pa.string()), "|")
+            h = fnv1a64_array(payload)
+            with np.errstate(over="ignore"):
+                hu = h + np.uint64(1)
+            f = hu.astype(np.float64)
+            f[hu == 0] = 18446744073709551616.0  # h = 2**64-1 wrapped
+            g = -np.log(-np.log(f / 18446744073709551618.0))
+        else:  # exotic/null ids: the frozen scalar path
+            texts = b.column(text_col).to_pylist()
+            ids = idc.to_pylist()
+            g = np.fromiter(
+                (gumbel_key(t, i, seed) for t, i in zip(texts, ids)),
+                dtype=np.float64, count=b.num_rows)
         return b.append_column("dsir_key", pa.array(w + g, type=pa.float64()))
 
     keyed = scored.map_batches(add_key, batch_format="pyarrow")
