@@ -3997,3 +3997,42 @@ def test_multimodal_gif_video_source(ray_session):
     assert (w, h) == (4, 3) and np.array_equal(px0, np.zeros((3, 4)))
     _, _, px2 = decode_image(bytes(got[1]["image"]))
     assert np.array_equal(px2, np.full((3, 4), 3))
+
+
+def test_asof_bucketed_kernel_invariant_in_num_buckets(ray_session):
+    """Round-5: the hash-bucketed multi-key as-of kernel must produce
+    identical matches for ANY bucket count (1 = everything in one
+    kernel call, big = one key per bucket), incl. ts ties, left rows
+    with no match, and null left keys."""
+    import random
+
+    import ray.data
+
+    from dataguards_ray.joins import asof_join
+
+    rng = random.Random(99)
+    lefts, rights = [], []
+    used = set()
+    for i in range(400):
+        k = None if i % 37 == 0 else f"u{i % 11}"
+        lefts.append({"lid": i, "ts": rng.randrange(0, 3_000), "k": k})
+        rk = f"u{rng.randrange(0, 13)}"  # some keys never on the left
+        rts = rng.randrange(0, 3_000)
+        if (rk, rts) not in used:
+            used.add((rk, rts))
+            rights.append({"rid": 10_000 + i, "ts": rts, "k": rk})
+    lds = ray.data.from_items(lefts).repartition(5)
+    rds = ray.data.from_items(rights).repartition(3)
+
+    def res(nb):
+        out = asof_join(lds, rds, key="k", ts_col="ts", num_buckets=nb)
+        return sorted((r["lid"], r["rid"]) for r in out.take_all())
+
+    base = res(256)
+    assert res(1) == base
+    assert res(7) == base
+    assert res(4096) == base
+    # null-keyed left rows survive unmatched
+    nulls = {r["lid"] for r in lefts if r["k"] is None}
+    matched = {a for a, b in base if b is not None}
+    assert nulls.isdisjoint(matched) and len(base) == len(lefts)
