@@ -886,8 +886,12 @@ def asof_join(
                 b = b.append_column(name, pa.nulls(b.num_rows, type=typ))
         return b.select([n for n, _ in all_cols])
 
-    ls = pa.schema(l_tag.schema().base_schema)
-    rs = pa.schema(r_tag.schema().base_schema)
+    # derive schemas from the INPUTS + the known tag column: an EMPTY
+    # side loses its schema after map_batches in Ray 2.49, and an empty
+    # right side is legal (every left row null-extends)
+    side_f = pa.field("__side", pa.int8())
+    ls = pa.schema(list(pa.schema(left.schema().base_schema)) + [side_f])
+    rs = pa.schema(list(pa.schema(right.schema().base_schema)) + [side_f])
     all_cols = [(f.name, f.type) for f in ls] + [
         (f.name, f.type) for f in rs if f.name not in ls.names
     ]

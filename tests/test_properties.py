@@ -189,3 +189,43 @@ def test_decontaminate_matches_oracle_property(ray_session, docs, bench, n):
     got = {r["doc_id"]: r["n_contaminated"]
            for r in decontaminate(ds, bds, n=n, mode="flag").take_all()}
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 40)),
+                   min_size=1, max_size=18),
+    rights=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 40)),
+                    min_size=0, max_size=18),
+)
+def test_asof_join_matches_scalar_oracle(ray_session, lefts, rights):
+    """Round-5 bucketed multi-key as-of kernel ≡ the scalar backward-
+    inclusive definition for arbitrary key/ts multisets (ts ties on the
+    left, keys with no right rows, empty right side)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray.joins import asof_join
+
+    rset = sorted(set(rights))  # unique right (key, ts) per contract
+    rrows = [{"rid": 100 + i, "k": f"u{k}", "ts": t}
+             for i, (k, t) in enumerate(rset)]
+    lrows = [{"lid": i, "k": f"u{k}", "ts": t}
+             for i, (k, t) in enumerate(lefts)]
+
+    def oracle(k, t):
+        best = None
+        for r in rrows:
+            if r["k"] == k and r["ts"] <= t and (
+                    best is None or r["ts"] > best["ts"]):
+                best = r
+        return best["rid"] if best else None
+
+    expected = sorted((r["lid"], oracle(r["k"], r["ts"])) for r in lrows)
+    lds = ray.data.from_items(lrows).repartition(2)
+    rds = ray.data.from_arrow(pa.Table.from_pylist(
+        rrows, schema=pa.schema([("rid", pa.int64()), ("k", pa.string()),
+                                 ("ts", pa.int64())])))
+    out = asof_join(lds, rds, key="k", ts_col="ts", num_buckets=3)
+    got = sorted((r["lid"], r["rid"]) for r in out.take_all())
+    assert got == expected
