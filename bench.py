@@ -78,6 +78,7 @@ def host_probe(n_procs: int, seconds: float = 2.0) -> dict:
         with open("/proc/stat") as f:
             return list(map(int, f.readline().split()[1:]))
 
+    procs = []
     try:
         la0 = open("/proc/loadavg").read().split()[0]
         stop_at = time.time() + seconds + 3.0
@@ -94,10 +95,6 @@ def host_probe(n_procs: int, seconds: float = 2.0) -> dict:
         a = snap()
         time.sleep(seconds)
         b = snap()
-        for p in procs:  # stateless spinners: kill, don't drain
-            p.terminate()
-        for p in procs:
-            p.join()
         d = [y - x for x, y in zip(a, b)]
         tot = sum(d) or 1
         names = ["user", "nice", "sys", "idle", "iowait", "irq",
@@ -110,6 +107,14 @@ def host_probe(n_procs: int, seconds: float = 2.0) -> dict:
                 "loadavg_before_probe": float(la0)}
     except Exception as e:  # non-linux / restricted /proc: omit, don't fail
         return {"error": str(e)}
+    finally:
+        # ALWAYS reap the spinners — a probe failure must not leave
+        # n_procs busy loops burning into the timings it brackets
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        for p in procs:
+            p.join()
 
 
 def run_bench() -> dict:

@@ -818,6 +818,7 @@ def encode_jpeg_gray(px: np.ndarray, q: int = 1) -> bytes:
 
     ac_syms: "list[int]" = []
     per_block: "list[list[tuple[int, int, int]]]" = []
+    all_cats = _cat(flat)  # one vectorized pass, not one per coefficient
     for bi in range(flat.shape[0]):
         row = flat[bi]
         ops: "list[tuple[int, int, int]]" = []
@@ -833,7 +834,7 @@ def encode_jpeg_gray(px: np.ndarray, q: int = 1) -> bytes:
             while run > 15:
                 ops.append((0xF0, 0, 0))
                 run -= 16
-            s = int(_cat(np.array([v]))[0])
+            s = int(all_cats[bi, k])
             ops.append(((run << 4) | s, _vbits(v, s), s))
             run = 0
         if last_nz < 63:

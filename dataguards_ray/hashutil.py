@@ -58,20 +58,8 @@ def fnv1a64_array(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     (uint64[n]).  Null rows hash like empty rows (the offset basis) —
     callers that need null-distinct ids must mask nulls themselves
     (Arrow null slots have zero-length payloads)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    t = arr.type
-    if pa.types.is_string(t) or pa.types.is_binary(t):
-        odt = np.int32
-    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
-        odt = np.int64
-    else:
-        raise TypeError(f"fnv1a64_array needs a string/binary array, got {t}")
-    bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset: arr.offset + len(arr) + 1]
-    data = (np.frombuffer(bufs[2], dtype=np.uint8)
-            if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
-    return fnv1a64_bytes(offsets, data)
+    offsets, data = _string_buffer_view(arr)
+    return fnv1a64_bytes(offsets, np.frombuffer(data, dtype=np.uint8))
 
 
 def _as_string_array(col: "pa.Array | pa.ChunkedArray") -> pa.Array:

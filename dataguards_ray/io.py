@@ -58,8 +58,9 @@ def read_table(sf_dir: str, name: str, *, columns: list[str] | None = None) -> D
     read tasks) turns a few-MB table into 64 near-empty blocks, and
     every downstream stage then pays 64 task launches for microseconds
     of work — measured ~2 s of pure scheduling on a 2 MB table at 32
-    CPUs.  For inputs under 64 MB we size blocks at ~4 MB (min 4);
-    larger inputs keep Ray's own size-based splitting untouched, so the
+    CPUs.  For inputs under 64 MB we size blocks at ~1 MB (floor 16 —
+    keeps compute-heavy downstream stages parallel — cap 64); larger
+    inputs keep Ray's own size-based splitting untouched, so the
     100 TB path is exactly stock Ray Data."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     kw: dict = {}
@@ -485,8 +486,9 @@ def write_partitioned_resumable(
         # transform bug) must surface immediately; only the
         # column-not-found shape pays the (pipeline-re-executing) count
         # probe that confirms the zero-row case.
-        msg = str(e)
-        if "__part" not in msg and "schema" not in msg.lower():
+        msg = str(e).lower()
+        if not any(tok in msg for tok in ("__part", "schema", "column",
+                                          "empty")):
             raise
         if ds.count() != 0:
             raise

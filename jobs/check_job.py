@@ -64,7 +64,6 @@ def run_check_job(
 
     ruleset = rules_from_config(rules_cfg)
     ds = ray.data.read_parquet(input_path)
-    annotated = ruleset.evaluate(ds)
 
     def _annot(d: "ray.data.Dataset") -> "ray.data.Dataset":
         a = ruleset.evaluate(d)
@@ -127,7 +126,7 @@ def run_check_job(
         n_viol = (base.count() if violations_only
                   else int(base.filter(expr="keep == False").count()))
     else:
-        annotated = annotated.materialize()
+        annotated = ruleset.evaluate(ds).materialize()
         report = violation_report(annotated)
         n_rows = annotated.count()
         n_viol = int(annotated.filter(expr="keep == False").count())

@@ -137,6 +137,19 @@ def main() -> int:
     ds = ray.data.read_parquet(args.input)
     n_in = ds.count()
 
+    if args.decontaminate is None:
+        # every sample mode writes the resumable partitioned layout
+        # keyed on --id-col: fail up front with the fix, not with a
+        # KeyError deep inside a Ray task
+        import pyarrow as _pa
+
+        schema_names = _pa.schema(ds.schema().base_schema).names
+        if args.id_col not in schema_names:
+            ap.error(
+                f"--id-col {args.id_col!r} not in input columns "
+                f"{list(schema_names)}; the partitioned output layout "
+                "needs an id column (pass --id-col)")
+
     if args.decontaminate is not None:
         res = run_decontaminate_job(
             args.input, args.out_dir, args.decontaminate,
