@@ -29,12 +29,45 @@ def broadcast_lookup(
     out_type: pa.DataType | None = None,
 ) -> Dataset:
     """J1: map-side hash join against a broadcast dict (blocklists,
-    per-language thresholds...).  Appends ``out_col = small.get(row[key])``."""
-    ref = ray.put(small)
+    per-language thresholds...).  Appends ``out_col = small.get(row[key])``.
+
+    Vectorized (round-5) when the dict is Arrow-shaped (uniform
+    hashable keys, no None key/value): the probe is one
+    ``pc.index_in`` + ``take`` per batch — no per-row Python over the
+    corpus-sized side.  Exotic dicts (mixed types, None entries) keep
+    the scalar path; per-batch type clashes fall back row-wise too."""
+    vec = None
+    try:
+        if small and None not in small and not any(
+                v is None for v in small.values()):
+            vec = (pa.array(list(small.keys())),
+                   pa.array(list(small.values()), type=out_type))
+    except (TypeError, pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError):
+        vec = None
+    ref = ray.put((small, vec))
 
     def _lookup(batch: pa.Table) -> pa.Table:
-        d = get_broadcast(ref)
-        vals = [d.get(k, default) for k in batch.column(key).to_pylist()]
+        d, v = get_broadcast(ref)
+        col = batch.column(key)
+        if v is not None:
+            try:
+                ks, vs = v
+                got = pc.take(vs, pc.index_in(col, value_set=ks))
+                if default is not None:
+                    # absent keys (and null keys) → default, matching
+                    # d.get(k, default); present-None values can't
+                    # occur on this path (guarded above)
+                    got = pc.fill_null(got, default)
+                if out_type is not None and got.type != out_type:
+                    got = pc.cast(got, out_type)
+                if isinstance(got, pa.ChunkedArray):
+                    got = got.combine_chunks()
+                return batch.append_column(out_col, got)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError, TypeError):
+                pass  # this batch's key type fights the kernel → scalar
+        vals = [d.get(k, default) for k in col.to_pylist()]
         arr = pa.array(vals, type=out_type) if out_type else pa.array(vals)
         return batch.append_column(out_col, arr)
 

@@ -4036,3 +4036,40 @@ def test_asof_bucketed_kernel_invariant_in_num_buckets(ray_session):
     nulls = {r["lid"] for r in lefts if r["k"] is None}
     matched = {a for a, b in base if b is not None}
     assert nulls.isdisjoint(matched) and len(base) == len(lefts)
+
+
+def test_broadcast_lookup_vectorized_matches_scalar(ray_session):
+    """Round-5: the index_in/take fast path of broadcast_lookup must
+    equal dict.get semantics — missing keys, null keys, defaults,
+    typed outputs — and exotic dicts (None value) keep the scalar
+    path with identical results."""
+    import ray.data
+
+    from dataguards_ray.joins import broadcast_lookup
+
+    rows = [{"k": "a"}, {"k": "b"}, {"k": "zz"}, {"k": None}, {"k": "c"}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        rows, schema=pa.schema([("k", pa.string())])))
+
+    cases = [
+        ({"a": 1, "b": 2, "c": 3}, None, [1, 2, None, None, 3]),
+        ({"a": 1, "b": 2, "c": 3}, -9, [1, 2, -9, -9, 3]),
+        ({"a": 1, "b": None, "c": 3}, -9, [1, None, -9, -9, 3]),  # scalar path
+        ({"a": "x", "c": "y"}, "d", ["x", "d", "d", "d", "y"]),
+    ]
+    for d, default, expect in cases:
+        out = broadcast_lookup(ds, d, "k", "v", default=default)
+        got = [r["v"] for r in sorted(out.take_all(),
+                                      key=lambda r: (r["k"] is None,
+                                                     r["k"] or ""))]
+        exp = [e for _, e in sorted(zip(rows, expect),
+                                    key=lambda t: (t[0]["k"] is None,
+                                                   t[0]["k"] or ""))]
+        assert got == exp, (d, default)
+
+    # int keys + typed output
+    ids = ray.data.from_items([{"k": i} for i in (1, 2, 99)])
+    out = broadcast_lookup(ids, {1: 10, 2: 20}, "k", "v", default=0,
+                           out_type=pa.int64())
+    assert sorted((r["k"], r["v"]) for r in out.take_all()) == [
+        (1, 10), (2, 20), (99, 0)]
