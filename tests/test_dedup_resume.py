@@ -419,3 +419,26 @@ def test_check_job_kill_and_resume(tmp_path, ray_session):
     with pytest.raises(ValueError, match="clean directory"):
         run_check_job(str(tmp_path / "in.parquet"), rules, out_dir=out_k,
                       partitions=8)
+
+
+def test_check_job_violations_only_clean_data(tmp_path, ray_session):
+    """Clean data + --violations-only through the partitioned writer:
+    every row drops, zero-row manifests mark all partitions done, the
+    summary reports zero, and a resume converges as a no-op."""
+    from dataguards_ray.io import read_partition_manifests
+    from jobs.check_job import run_check_job
+
+    pq.write_table(pa.table({"doc_id": list(range(20)), "x": [5] * 20}),
+                   str(tmp_path / "in.parquet"))
+    rules = {"rules": [{"type": "range", "name": "x.range", "col": "x",
+                        "lo": 0, "hi": 10}]}
+    out = str(tmp_path / "out")
+    res = run_check_job(str(tmp_path / "in.parquet"), rules, out_dir=out,
+                        violations_only=True, partitions=4)
+    assert res == {"rows": 20, "violations": 0, "rule_drops": {}}
+    mans = read_partition_manifests(out)
+    assert sorted(mans) == [0, 1, 2, 3]
+    assert all(m["kept_rows"] == 0 for m in mans.values())
+    res2 = run_check_job(str(tmp_path / "in.parquet"), rules, out_dir=out,
+                         violations_only=True, partitions=4, resume=True)
+    assert res2 == res
