@@ -55,24 +55,48 @@ class DecodeImageStage:
     Use ``map_batches(DecodeImageStage, concurrency=N, batch_size=64)`` —
     small batches because payload rows are wide."""
 
-    def __init__(self):
-        pass  # a real impl would initialize the codec here, once per actor
+    def __init__(self, on_error: str = "raise"):
+        # crawl corpora carry corrupt/truncated media by the million —
+        # a 100 TB job must not die on one bad blob.  "raise" (default,
+        # fail-fast for curated inputs), "skip" (drop bad rows), or
+        # "flag" (null measures + a decode_error column for lineage).
+        if on_error not in ("raise", "skip", "flag"):
+            raise ValueError(f"on_error must be raise/skip/flag, "
+                             f"got {on_error!r}")
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ws, hs, means, stds = [], [], [], []
+        ws, hs, means, stds, errs = [], [], [], [], []
         for blob in batch.column("image").to_pylist():
-            w, h, px = _decode_one(blob)
+            try:
+                w, h, px = _decode_one(blob)
+            except (ValueError, NotImplementedError) as e:
+                if self.on_error == "raise":
+                    raise
+                ws.append(None)
+                hs.append(None)
+                means.append(None)
+                stds.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+                continue
             ws.append(w)
             hs.append(h)
             means.append(float(px.mean()))
             stds.append(float(px.std()))
-        return (
+            errs.append(None)
+        out = (
             batch.drop_columns(["image"])
             .append_column("width", pa.array(ws, type=pa.int32()))
             .append_column("height", pa.array(hs, type=pa.int32()))
             .append_column("mean_px", pa.array(means, type=pa.float64()))
             .append_column("std_px", pa.array(stds, type=pa.float64()))
         )
+        if self.on_error == "skip":
+            return out.filter(pa.array([e is None for e in errs]))
+        if self.on_error == "flag":
+            return out.append_column(
+                "decode_error", pa.array(errs, type=pa.string()))
+        return out
 
 
 class ResizeStage:
@@ -94,9 +118,11 @@ class ResizeStage:
         return batch.set_column(idx, "image", pa.array(out, type=pa.binary()))
 
 
-def decode_images(ds: Dataset, *, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+def decode_images(ds: Dataset, *, concurrency=(1, 4), batch_size: int = 64,
+                  on_error: str = "raise") -> Dataset:
     return ds.map_batches(
-        DecodeImageStage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        DecodeImageStage, fn_constructor_kwargs={"on_error": on_error},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
 
 
@@ -154,24 +180,48 @@ def _decode_audio_one(blob: bytes) -> tuple[int, np.ndarray]:
 
 class AudioFeatureStage:
     """Actor stage: binary → (sample_rate, duration_s, rms, zero_crossings).
-    Small batches — audio payloads are wide rows."""
+    Small batches — audio payloads are wide rows.  ``on_error`` as in
+    DecodeImageStage (raise/skip/flag)."""
+
+    def __init__(self, on_error: str = "raise"):
+        if on_error not in ("raise", "skip", "flag"):
+            raise ValueError(f"on_error must be raise/skip/flag, "
+                             f"got {on_error!r}")
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rates, durs, rms, zc = [], [], [], []
+        rates, durs, rms, zc, errs = [], [], [], [], []
         for blob in batch.column("audio").to_pylist():
-            rate, s = _decode_audio_one(blob)
+            try:
+                rate, s = _decode_audio_one(blob)
+            except (ValueError, NotImplementedError) as e:
+                if self.on_error == "raise":
+                    raise
+                rates.append(None)
+                durs.append(None)
+                rms.append(None)
+                zc.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+                continue
             rates.append(rate)
             durs.append(len(s) / rate)
             f = s.astype(np.float64)
             rms.append(float(np.sqrt(np.mean(f * f))) if len(s) else 0.0)
             zc.append(int((np.signbit(f[1:]) != np.signbit(f[:-1])).sum()))
-        return (
+            errs.append(None)
+        out = (
             batch.drop_columns(["audio"])
             .append_column("sample_rate", pa.array(rates, type=pa.int32()))
             .append_column("duration_s", pa.array(durs, type=pa.float64()))
             .append_column("rms", pa.array(rms, type=pa.float64()))
             .append_column("zero_crossings", pa.array(zc, type=pa.int64()))
         )
+        if self.on_error == "skip":
+            return out.filter(pa.array([e is None for e in errs]))
+        if self.on_error == "flag":
+            return out.append_column(
+                "decode_error", pa.array(errs, type=pa.string()))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -244,15 +294,27 @@ class FrameSampleStage:
     """Actor stage: video binary → every k-th frame exploded to rows
     (vid_id, frame_idx, image).  flat_map-shaped: one input row → many."""
 
-    def __init__(self, every_k: int = 2):
+    def __init__(self, every_k: int = 2, on_error: str = "raise"):
+        # "skip": a corrupt/unsupported video contributes zero frames
+        # instead of killing the job (crawl inputs); default fail-fast
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise/skip, "
+                             f"got {on_error!r}")
         self.k = every_k
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, idxs, frames = [], [], []
         for vid, blob in zip(
             batch.column("vid_id").to_pylist(), batch.column("video").to_pylist()
         ):
-            for i, frame in enumerate(_iter_video_frames(blob)):
+            try:
+                decoded = list(_iter_video_frames(blob))
+            except (ValueError, NotImplementedError):
+                if self.on_error == "raise":
+                    raise
+                continue
+            for i, frame in enumerate(decoded):
                 if i % self.k == 0:
                     vids.append(vid)
                     idxs.append(i)
@@ -266,16 +328,19 @@ class FrameSampleStage:
         )
 
 
-def audio_features(ds: Dataset, *, concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+def audio_features(ds: Dataset, *, concurrency=(1, 4), batch_size: int = 64,
+                   on_error: str = "raise") -> Dataset:
     return ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        AudioFeatureStage, fn_constructor_kwargs={"on_error": on_error},
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
 
 
 def sample_frames(ds: Dataset, every_k: int = 2, *, concurrency=(1, 4),
-                  batch_size: int = 16) -> Dataset:
+                  batch_size: int = 16, on_error: str = "raise") -> Dataset:
     return ds.map_batches(
-        FrameSampleStage, fn_constructor_kwargs={"every_k": every_k},
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_k": every_k, "on_error": on_error},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )

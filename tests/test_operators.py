@@ -4073,3 +4073,54 @@ def test_broadcast_lookup_vectorized_matches_scalar(ray_session):
                            out_type=pa.int64())
     assert sorted((r["k"], r["v"]) for r in out.take_all()) == [
         (1, 10), (2, 20), (99, 0)]
+
+
+def test_multimodal_on_error_policies(ray_session):
+    """Round-5 crawl robustness: corrupt media blobs skip or flag per
+    stage policy instead of killing the job; default stays fail-fast."""
+    import numpy as np
+    import ray.data
+
+    from dataguards_ray.multimodal import (audio_features, decode_images,
+                                           encode_fake_audio,
+                                           encode_fake_image,
+                                           encode_mjpeg_video,
+                                           sample_frames)
+
+    good = encode_fake_image(4, 3, seed=1)
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 10  # truncated
+    unknown = b"WEBPVP8 garbage"
+    imgs = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 1, "image": good}, {"doc_id": 2, "image": corrupt_png},
+         {"doc_id": 3, "image": unknown}],
+        schema=pa.schema([("doc_id", pa.int64()), ("image", pa.binary())])))
+
+    with pytest.raises(Exception):
+        decode_images(imgs).take_all()  # default: fail fast
+    kept = decode_images(imgs, on_error="skip").take_all()
+    assert [r["doc_id"] for r in kept] == [1]
+    flagged = sorted(decode_images(imgs, on_error="flag").take_all(),
+                     key=lambda r: r["doc_id"])
+    assert flagged[0]["decode_error"] is None
+    assert "ValueError" in flagged[1]["decode_error"]
+    assert "NotImplementedError" in flagged[2]["decode_error"]
+    assert flagged[1]["width"] is None
+
+    auds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 1, "audio": encode_fake_audio(8000, 100, seed=2)},
+         {"doc_id": 2, "audio": b"ID3 not decodable"}],
+        schema=pa.schema([("doc_id", pa.int64()), ("audio", pa.binary())])))
+    assert [r["doc_id"] for r in
+            audio_features(auds, on_error="skip").take_all()] == [1]
+    fa = sorted(audio_features(auds, on_error="flag").take_all(),
+                key=lambda r: r["doc_id"])
+    assert fa[0]["decode_error"] is None and fa[1]["sample_rate"] is None
+
+    vids = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"vid_id": 1, "video": encode_mjpeg_video(8, 6, 4, seed=3)},
+         {"vid_id": 2, "video": b"mp4 is not supported here"}],
+        schema=pa.schema([("vid_id", pa.int64()), ("video", pa.binary())])))
+    got = sample_frames(vids, every_k=2, on_error="skip").take_all()
+    assert sorted({r["vid_id"] for r in got}) == [1]
+    with pytest.raises(Exception):
+        sample_frames(vids, every_k=2).take_all()
