@@ -1,14 +1,15 @@
-"""Multimodal (image/audio) column plumbing (task brief).
+"""Multimodal (image/audio/video) column stages (task brief).
 
 Media are opaque ``binary`` columns + typed metadata; decode /
 feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages with SMALL batch sizes (large payloads — SURVEY
-§4 memory notes).  Real codecs (PIL / libav) are NOT in this container:
-the decode step is stubbed behind a deterministic fake format so the
-Ray-side plumbing — schema, batch size, actor signature, output layout —
-is real and tested (tests/test_multimodal.py).
-
-Fake format: b"FAKEIMG|<w>|<h>|" + w*h grayscale bytes (row-major).
+§4 memory notes).  Decode is REAL for PNG / JPEG (sequential +
+progressive) / BMP / PPM / PGM / GIF, PCM WAV, AVI-MJPEG and animated
+GIF video (pure numpy+stdlib codecs in codecs.py, rounds 3-5); formats
+that genuinely need PIL/libav (WebP, mp3, MP4…) raise — or skip/flag
+via the stages' ``on_error`` policy on crawl inputs.  A deterministic
+fake format remains for plumbing fixtures:
+b"FAKEIMG|<w>|<h>|" + w*h grayscale bytes (row-major).
 """
 
 from __future__ import annotations
