@@ -1031,6 +1031,10 @@ def iter_gif_frames(blob: bytes):
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, bg_idx, _ = struct.unpack("<HHBBB", blob[6:13])
+    # untrusted dims: a forged header can claim 65535x65535 (12.9 GB
+    # canvas) — fail cleanly instead of thrashing allocation
+    if sw * sh > 64_000_000:
+        raise ValueError(f"GIF: implausible logical screen {sw}x{sh}")
     i = 13
     gct = None
     if flags & 0x80:
@@ -1066,6 +1070,8 @@ def iter_gif_frames(blob: bytes):
         if b0 != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{b0:02x}")
         fx, fy, fw, fh, lflags = struct.unpack("<HHHHB", blob[i + 1:i + 10])
+        if fx + fw > sw or fy + fh > sh:
+            raise ValueError("GIF: frame rect exceeds the logical screen")
         i += 10
         pal = gct
         if lflags & 0x80:

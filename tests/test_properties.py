@@ -229,3 +229,23 @@ def test_asof_join_matches_scalar_oracle(ray_session, lefts, rights):
     out = asof_join(lds, rds, key="k", ts_col="ts", num_buckets=3)
     got = sorted((r["lid"], r["rid"]) for r in out.take_all())
     assert got == expected
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_gif_avi_decoders_fail_cleanly_on_fuzz(payload):
+    """Untrusted crawl bytes wearing GIF/AVI magics must raise a clean
+    error (ValueError/NotImplementedError via decode_image's
+    normalization), never hang or leak an exotic exception."""
+    from dataguards_ray.codecs import decode_image, iter_avi_mjpeg_frames
+
+    for blob in (b"GIF89a" + payload, b"GIF87a" + payload):
+        try:
+            decode_image(blob)
+        except (ValueError, NotImplementedError):
+            pass
+    avi = b"RIFF" + len(payload).to_bytes(4, "little") + b"AVI " + payload
+    try:
+        list(iter_avi_mjpeg_frames(avi))
+    except (ValueError, NotImplementedError):
+        pass
