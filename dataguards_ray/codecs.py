@@ -427,6 +427,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            if fh * fw > 64_000_000:
+                # untrusted crawl headers: a forged 60000x60000 SOF
+                # costs a ~56M-block decode loop + a multi-GB
+                # coefficient store before the scan data runs out
+                raise ValueError(f"JPEG: implausible frame {fw}x{fh}")
             comps = []
             for c in range(nc):
                 cid, hv, tq_ = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
