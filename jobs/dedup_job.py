@@ -582,6 +582,8 @@ def _run_resumable_phase(
                 f" but this run has partitions={P}/mode={mode!r}")
 
     # ---- phase 1: loser discovery (checkpointed) ---------------------
+    phase_walls: dict = {}
+    _t0 = time.time()
     losers_ready = False
     if resume and os.path.exists(marker):
         with open(marker) as f:
@@ -644,6 +646,8 @@ def _run_resumable_phase(
                 pa.table({"loser": pa.array(loser_list, type=pa.int64())}))
         losers_ds.write_parquet(losers_dir)
         _atomic_write_json(params, marker)
+    phase_walls["discovery"] = round(time.time() - _t0, 2)
+    _t0 = time.time()
 
     losers = (ray.data.read_parquet(losers_dir)
               if has_parquet_files(losers_dir) else None)
@@ -710,6 +714,8 @@ def _run_resumable_phase(
         if surv.count() != 0:
             raise
 
+    phase_walls["survivor_write"] = round(time.time() - _t0, 2)
+    _run_resumable_phase.last_phase_walls = phase_walls
     return sum(m["kept_rows"] for m in _read_part_manifests(out_dir).values())
 
 
