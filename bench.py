@@ -287,6 +287,10 @@ def run_scaling() -> dict:
         "hw_ceiling_8_to_32": round(ceiling, 3),
         "normalized_efficiency": round(min(eff / ceiling, 1.0), 3),
         "bench_docs": lo["bench_docs"],
+        # host-steal evidence from the best run at each level (the
+        # subprocesses embed probes in their own JSON)
+        "host_8": lo.get("host_after"),
+        "host_32": hi.get("host_after"),
     }
     os.makedirs("BENCH", exist_ok=True)
     # machine-readable record of the latest run; BENCH/BASELINE.md is the
