@@ -1980,7 +1980,14 @@ def _q_full_outer_nation_balance(sf_dir: str):
              "n_supp": pc.fill_null(b.column("n_supp"), 0)}
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    res = out.map_batches(finish, batch_format="pyarrow")
+    # dim-bounded result (≤ nations rows): pull and pin the schema — at
+    # tiny SFs BOTH filtered sides can be empty and a fully-empty Ray
+    # chain forgets its columns (the oracle's empty result is typed)
+    return pa.Table.from_pylist(
+        res.take_all(), schema=pa.schema(
+            [("nationkey", pa.int64()), ("n_cust", pa.int64()),
+             ("n_supp", pa.int64())]))
 
 
 _SQL_FULL_OUTER = """

@@ -3,6 +3,7 @@ and compare against oracle_sql() via DuckDB (row count + schema names +
 order-insensitive value equality), mimicking CORRECTNESS_r{N}.json.
 
 Usage: python tools/check_queries.py [sf_dir] [query ...]
+       python tools/check_queries.py [sf_dir] --window   # first-50 only
 """
 
 from __future__ import annotations
@@ -39,8 +40,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -59,6 +62,8 @@ def main() -> int:
         )
 
     qs = e.queries()
+    if window_only:
+        qs = dict(list(qs.items())[:50])  # the driver's exact window
     sqls = e.oracle_sql()
     failed = []
     for name, fn in qs.items():
