@@ -88,9 +88,19 @@ def decode_png(blob: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat_parts))
+    if w * h > 64_000_000:
+        # untrusted crawl headers: dims are 32-bit fields — fail before
+        # any per-pixel allocation (same cap as JPEG/GIF)
+        raise ValueError(f"PNG: implausible dimensions {w}x{h}")
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: a small zlib bomb must not materialize gigabytes
+    # before the length check — cap at the exact scanline byte count
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat_parts), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("PNG: oversized image data (decompression bomb)")
+    if len(raw) < expected:
         raise ValueError("PNG: truncated scanlines")
     # Defilter (ADVICE r03: real encoder output is dominated by filters
     # 1/3/4, so the per-byte numpy-scalar loop was the decode
@@ -176,8 +186,15 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     if compression != 0:
         raise NotImplementedError("compressed BMP unsupported")
     h, bottom_up = abs(h_signed), h_signed > 0
+    if w <= 0 or h <= 0 or h * w > 64_000_000:
+        # untrusted 32-bit header dims: a forged h=2^31-1 (or w=0 with
+        # huge h) would loop for an hour building empty rows — fail
+        # before the per-row loop (same cap as PNG/JPEG/GIF)
+        raise ValueError(f"BMP: implausible dimensions {w}x{h_signed}")
     if bpp == 24:
         stride = (w * 3 + 3) & ~3
+        if data_off + (h - 1) * stride + w * 3 > len(blob):
+            raise ValueError("BMP: truncated pixel data")
         rows = []
         for y in range(h):
             off = data_off + y * stride
@@ -191,6 +208,8 @@ def decode_bmp(blob: bytes) -> np.ndarray:
             blob[pal_off:pal_off + 4 * n_colors], dtype=np.uint8
         ).reshape(-1, 4)[:, 2::-1]  # BGRA → RGB
         stride = (w + 3) & ~3
+        if data_off + (h - 1) * stride + w > len(blob):
+            raise ValueError("BMP: truncated pixel data")
         rows = []
         for y in range(h):
             off = data_off + y * stride
@@ -441,6 +460,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             vmax = max(c[2] for c in comps)
             mcus_x = -(-fw // (8 * hmax))
             mcus_y = -(-fh // (8 * vmax))
+            # total coefficient-store bound: nc and sampling factors are
+            # attacker-controlled too — a frame just under the pixel cap
+            # with 255 full-res components would still request ~127 GB
+            total_blocks = sum(
+                (mcus_y * vs) * (mcus_x * hs) for _, hs, vs, _ in comps)
+            if total_blocks * 64 > 256_000_000:  # int64 elems ≈ 2 GB
+                raise ValueError(
+                    f"JPEG: implausible coefficient volume "
+                    f"({len(comps)} comps, {total_blocks} blocks)")
             stores, comp_blocks = [], []
             for cid, hs, vs, tq_ in comps:
                 stores.append(
@@ -720,6 +748,10 @@ def decode_wav(blob: bytes) -> "tuple[int, np.ndarray]":
             data = body
     if rate is None or data is None:
         raise ValueError("WAV: missing fmt/data chunk")
+    if rate <= 0:
+        # forged fmt chunk: a zero rate would ZeroDivisionError in
+        # duration math downstream, bypassing on_error policies
+        raise ValueError(f"WAV: invalid sample rate {rate}")
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 8:
@@ -912,7 +944,10 @@ def iter_avi_mjpeg_frames(blob: bytes):
             if four == b"LIST" and size >= 4:
                 ltype = blob[body:body + 4]
                 if ltype in (b"movi", b"rec "):
-                    yield from walk(body + 4, body + size)
+                    # clamp a forged LIST size to the blob: an out-of-
+                    # range stop would spin hundreds of millions of
+                    # empty-slice iterations (a hang, not an error)
+                    yield from walk(body + 4, min(body + size, len(blob)))
             elif (four[2:4] in (b"dc", b"db") and four[:2].isdigit()):
                 yield blob[body:body + size]
             off = body + size + (size & 1)

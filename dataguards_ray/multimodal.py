@@ -195,6 +195,8 @@ class AudioFeatureStage:
         for blob in batch.column("audio").to_pylist():
             try:
                 rate, s = _decode_audio_one(blob)
+                if rate <= 0:  # belt-and-braces: never divide by a
+                    raise ValueError(f"invalid sample rate {rate}")
             except (ValueError, NotImplementedError) as e:
                 if self.on_error == "raise":
                     raise
@@ -270,9 +272,18 @@ def _iter_video_frames(blob: bytes):
         # reads, so the frame column stays decodable blobs
         from .codecs import iter_gif_frames
 
-        for px in iter_gif_frames(blob):
-            h, w = px.shape
-            yield b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+        # normalize parser exceptions (struct.error on truncation etc.)
+        # to ValueError so FrameSampleStage's on_error=skip catches them
+        # — the image path gets this from decode_image; the video path
+        # must do it here
+        try:
+            for px in iter_gif_frames(blob):
+                h, w = px.shape
+                yield b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:
+            raise ValueError(f"corrupt GIF video: {e}") from e
         return
     if blob is None or not blob.startswith(VIDEO_MAGIC):
         raise NotImplementedError(

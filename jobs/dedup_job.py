@@ -515,6 +515,9 @@ def run_dedup_job(
                            os.path.join(man_dir, "_span_params.json"))
 
     res = {"mode": mode, "input_rows": n_in, "kept_rows": n_out,
+           **({"phase_walls": _run_resumable_phase.last_phase_walls}
+              if resumable and hasattr(_run_resumable_phase,
+                                       "last_phase_walls") else {}),
            "dropped_rows": n_in - n_out}
     if against:
         res["against"] = against

@@ -4124,3 +4124,75 @@ def test_multimodal_on_error_policies(ray_session):
     assert sorted({r["vid_id"] for r in got}) == [1]
     with pytest.raises(Exception):
         sample_frames(vids, every_k=2).take_all()
+
+
+def test_codec_forged_header_guards():
+    """Round-5 hardening sweep: forged crawl headers across EVERY
+    format fail instantly with a clean error — no multi-GB allocation,
+    no hour-long loop, no exotic exception leaking past on_error."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dataguards_ray.codecs import (decode_image, decode_jpeg,
+                                       decode_wav, iter_avi_mjpeg_frames)
+
+    def png_chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    # PNG: forged dims AND a small-dims decompression bomb
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+           + png_chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+           + png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_image(png)
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    png2 = (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr2)
+            + png_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bomb"):
+        decode_image(png2)
+
+    # BMP: zero width / huge skinny height
+    def bmp(w, h):
+        return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                              0, 0, 0, 0, 0, 0) + b"\x00" * 50)
+
+    with pytest.raises(ValueError):
+        decode_image(bmp(0, 2_000_000))
+    with pytest.raises(ValueError):
+        decode_image(bmp(1, 60_000_000))
+
+    # JPEG: component/sampling blowup under the pixel cap
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    comps = b"".join(bytes([i, 0x44, 0]) for i in range(255))
+    jpg = (b"\xff\xd8" + seg(0xDB, b"\x00" + bytes([1] * 64))
+           + seg(0xC0, struct.pack(">BHHB", 8, 7000, 9000, 255) + comps)
+           + seg(0xDA, bytes([1, 1, 0, 0, 63, 0])) + b"\x00\x00\xff\xd9")
+    with pytest.raises(ValueError, match="coefficient volume"):
+        decode_jpeg(jpg)
+
+    # AVI: forged nested-LIST size must not spin on empty slices
+    avi = (b"RIFF" + struct.pack("<I", 0xFFFFFFF0) + b"AVI " + b"LIST"
+           + struct.pack("<I", 0xFFFFFFF0) + b"movi" + b"\x00" * 16)
+    assert list(iter_avi_mjpeg_frames(avi)) == []
+
+    # WAV: forged zero sample rate
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(wav)
+
+    # truncated GIF through the VIDEO path normalizes to ValueError
+    from dataguards_ray.multimodal import _iter_video_frames
+
+    with pytest.raises(ValueError, match="corrupt GIF video"):
+        list(_iter_video_frames(b"GIF89a\x00\x00\x00\x00"))
