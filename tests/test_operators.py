@@ -786,6 +786,8 @@ def test_exact_dedup_filter_and_dedup_job(tmp_path):
     src.mkdir()
     pq.write_table(pa.Table.from_pylist(rows), str(src / "part0.parquet"))
     res = run_dedup_job(str(src), str(tmp_path / "out"), mode="exact")
+    walls = res.pop("phase_walls")  # round-5 diagnostics ride the summary
+    assert set(walls) == {"discovery", "survivor_write"}
     assert res == {"mode": "exact", "input_rows": 5, "kept_rows": 3, "dropped_rows": 2}
     back = sorted(r["doc_id"] for r in ray.data.read_parquet(str(tmp_path / "out")).take_all())
     assert back == [2, 3, 7]
