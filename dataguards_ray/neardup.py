@@ -24,6 +24,8 @@ result below is byte-identical to uncapped brute force.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -264,11 +266,27 @@ def minhash_pair_candidates(
     max_clique: int = MAX_CLIQUE,
     max_expand: int = MAX_EXPAND,
     max_bucket: int = MAX_BUCKET,
+    payload: str = "sig",
+    max_driver_pairs: int = 200_000,
 ) -> Dataset:
     """Distributed MinHash-LSH near-dup pairs as a Dataset
     (id_a < id_b, est_jaccard ≥ threshold), deduped across bands with a
     ``groupby(["id_a","id_b"])`` — nothing corpus-sized ever reaches the
-    driver.  est_jaccard = fraction of agreeing minhash components."""
+    driver.  est_jaccard = fraction of agreeing minhash components.
+
+    ``payload="digest"`` switches to the thin-payload discovery (module
+    comment at ``minhash_thin_candidates``): ~26× less bucket-shuffle
+    payload in exchange for one extra corpus pass pruned to rep docs —
+    the 100 TB default; output is row-identical (parity-tested).
+    ``payload="sig"`` (default) is the single-text-pass path the
+    incremental manifest chain uses."""
+    if payload == "digest":
+        return _thin_minhash_pairs(
+            ds, text_col=text_col, id_col=id_col, threshold=threshold,
+            max_clique=max_clique, max_expand=max_expand,
+            max_bucket=max_bucket, max_driver_pairs=max_driver_pairs)
+    if payload != "sig":
+        raise ValueError(f"payload must be 'sig' or 'digest', got {payload!r}")
     cand = minhash_candidates(ds, text_col=text_col, id_col=id_col)
     return pairs_from_candidates(
         cand, id_col=id_col, threshold=threshold, max_clique=max_clique,
@@ -299,6 +317,522 @@ def pairs_from_candidates(
     return raw.groupby(["id_a", "id_b"]).aggregate(
         Max("est_jaccard", alias_name="est_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Thin-payload (digest) discovery — deferred verification
+# ---------------------------------------------------------------------------
+#
+# The full-sig path above ships the 1 KB signature once per band (16×)
+# through the bucket groupby: ~16.9 KB of shuffle payload per doc, 47 GB
+# per 2.94 M docs (measured, SCALE.md).  The thin path ships a 128-bit
+# blake2b digest of the signature instead (~0.6 KB per doc, ~26× less):
+#
+#   1. candidates: (band, band_hash, id, dig0, dig1) thin rows,
+#      materialized ONCE (sig computed once per doc; ~40 B/row in the
+#      object store, spillable).
+#   2. bucket stage: subgroup by digest.  Identical digest ⇔ identical
+#      signature (collision odds ~n²/2¹²⁸ — negligible at 10¹² docs),
+#      so same-digest pairs are emitted final (est 1.0; from the band-0
+#      bucket only — members share every bucket, so once is enough) and
+#      cross-digest REP pairs are emitted UNVERIFIED, carrying the two
+#      digests and the subgroup member counts (both are global per
+#      digest: same-sig docs hash to the same bucket in every band).
+#   3. cross-band dedup of the candidate rows (adaptive driver merge /
+#      distributed first-of-group, as elsewhere).
+#   4. verification: signatures are recomputed for REP docs only (one
+#      pruned re-read of the corpus — broadcast id filter), est =
+#      component agreement, filter ≥ threshold.  Nothing corpus-sized
+#      is ever joined on the full signature.
+#   5. expansion: passing rep pairs expand to member×member pairs under
+#      ``max_expand`` exactly like the in-bucket path (the rep edge
+#      alone above the cap keeps the component connected).
+#
+# Output is row-identical to ``minhash_pair_candidates`` (parity-tested
+# including forced caps, forced distributed tail, and partition count).
+# Trade-off vs full-sig: one extra text scan (filtered to rep docs) —
+# at 100 TB the 16 PB → 0.6 PB exchange saving dominates.  The
+# incremental ``--against`` manifest chain keeps the full-sig layout
+# (prior corpora are never re-readable for verification).
+
+_EMPTY_THIN_CAND = pa.table(
+    {
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "est": pa.array([], type=pa.float64()),
+        "dig0_a": pa.array([], type=pa.uint64()),
+        "dig1_a": pa.array([], type=pa.uint64()),
+        "dig0_b": pa.array([], type=pa.uint64()),
+        "dig1_b": pa.array([], type=pa.uint64()),
+        "m_a": pa.array([], type=pa.int64()),
+        "m_b": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def minhash_thin_candidates(
+    ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """(band, band_hash, doc_id, dig0, dig1) rows — the signature
+    replaced by its 128-bit blake2b digest (as two uint64 columns so
+    every downstream groupby/filter key stays integer-typed)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        bands, hashes, out_ids, d0s, d1s = [], [], [], [], []
+        for did, t in zip(ids, texts):
+            if not t or len(t) < SHINGLE_K:
+                continue  # no shingles → no candidates (see full path)
+            sig = minhash_signature(t)
+            dg = hashlib.blake2b(sig.tobytes(), digest_size=16).digest()
+            v0 = int.from_bytes(dg[:8], "little")
+            v1 = int.from_bytes(dg[8:], "little")
+            for b in range(N_BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bands.append(b)
+                hashes.append(int(spec.fnv1a64(chunk.tobytes())))
+                out_ids.append(did)
+                d0s.append(v0)
+                d1s.append(v1)
+        return pa.table(
+            {
+                "band": pa.array(bands, type=pa.int32()),
+                "band_hash": pa.array(hashes, type=pa.uint64()),
+                id_col: pa.array(out_ids, type=pa.int64()),
+                "dig0": pa.array(d0s, type=pa.uint64()),
+                "dig1": pa.array(d1s, type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _thin_bucket_rows(
+    group: pa.Table, id_col: str, max_clique: int, max_bucket: int
+) -> pa.Table:
+    """Per-bucket emission for the thin path: final same-digest pairs
+    (band-0 bucket only) + unverified cross-digest rep pairs."""
+    if group.num_rows < 2:
+        return _EMPTY_THIN_CAND
+    ids, row_idx = _sorted_unique_ids(group, id_col)
+    n = len(ids)
+    if n < 2:
+        return _EMPTY_THIN_CAND
+    d0 = np.asarray(
+        group.column("dig0").to_numpy(zero_copy_only=False), dtype=np.uint64
+    )[row_idx]
+    d1 = np.asarray(
+        group.column("dig1").to_numpy(zero_copy_only=False), dtype=np.uint64
+    )[row_idx]
+    keys = list(zip(d0.tolist(), d1.tolist()))
+    groups, reps = _subgroup_sorted(ids, keys)
+
+    tbls: list[pa.Table] = []
+
+    # same-digest pairs: identical signatures → est 1.0, final.  The
+    # members share EVERY bucket, so emit only from their band-0 bucket
+    # (the cross-band dedup would collapse the 16 copies anyway).
+    if int(group.column("band")[0].as_py()) == 0:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for members in groups.values():
+            m = len(members)
+            if m < 2:
+                continue
+            if m <= max_clique:
+                for x in range(m):
+                    for y in range(x + 1, m):
+                        a_out.append(int(ids[members[x]]))
+                        b_out.append(int(ids[members[y]]))
+            else:  # star keeps the component connected in O(m)
+                head = members[0]
+                for other in members[1:]:
+                    a_out.append(int(ids[head]))
+                    b_out.append(int(ids[other]))
+        if a_out:
+            k = len(a_out)
+            tbls.append(pa.table(
+                {
+                    "id_a": pa.array(a_out, type=pa.int64()),
+                    "id_b": pa.array(b_out, type=pa.int64()),
+                    "est": pa.array([1.0] * k, type=pa.float64()),
+                    "dig0_a": pa.nulls(k, pa.uint64()),
+                    "dig1_a": pa.nulls(k, pa.uint64()),
+                    "dig0_b": pa.nulls(k, pa.uint64()),
+                    "dig1_b": pa.nulls(k, pa.uint64()),
+                    "m_a": pa.nulls(k, pa.int64()),
+                    "m_b": pa.nulls(k, pa.int64()),
+                }
+            ))
+
+    # cross-digest rep pairs: similarity is NOT evaluable here (no
+    # sigs) — emit every rep pair (the classic LSH candidate set),
+    # deterministically truncated at max_bucket like the full path.
+    reps = reps[:max_bucket]
+    r = len(reps)
+    if r >= 2:
+        reps_arr = np.asarray(reps, dtype=np.int64)
+        rep_ids = ids[reps_arr]  # ascending (reps sorted, ids sorted)
+        rd0 = d0[reps_arr]
+        rd1 = d1[reps_arr]
+        mcounts = np.array(
+            [len(groups[keys[i]]) for i in reps], dtype=np.int64)
+        ii, jj = np.triu_indices(r, k=1)
+        tbls.append(pa.table(
+            {
+                "id_a": pa.array(rep_ids[ii], type=pa.int64()),
+                "id_b": pa.array(rep_ids[jj], type=pa.int64()),
+                "est": pa.nulls(len(ii), pa.float64()),
+                "dig0_a": pa.array(rd0[ii], type=pa.uint64()),
+                "dig1_a": pa.array(rd1[ii], type=pa.uint64()),
+                "dig0_b": pa.array(rd0[jj], type=pa.uint64()),
+                "dig1_b": pa.array(rd1[jj], type=pa.uint64()),
+                "m_a": pa.array(mcounts[ii], type=pa.int64()),
+                "m_b": pa.array(mcounts[jj], type=pa.int64()),
+            }
+        ))
+
+    if not tbls:
+        return _EMPTY_THIN_CAND
+    return pa.concat_tables(tbls)
+
+
+def _rep_sig_rows(ds: Dataset, ids_ref, *, text_col: str, id_col: str) -> Dataset:
+    """(id, sig) rows recomputed for rep docs only — one pruned pass
+    over the corpus with a broadcast id filter; result-sized output."""
+    import pyarrow.compute as pc
+
+    from .steps.dedup import get_broadcast
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(batch.column(id_col), value_set=get_broadcast(ids_ref)),
+            False)
+        sub = batch.filter(keep)
+        sigs = [
+            minhash_signature(t or "").tobytes()
+            for t in sub.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: sub.column(id_col),
+                "sig": pa.array(sigs, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _est_from_sig_pair(sig_a: list[bytes], sig_b: list[bytes]) -> np.ndarray:
+    """Vectorized component-agreement estimate for aligned sig lists."""
+    if not sig_a:
+        return np.zeros(0, dtype=np.float64)
+    a = np.frombuffer(b"".join(sig_a), dtype=np.uint64).reshape(-1, N_PERM)
+    b = np.frombuffer(b"".join(sig_b), dtype=np.uint64).reshape(-1, N_PERM)
+    return (a == b).mean(axis=1)
+
+
+def _thin_minhash_pairs(
+    ds: Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_clique: int = MAX_CLIQUE,
+    max_expand: int = MAX_EXPAND,
+    max_bucket: int = MAX_BUCKET,
+    max_driver_pairs: int = 200_000,
+) -> Dataset:
+    """Digest-payload discovery (module comment above) — returns the
+    same (id_a, id_b, est_jaccard) Dataset as the full-sig path."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .aggregates import driver_merge_or_none
+    from .steps.dedup import get_broadcast
+
+    thin = minhash_thin_candidates(ds, text_col=text_col, id_col=id_col)
+    # one sig pass total: the thin rows (~40 B each) feed the bucket
+    # groupby AND the expansion member pull — materialize, don't rerun
+    thin = thin.materialize()
+    if thin.count() == 0:
+        return ray.data.from_arrow(_EMPTY_MINHASH_PAIRS)
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        return _thin_bucket_rows(group, id_col, max_clique, max_bucket)
+
+    raw = thin.groupby(["band", "band_hash"]).map_groups(
+        bucket_fn, batch_format="pyarrow")
+    dep_cols = ["est", "dig0_a", "dig1_a", "dig0_b", "dig1_b", "m_a", "m_b"]
+    # every row of a (id_a, id_b) group is identical (digests and member
+    # counts are global per digest) — "max" is just "the value"
+    tbl, mat = driver_merge_or_none(
+        raw, ["id_a", "id_b"], [(c, "max", c) for c in dep_cols],
+        max_driver_rows=max_driver_pairs)
+
+    if tbl is not None:
+        return _thin_driver_tail(
+            ds, thin, tbl, text_col=text_col, id_col=id_col,
+            threshold=threshold, max_expand=max_expand)
+    return _thin_distributed_tail(
+        ds, thin, mat, text_col=text_col, id_col=id_col,
+        threshold=threshold, max_expand=max_expand)
+
+
+def _thin_driver_tail(
+    ds: Dataset,
+    thin: Dataset,
+    tbl: pa.Table,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_expand: int,
+) -> Dataset:
+    """Candidate set fits on the driver: verify + expand locally
+    (mirrors ``pair_loser_ids``' under-cap union-find pull)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .steps.dedup import get_broadcast
+
+    est_valid = pc.is_valid(tbl.column("est"))
+    same = tbl.filter(est_valid)
+    tov = tbl.filter(pc.invert(est_valid))
+
+    out_a = same.column("id_a").to_pylist()
+    out_b = same.column("id_b").to_pylist()
+    out_e = same.column("est").to_pylist()
+
+    if tov.num_rows:
+        ida = tov.column("id_a").to_pylist()
+        idb = tov.column("id_b").to_pylist()
+        rep_ids = sorted(set(ida) | set(idb))
+        ids_ref = ray.put(pa.array(rep_ids, type=pa.int64()))
+        sig_of: dict[int, bytes] = {}
+        for r in _rep_sig_rows(
+                ds, ids_ref, text_col=text_col, id_col=id_col).take_all():
+            sig_of[r[id_col]] = r["sig"]
+        est = _est_from_sig_pair(
+            [sig_of[i] for i in ida], [sig_of[i] for i in idb])
+        passing = np.nonzero(est >= threshold)[0]
+
+        d0a = tov.column("dig0_a").to_pylist()
+        d1a = tov.column("dig1_a").to_pylist()
+        d0b = tov.column("dig0_b").to_pylist()
+        d1b = tov.column("dig1_b").to_pylist()
+        m_a = tov.column("m_a").to_pylist()
+        m_b = tov.column("m_b").to_pylist()
+
+        # member lists are needed only for passing, under-cap pairs
+        # whose digest group has >1 member — pull just those digests
+        need: set[tuple[int, int]] = set()
+        for k in passing.tolist():
+            if m_a[k] * m_b[k] <= max_expand:
+                if m_a[k] > 1:
+                    need.add((d0a[k], d1a[k]))
+                if m_b[k] > 1:
+                    need.add((d0b[k], d1b[k]))
+        members: dict[tuple[int, int], list[int]] = {}
+        if need:
+            ref0 = ray.put(pa.array(
+                sorted({x for x, _ in need}), type=pa.uint64()))
+            ref1 = ray.put(pa.array(
+                sorted({y for _, y in need}), type=pa.uint64()))
+
+            def memf(batch: pa.Table) -> pa.Table:
+                keep = pc.and_(
+                    pc.equal(batch.column("band"), 0),
+                    pc.and_(
+                        pc.is_in(batch.column("dig0"),
+                                 value_set=get_broadcast(ref0)),
+                        pc.is_in(batch.column("dig1"),
+                                 value_set=get_broadcast(ref1))))
+                return batch.filter(pc.fill_null(keep, False)).select(
+                    [id_col, "dig0", "dig1"])
+
+            for r in thin.map_batches(
+                    memf, batch_format="pyarrow").take_all():
+                key = (r["dig0"], r["dig1"])
+                if key in need:
+                    members.setdefault(key, []).append(r[id_col])
+            for v in members.values():
+                v.sort()
+
+        for k in passing.tolist():
+            e = float(est[k])
+            if m_a[k] * m_b[k] > max_expand:
+                # rep edge alone keeps the component connected (ids ARE
+                # the min-id members, matching the full path's ma[0])
+                out_a.append(ida[k])
+                out_b.append(idb[k])
+                out_e.append(e)
+                continue
+            ma = members.get((d0a[k], d1a[k]), [ida[k]])
+            mb = members.get((d0b[k], d1b[k]), [idb[k]])
+            for x in ma:
+                for y in mb:
+                    out_a.append(min(x, y))
+                    out_b.append(max(x, y))
+                    out_e.append(e)
+
+    return ray.data.from_arrow(pa.table(
+        {
+            "id_a": pa.array(out_a, type=pa.int64()),
+            "id_b": pa.array(out_b, type=pa.int64()),
+            "est_jaccard": pa.array(out_e, type=pa.float64()),
+        }
+    ))
+
+
+def _thin_distributed_tail(
+    ds: Dataset,
+    thin: Dataset,
+    mat: Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_expand: int,
+) -> Dataset:
+    """Candidate set above the driver cap: verify via two result-sized
+    hash joins against recomputed rep sigs; expand via two joins
+    against the thin (id, digest) rows.  Only candidate-/result-sized
+    data moves — the corpus is touched once more for rep sigs only.
+    Join plumbing follows the ``verify_pairs_jaccard`` template
+    (partition count sized to the smaller side's key count, schema
+    scrub between chained joins)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .joins import hash_join, scrub_empty_blocks
+    from .steps.dedup import get_broadcast
+
+    def first_of_group(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    dedup = mat.groupby(["id_a", "id_b"]).map_groups(
+        first_of_group, batch_format="pyarrow").materialize()
+
+    def keep_same(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_valid(batch.column("est")))
+        return pa.table(
+            {
+                "id_a": out.column("id_a"),
+                "id_b": out.column("id_b"),
+                "est_jaccard": out.column("est"),
+            }
+        )
+
+    same = dedup.map_batches(keep_same, batch_format="pyarrow")
+
+    def keep_tov(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("est")))
+
+    tov = dedup.map_batches(keep_tov, batch_format="pyarrow").materialize()
+    if tov.count() == 0:
+        return same
+
+    # rep id set: collision-sized (ids of candidate pairs), the same
+    # class of driver pull pair_loser_ids makes on every dedup run
+    rep_ids: set[int] = set()
+    for t in ray.get(tov.select_columns(["id_a", "id_b"]).to_arrow_refs()):
+        rep_ids.update(t.column("id_a").to_pylist())
+        rep_ids.update(t.column("id_b").to_pylist())
+    ids_ref = ray.put(pa.array(sorted(rep_ids), type=pa.int64()))
+    sig_ds = _rep_sig_rows(
+        ds, ids_ref, text_col=text_col, id_col=id_col).materialize()
+    nparts = max(1, min(16, len(rep_ids) // 4 or 1))
+
+    tov_sch = _EMPTY_THIN_CAND.schema
+    j = hash_join(
+        tov, sig_ds.rename_columns({id_col: "id_a", "sig": "sig_a"}),
+        on=["id_a"], num_partitions=nparts)
+    j = scrub_empty_blocks(
+        j, num_blocks=nparts,
+        schema=tov_sch.append(pa.field("sig_a", pa.binary())))
+    j = hash_join(
+        j, sig_ds.rename_columns({id_col: "id_b", "sig": "sig_b"}),
+        on=["id_b"], num_partitions=nparts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        est = _est_from_sig_pair(
+            batch.column("sig_a").to_pylist(),
+            batch.column("sig_b").to_pylist())
+        out = batch.drop_columns(["sig_a", "sig_b", "est"]).append_column(
+            "est_jaccard", pa.array(est, type=pa.float64()))
+        return out.filter(pc.greater_equal(
+            out.column("est_jaccard"), threshold))
+
+    verified = j.map_batches(verify, batch_format="pyarrow").materialize()
+
+    def keep_noexp(batch: pa.Table) -> pa.Table:
+        prod = pc.multiply(batch.column("m_a"), batch.column("m_b"))
+        keep = pc.or_(
+            pc.greater(prod, max_expand),
+            pc.and_(pc.equal(batch.column("m_a"), 1),
+                    pc.equal(batch.column("m_b"), 1)))
+        out = batch.filter(pc.fill_null(keep, False))
+        return out.select(["id_a", "id_b", "est_jaccard"])
+
+    noexp = verified.map_batches(keep_noexp, batch_format="pyarrow")
+
+    def keep_exp(batch: pa.Table) -> pa.Table:
+        prod = pc.multiply(batch.column("m_a"), batch.column("m_b"))
+        keep = pc.and_(
+            pc.less_equal(prod, max_expand),
+            pc.or_(pc.greater(batch.column("m_a"), 1),
+                   pc.greater(batch.column("m_b"), 1)))
+        sub = batch.filter(pc.fill_null(keep, False))
+        return sub.select(["id_a", "id_b", "est_jaccard",
+                           "dig0_a", "dig1_a", "dig0_b", "dig1_b"])
+
+    exp = verified.map_batches(keep_exp, batch_format="pyarrow").materialize()
+    n_exp = exp.count()
+    if n_exp == 0:
+        return same.union(noexp)
+
+    def band0(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("band"), 0)).select(
+            [id_col, "dig0", "dig1"])
+
+    thin0 = thin.map_batches(band0, batch_format="pyarrow")
+    npe = max(1, min(16, n_exp // 4 or 1))
+    exp_sch = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()),
+         ("est_jaccard", pa.float64()),
+         ("dig0_a", pa.uint64()), ("dig1_a", pa.uint64()),
+         ("dig0_b", pa.uint64()), ("dig1_b", pa.uint64())])
+    # many-to-many joins do the cross-product expansion: one row per
+    # (pair, member_a), then per (pair, member_a, member_b)
+    ja = hash_join(
+        exp,
+        thin0.rename_columns(
+            {id_col: "mem_a", "dig0": "dig0_a", "dig1": "dig1_a"}),
+        on=["dig0_a", "dig1_a"], num_partitions=npe)
+    ja = scrub_empty_blocks(
+        ja, num_blocks=npe,
+        schema=exp_sch.append(pa.field("mem_a", pa.int64())))
+    jb = hash_join(
+        ja,
+        thin0.rename_columns(
+            {id_col: "mem_b", "dig0": "dig0_b", "dig1": "dig1_b"}),
+        on=["dig0_b", "dig1_b"], num_partitions=npe)
+
+    def order_pair(batch: pa.Table) -> pa.Table:
+        a = batch.column("mem_a")
+        b = batch.column("mem_b")
+        return pa.table(
+            {
+                "id_a": pc.min_element_wise(a, b),
+                "id_b": pc.max_element_wise(a, b),
+                "est_jaccard": batch.column("est_jaccard"),
+            }
+        )
+
+    expanded = jb.map_batches(order_pair, batch_format="pyarrow")
+    return same.union(noexp).union(expanded)
 
 
 def _dedup_pairs_adaptive(raw: Dataset, value_col: str, merge_fn: str,
@@ -339,13 +873,33 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    payload: str = "sig",
     **caps,
 ) -> pa.Table:
     """Driver-side convenience: the deduped pair set, sorted.  The pair
     set is result-sized (collision candidates only) — the only
     materialization in the whole path.  Uses the adaptive pair dedup
     (driver Arrow merge under the cap); ``minhash_pair_candidates`` is
-    the always-distributed composition API."""
+    the always-distributed composition API.  ``payload="digest"``
+    selects the thin-payload discovery (same output, parity-tested)."""
+    if payload == "digest":
+        import ray as _ray
+
+        pairs_ds = _thin_minhash_pairs(
+            ds, text_col=text_col, id_col=id_col, threshold=threshold,
+            **{k: v for k, v in caps.items()
+               if k in ("max_clique", "max_expand", "max_bucket",
+                        "max_driver_pairs")})
+        tables = [
+            t for t in _ray.get(pairs_ds.materialize().to_arrow_refs())
+            if t.num_rows and t.schema.names
+        ]
+        sch = _EMPTY_MINHASH_PAIRS.schema
+        if not tables:
+            return sch.empty_table()
+        big = pa.concat_tables(tables, promote_options="default")
+        return big.select(sch.names).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")]).cast(sch)
     cand = minhash_candidates(ds, text_col=text_col, id_col=id_col)
 
     def pairs_fn(group: pa.Table) -> pa.Table:
@@ -807,6 +1361,7 @@ def near_dedup_filter(
     threshold: float = 0.8,
     distributed: bool | None = None,
     max_driver_pairs: int = 200_000,
+    payload: str = "sig",
 ) -> Dataset:
     """D3 end-to-end: drop MinHash-LSH near-duplicate losers.
 
@@ -816,14 +1371,16 @@ def near_dedup_filter(
     when the pair set is large or ``distributed=True``.  Winner per
     component = min id; losers are filtered out vectorized (loser sets
     are collision-sized → broadcast; swap for a hash join at extreme
-    collision rates)."""
+    collision rates).  ``payload="digest"`` selects the thin-payload
+    discovery (same losers, ~26× less bucket-shuffle payload)."""
     import pyarrow.compute as pc
     import ray
 
     from .steps.dedup import get_broadcast
 
     pairs = minhash_pair_candidates(
-        ds, text_col=text_col, id_col=id_col, threshold=threshold
+        ds, text_col=text_col, id_col=id_col, threshold=threshold,
+        payload=payload
     )
     return drop_pair_losers(ds, pairs, id_col=id_col,
                             distributed=distributed,

@@ -1,0 +1,118 @@
+"""Thin-payload (digest) MinHash discovery — parity vs the full-sig path.
+
+The ``payload="digest"`` path ships a 16-byte blake2b digest of the
+signature through the bucket groupby instead of the 1 KB signature
+itself (~26x less exchange payload; module comment in neardup.py) and
+defers similarity verification to one pruned rep-doc re-read.  Its
+contract is ROW-IDENTITY with the full-sig path — these tests pin it
+for the driver-merge tail, the forced distributed tail, tiny caps
+(star + rep-edge-only branches), a pathological all-identical bucket,
+and a no-duplicate corpus.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _cluster_corpus(seed: int = 7, n_clusters: int = 12, n_unique: int = 25):
+    rng = random.Random(seed)
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        body = base * (10 + c) + f" cluster {c} " + " ".join(
+            f"w{rng.randrange(50)}" for _ in range(30))
+        for k in range(rng.randrange(1, 6)):
+            txt = body if k % 2 == 0 else body + f" tail{k}"
+            rows.append({"doc_id": i, "text": txt})
+            i += 1
+    for d in range(n_unique):
+        rows.append({"doc_id": i, "text": " ".join(
+            f"unique{d}token{j}x{rng.randrange(10**6)}" for j in range(60))})
+        i += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def _pairs(tbl):
+    return list(zip(tbl.column("id_a").to_pylist(),
+                    tbl.column("id_b").to_pylist(),
+                    tbl.column("est_jaccard").to_pylist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_thin_payload_parity_driver_and_distributed():
+    import ray.data
+
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    ds = ray.data.from_items(_cluster_corpus()).repartition(5)
+    full = minhash_near_dup_pairs(ds, threshold=0.5)
+    assert full.num_rows > 0
+    thin = minhash_near_dup_pairs(ds, threshold=0.5, payload="digest")
+    assert _pairs(full) == _pairs(thin)
+    # max_driver_pairs=0 forces the join-based distributed tail
+    thin_d = minhash_near_dup_pairs(
+        ds, threshold=0.5, payload="digest", max_driver_pairs=0)
+    assert _pairs(full) == _pairs(thin_d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_thin_payload_parity_under_tiny_caps():
+    """max_clique=2 / max_expand=3 / max_bucket=4 exercise the star,
+    rep-edge-only, and bucket-truncation branches on both paths."""
+    import ray.data
+
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    ds = ray.data.from_items(_cluster_corpus()).repartition(5)
+    caps = dict(max_clique=2, max_expand=3, max_bucket=4)
+    full = minhash_near_dup_pairs(ds, threshold=0.5, **caps)
+    assert full.num_rows > 0
+    thin = minhash_near_dup_pairs(
+        ds, threshold=0.5, payload="digest", **caps)
+    assert _pairs(full) == _pairs(thin)
+    thin_d = minhash_near_dup_pairs(
+        ds, threshold=0.5, payload="digest", max_driver_pairs=0, **caps)
+    assert _pairs(full) == _pairs(thin_d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_thin_payload_pathological_bucket_stays_linear():
+    """All-identical docs share one digest: the thin path must emit the
+    same O(n) star (from the band-0 bucket only), not a clique."""
+    import ray.data
+
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    text = "boilerplate terms of service apply to every page " * 10
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": text} for i in range(2000)])
+    pairs = minhash_near_dup_pairs(ds, threshold=0.8, payload="digest")
+    assert pairs.num_rows == 1999
+    assert pairs.column("id_a").to_pylist()[:3] == [0, 0, 0]
+    assert set(pairs.column("est_jaccard").to_pylist()) == {1.0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_thin_payload_no_dup_corpus_empty():
+    import ray.data
+
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    rng = random.Random(3)
+    ds = ray.data.from_items(
+        [{"doc_id": j, "text": " ".join(
+            f"solo{j}w{q}z{rng.randrange(10**6)}" for q in range(40))}
+         for j in range(10)])
+    assert minhash_near_dup_pairs(
+        ds, threshold=0.5, payload="digest").num_rows == 0
+    # short / empty texts (no shingles) are skipped, not crashed on
+    ds2 = ray.data.from_items(
+        [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": "ab"},
+         {"doc_id": 2, "text": None}])
+    assert minhash_near_dup_pairs(
+        ds2, threshold=0.5, payload="digest").num_rows == 0
