@@ -170,6 +170,7 @@ def run_dedup_job(
     streaming_discovery: "bool | None" = None,
     resume: bool = False,
     partitions: int = 32,
+    payload: str = "sig",
 ) -> dict:
     import ray
     import ray.data
@@ -184,6 +185,19 @@ def run_dedup_job(
     )
 
     assert ray.is_initialized(), "caller owns the Ray session"
+    if payload != "sig":
+        # digest discovery verifies rep pairs by re-reading their TEXT —
+        # prior corpora in an --against chain are never re-readable, and
+        # no other mode ships minhash signatures at all
+        if mode != "minhash":
+            raise ValueError(
+                f"--payload digest applies to mode minhash only, not {mode!r}")
+        if against:
+            raise ValueError(
+                "--payload digest is incompatible with --against: prior-run "
+                "docs exist only as manifest signatures, which the digest "
+                "path's rep-text verification pass cannot re-read — use the "
+                "default full-sig payload for incremental runs")
     if os.path.isdir(out_dir) and not resume:
         debris = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
         if debris:
@@ -316,6 +330,7 @@ def run_dedup_job(
             minhash_candidates=minhash_candidates,
             pairs_from_candidates=pairs_from_candidates,
             pair_loser_ids=pair_loser_ids,
+            payload=payload,
         )
     elif mode == "exact":
         if against:
@@ -353,7 +368,7 @@ def run_dedup_job(
                     prior_cand.select_columns(["doc_id"]), "doc_id", id_col))
         else:
             out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
-                                    threshold=threshold)
+                                    threshold=threshold, payload=payload)
     elif mode in ("span", "line", "substring"):
         from dataguards_ray.spandedup import (line_dedup, span_dedup,
                                               substring_dedup)
@@ -546,6 +561,7 @@ def _run_resumable_phase(
     minhash_candidates,
     pairs_from_candidates,
     pair_loser_ids,
+    payload: str = "sig",
 ) -> int:
     """Two-phase resumable exact/minhash dedup (module docstring).
     Returns the total survivor row count across ALL partitions."""
@@ -632,17 +648,29 @@ def _run_resumable_phase(
         else:  # minhash
             if nid_needed:
                 thin = thin.map_batches(add_nid, batch_format="pyarrow")
-            cand = minhash_candidates(thin, text_col=text_col, id_col=pair_id)
             prior_ids = None
-            if against:
-                prior_cand = read_manifest(against, "minhash")
-                cols = ["band", "band_hash", pair_id, "sig"]
-                cand = cand.select_columns(cols).union(
-                    rename(prior_cand, "doc_id", pair_id).select_columns(cols))
-                prior_ids = rename(
-                    prior_cand.select_columns(["doc_id"]), "doc_id", pair_id)
-            pairs = pairs_from_candidates(cand, id_col=pair_id,
-                                          threshold=threshold)
+            if payload == "digest":
+                # thin-payload discovery (run_dedup_job rejects it with
+                # --against); loser set is parity-identical to full-sig
+                from dataguards_ray.neardup import minhash_pair_candidates
+
+                pairs = minhash_pair_candidates(
+                    thin, text_col=text_col, id_col=pair_id,
+                    threshold=threshold, payload="digest")
+            else:
+                cand = minhash_candidates(
+                    thin, text_col=text_col, id_col=pair_id)
+                if against:
+                    prior_cand = read_manifest(against, "minhash")
+                    cols = ["band", "band_hash", pair_id, "sig"]
+                    cand = cand.select_columns(cols).union(
+                        rename(prior_cand, "doc_id",
+                               pair_id).select_columns(cols))
+                    prior_ids = rename(
+                        prior_cand.select_columns(["doc_id"]),
+                        "doc_id", pair_id)
+                pairs = pairs_from_candidates(cand, id_col=pair_id,
+                                              threshold=threshold)
             loser_list = pair_loser_ids(pairs, id_col=pair_id,
                                         prior_ids=prior_ids)
             losers_ds = ray.data.from_arrow(
@@ -735,6 +763,12 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=50,
                     help="substring mode: duplicated-window length in tokens")
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--payload", choices=("sig", "digest"), default="sig",
+                    help="minhash discovery exchange payload: 'digest' ships "
+                         "a 16-byte signature digest through the LSH bucket "
+                         "shuffle (~26x less payload; one extra rep-doc text "
+                         "pass) — identical survivors, parity-tested; "
+                         "incompatible with --against")
     ap.add_argument("--streaming-discovery", action="store_true",
                     help="span/line/substring: recompute the occurrence "
                          "stream per consumer instead of pinning it in "
@@ -775,6 +809,7 @@ def main() -> int:
                         id_col=args.id_col, against=args.against,
                         window=args.window, vec_col=args.vec_col,
                         resume=args.resume, partitions=args.partitions,
+                        payload=args.payload,
                         # flag → force streaming; absent → auto (None)
                         streaming_discovery=(True if args.streaming_discovery
                                              else None))

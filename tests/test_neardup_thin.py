@@ -116,3 +116,40 @@ def test_thin_payload_no_dup_corpus_empty():
          {"doc_id": 2, "text": None}])
     assert minhash_near_dup_pairs(
         ds2, threshold=0.5, payload="digest").num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_job_digest_payload_parity(tmp_path):
+    """dg dedup --payload digest: survivors row-equal to the default
+    full-sig run (same corpus, both through the resumable job path);
+    --against with digest is rejected loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    rows = [{"doc_id": i, **r} for i, r in enumerate(
+        {"text": r["text"]} for r in _cluster_corpus(seed=11))]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+
+    res_sig = run_dedup_job(str(src), str(tmp_path / "sig"),
+                            mode="minhash", threshold=0.5)
+    res_dig = run_dedup_job(str(src), str(tmp_path / "dig"),
+                            mode="minhash", threshold=0.5, payload="digest")
+    assert res_dig["kept_rows"] == res_sig["kept_rows"] > 0
+    ks = sorted(r["doc_id"] for r in
+                ray.data.read_parquet(str(tmp_path / "sig")).take_all())
+    kd = sorted(r["doc_id"] for r in
+                ray.data.read_parquet(str(tmp_path / "dig")).take_all())
+    assert ks == kd
+
+    with pytest.raises(ValueError, match="incompatible with --against"):
+        run_dedup_job(str(src), str(tmp_path / "incr"), mode="minhash",
+                      threshold=0.5, payload="digest",
+                      against=str(tmp_path / "dig"))
+    with pytest.raises(ValueError, match="mode minhash only"):
+        run_dedup_job(str(src), str(tmp_path / "x"), mode="exact",
+                      payload="digest")
