@@ -1284,6 +1284,18 @@ def _q_minhash_near_dups(sf_dir: str):
     return t.select(["id_a", "id_b"])
 
 
+def _q_minhash_near_dups_digest(sf_dir: str):
+    """The thin-exchange (digest-payload) LSH discovery — contract is
+    row-identity with _q_minhash_near_dups (parity-pinned in
+    tests/test_neardup_thin.py); the driver row proves the 100 TB
+    shuffle path runs on the same corpus."""
+    from dataguards_ray.neardup import minhash_near_dup_pairs
+
+    t = minhash_near_dup_pairs(
+        _mutated_documents(sf_dir), threshold=0.5, payload="digest")
+    return t.select(["id_a", "id_b"])
+
+
 def _web_documents(sf_dir: str):
     """documents with deterministic web-page structure (the synthetic
     corpus has no punctuation): a period every 10 words, a shared
@@ -4209,7 +4221,8 @@ _R05_WINDOW = [
     "asof_click_purchase", "asof_next_purchase", "multimodal_video_frames",
     "span_dedup_docs", "line_dedup_docs", "substring_dedup_docs",
     "check_config_orders", "hash_sample", "dedup_docs_exact",
-    "minhash_near_dups", "embedding_dedup", "flagship_pipeline",
+    "minhash_near_dups", "minhash_near_dups_digest", "embedding_dedup",
+    "flagship_pipeline",
     "tpch_q8_shape", "tpch_q21_shape", "knn_embeddings",
     # oldest driver coverage (green r02, unseen since)
     "tpch_q1", "filter_project", "join_customer_orders",
@@ -4224,7 +4237,9 @@ _R05_WINDOW = [
     "rank_customer_balance", "pivot_orders_status",
     "full_outer_nation_balance", "var_price_by_status", "top_tokens",
     "tpch_q3", "median_price_by_priority", "mad_price_by_priority",
-    "p90_price_by_priority", "distinct_customers_by_priority",
+    "p90_price_by_priority",
+    # distinct_customers_by_priority (green r02) yielded its slot to
+    # minhash_near_dups_digest; its quantile siblings stay in-window
 ]
 
 
@@ -4312,6 +4327,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_docs_by_source": _q_approx_distinct_docs_by_source,
         "approx_quantiles_price": _q_approx_quantiles_price,
         "minhash_near_dups": _q_minhash_near_dups,
+        # round-5 addition: thin-exchange LSH discovery (row-identical)
+        "minhash_near_dups_digest": _q_minhash_near_dups_digest,
         "span_dedup_docs": _q_span_dedup_docs,
         "line_dedup_docs": _q_line_dedup_docs,
         "substring_dedup_docs": _q_substring_dedup_docs,
