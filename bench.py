@@ -177,7 +177,8 @@ def run_bench() -> dict:
         qs = entrymod.queries()
         for name in ("tpch_q1", "window_tumbling_events", "window_hopping_events",
                      "dedup_docs_exact", "knn_embeddings", "cfd_violations",
-                     "minhash_near_dups", "asof_click_purchase",
+                     "minhash_near_dups", "minhash_near_dups_digest",
+                     "asof_click_purchase",
                      "median_price_by_priority", "tpch_q5_shape",
                      "dense_rank_cust_balance", "span_dedup_docs",
                      "interval_overlap_click_view", "event_row_number",

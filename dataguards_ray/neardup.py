@@ -268,6 +268,7 @@ def minhash_pair_candidates(
     max_bucket: int = MAX_BUCKET,
     payload: str = "sig",
     max_driver_pairs: int = 200_000,
+    prior_cand: Dataset | None = None,
 ) -> Dataset:
     """Distributed MinHash-LSH near-dup pairs as a Dataset
     (id_a < id_b, est_jaccard ≥ threshold), deduped across bands with a
@@ -278,15 +279,28 @@ def minhash_pair_candidates(
     comment at ``minhash_thin_candidates``): ~26× less bucket-shuffle
     payload in exchange for one extra corpus pass pruned to rep docs —
     the 100 TB default; output is row-identical (parity-tested).
-    ``payload="sig"`` (default) is the single-text-pass path the
-    incremental manifest chain uses."""
+    ``payload="sig"`` (default) is the single-text-pass path.
+
+    ``prior_cand`` (digest payload only): a prior run's full-sig
+    manifest rows (band, band_hash, <id_col>, sig) to discover against
+    incrementally — digests are derived from the stored sigs and rep
+    verification reads prior sigs from the manifest (band-0 rows)
+    instead of text, so prior corpora never need re-reading.  Ids must
+    be disjoint across runs (the incremental contract).  For the sig
+    payload, union prior rows into ``minhash_candidates`` output and
+    call ``pairs_from_candidates`` instead."""
     if payload == "digest":
         return _thin_minhash_pairs(
             ds, text_col=text_col, id_col=id_col, threshold=threshold,
             max_clique=max_clique, max_expand=max_expand,
-            max_bucket=max_bucket, max_driver_pairs=max_driver_pairs)
+            max_bucket=max_bucket, max_driver_pairs=max_driver_pairs,
+            prior_cand=prior_cand)
     if payload != "sig":
         raise ValueError(f"payload must be 'sig' or 'digest', got {payload!r}")
+    if prior_cand is not None:
+        raise ValueError(
+            "prior_cand is a digest-payload parameter; the sig path unions "
+            "prior manifest rows into pairs_from_candidates input instead")
     cand = minhash_candidates(ds, text_col=text_col, id_col=id_col)
     return pairs_from_candidates(
         cand, id_col=id_col, threshold=threshold, max_clique=max_clique,
@@ -351,9 +365,11 @@ def pairs_from_candidates(
 # Output is row-identical to ``minhash_pair_candidates`` (parity-tested
 # including forced caps, forced distributed tail, and partition count).
 # Trade-off vs full-sig: one extra text scan (filtered to rep docs) —
-# at 100 TB the 16 PB → 0.6 PB exchange saving dominates.  The
-# incremental ``--against`` manifest chain keeps the full-sig layout
-# (prior corpora are never re-readable for verification).
+# at 100 TB the 16 PB → 0.6 PB exchange saving dominates.  Incremental
+# ``--against`` works via ``prior_cand``: prior docs' digests derive
+# from the manifest's stored sigs and their rep verification reads the
+# manifest band-0 sigs — prior text is never re-read; the manifest
+# LAYOUT stays full-sig (it is what makes prior sigs readable at all).
 
 _EMPTY_THIN_CAND = pa.table(
     {
@@ -498,6 +514,53 @@ def _thin_bucket_rows(
     return pa.concat_tables(tbls)
 
 
+def _prior_thin_rows(prior_cand: Dataset, id_col: str) -> Dataset:
+    """Prior-run full-sig manifest rows → thin digest rows.  The digest
+    is derived from the STORED signature (blake2b, same construction as
+    ``minhash_thin_candidates``), so prior and new docs subgroup
+    together whenever their signatures are identical."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        d0s, d1s = [], []
+        for s in batch.column("sig").to_pylist():
+            dg = hashlib.blake2b(s, digest_size=16).digest()
+            d0s.append(int.from_bytes(dg[:8], "little"))
+            d1s.append(int.from_bytes(dg[8:], "little"))
+        return pa.table(
+            {
+                "band": batch.column("band").cast(pa.int32()),
+                "band_hash": batch.column("band_hash").cast(pa.uint64()),
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "dig0": pa.array(d0s, type=pa.uint64()),
+                "dig1": pa.array(d1s, type=pa.uint64()),
+            }
+        )
+
+    return prior_cand.map_batches(f, batch_format="pyarrow")
+
+
+def _prior_sig_rows(prior_cand: Dataset, ids_ref, *, id_col: str) -> Dataset:
+    """(id, sig) rows for rep docs that live in a PRIOR manifest — the
+    band-0 row carries the full signature, no text read needed."""
+    import pyarrow.compute as pc
+
+    from .steps.dedup import get_broadcast
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("band"), 0),
+            pc.is_in(batch.column(id_col), value_set=get_broadcast(ids_ref)))
+        sub = batch.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                id_col: sub.column(id_col).cast(pa.int64()),
+                "sig": sub.column("sig"),
+            }
+        )
+
+    return prior_cand.map_batches(f, batch_format="pyarrow")
+
+
 def _rep_sig_rows(ds: Dataset, ids_ref, *, text_col: str, id_col: str) -> Dataset:
     """(id, sig) rows recomputed for rep docs only — one pruned pass
     over the corpus with a broadcast id filter; result-sized output."""
@@ -543,9 +606,14 @@ def _thin_minhash_pairs(
     max_expand: int = MAX_EXPAND,
     max_bucket: int = MAX_BUCKET,
     max_driver_pairs: int = 200_000,
+    prior_cand: Dataset | None = None,
 ) -> Dataset:
     """Digest-payload discovery (module comment above) — returns the
-    same (id_a, id_b, est_jaccard) Dataset as the full-sig path."""
+    same (id_a, id_b, est_jaccard) Dataset as the full-sig path.  With
+    ``prior_cand`` (a prior run's manifest rows, id column already
+    renamed to ``id_col``), prior docs join discovery via stored sigs —
+    their digests come from the manifest and their rep verification
+    reads manifest band-0 sigs, never prior text."""
     import pyarrow.compute as pc
     import ray
 
@@ -553,11 +621,24 @@ def _thin_minhash_pairs(
     from .steps.dedup import get_broadcast
 
     thin = minhash_thin_candidates(ds, text_col=text_col, id_col=id_col)
+    if prior_cand is not None:
+        thin = thin.union(_prior_thin_rows(prior_cand, id_col))
     # one sig pass total: the thin rows (~40 B each) feed the bucket
     # groupby AND the expansion member pull — materialize, don't rerun
     thin = thin.materialize()
     if thin.count() == 0:
         return ray.data.from_arrow(_EMPTY_MINHASH_PAIRS)
+
+    def sig_rows(ids_ref) -> Dataset:
+        """(id, sig) for rep ids: new docs recompute from text, prior
+        docs read the manifest — ids are disjoint across runs, so the
+        union carries one row per rep id."""
+        new_sigs = _rep_sig_rows(ds, ids_ref, text_col=text_col,
+                                 id_col=id_col)
+        if prior_cand is None:
+            return new_sigs
+        return new_sigs.union(
+            _prior_sig_rows(prior_cand, ids_ref, id_col=id_col))
 
     def bucket_fn(group: pa.Table) -> pa.Table:
         return _thin_bucket_rows(group, id_col, max_clique, max_bucket)
@@ -573,19 +654,18 @@ def _thin_minhash_pairs(
 
     if tbl is not None:
         return _thin_driver_tail(
-            ds, thin, tbl, text_col=text_col, id_col=id_col,
+            sig_rows, thin, tbl, id_col=id_col,
             threshold=threshold, max_expand=max_expand)
     return _thin_distributed_tail(
-        ds, thin, mat, text_col=text_col, id_col=id_col,
+        sig_rows, thin, mat, id_col=id_col,
         threshold=threshold, max_expand=max_expand)
 
 
 def _thin_driver_tail(
-    ds: Dataset,
+    sig_rows,
     thin: Dataset,
     tbl: pa.Table,
     *,
-    text_col: str,
     id_col: str,
     threshold: float,
     max_expand: int,
@@ -611,8 +691,7 @@ def _thin_driver_tail(
         rep_ids = sorted(set(ida) | set(idb))
         ids_ref = ray.put(pa.array(rep_ids, type=pa.int64()))
         sig_of: dict[int, bytes] = {}
-        for r in _rep_sig_rows(
-                ds, ids_ref, text_col=text_col, id_col=id_col).take_all():
+        for r in sig_rows(ids_ref).take_all():
             sig_of[r[id_col]] = r["sig"]
         est = _est_from_sig_pair(
             [sig_of[i] for i in ida], [sig_of[i] for i in idb])
@@ -687,11 +766,10 @@ def _thin_driver_tail(
 
 
 def _thin_distributed_tail(
-    ds: Dataset,
+    sig_rows,
     thin: Dataset,
     mat: Dataset,
     *,
-    text_col: str,
     id_col: str,
     threshold: float,
     max_expand: int,
@@ -741,8 +819,7 @@ def _thin_distributed_tail(
         rep_ids.update(t.column("id_a").to_pylist())
         rep_ids.update(t.column("id_b").to_pylist())
     ids_ref = ray.put(pa.array(sorted(rep_ids), type=pa.int64()))
-    sig_ds = _rep_sig_rows(
-        ds, ids_ref, text_col=text_col, id_col=id_col).materialize()
+    sig_ds = sig_rows(ids_ref).materialize()
     nparts = max(1, min(16, len(rep_ids) // 4 or 1))
 
     tov_sch = _EMPTY_THIN_CAND.schema

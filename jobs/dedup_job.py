@@ -185,19 +185,10 @@ def run_dedup_job(
     )
 
     assert ray.is_initialized(), "caller owns the Ray session"
-    if payload != "sig":
-        # digest discovery verifies rep pairs by re-reading their TEXT —
-        # prior corpora in an --against chain are never re-readable, and
+    if payload != "sig" and mode != "minhash":
         # no other mode ships minhash signatures at all
-        if mode != "minhash":
-            raise ValueError(
-                f"--payload digest applies to mode minhash only, not {mode!r}")
-        if against:
-            raise ValueError(
-                "--payload digest is incompatible with --against: prior-run "
-                "docs exist only as manifest signatures, which the digest "
-                "path's rep-text verification pass cannot re-read — use the "
-                "default full-sig payload for incremental runs")
+        raise ValueError(
+            f"--payload digest applies to mode minhash only, not {mode!r}")
     if os.path.isdir(out_dir) and not resume:
         debris = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
         if debris:
@@ -354,14 +345,23 @@ def run_dedup_job(
             drop_cols = ["__nid"]
         if against:
             prior_cand = _read_manifest(against, "minhash")
-            cols = ["band", "band_hash", id_col, "sig"]
-            cand = (
-                minhash_candidates(ds, text_col=text_col, id_col=id_col)
-                .select_columns(cols)
-                .union(_rename(prior_cand, "doc_id", id_col).select_columns(cols))
-            )
-            pairs = pairs_from_candidates(cand, id_col=id_col,
-                                          threshold=threshold)
+            if payload == "digest":
+                from dataguards_ray.neardup import minhash_pair_candidates
+
+                pairs = minhash_pair_candidates(
+                    ds, text_col=text_col, id_col=id_col,
+                    threshold=threshold, payload="digest",
+                    prior_cand=_rename(prior_cand, "doc_id", id_col))
+            else:
+                cols = ["band", "band_hash", id_col, "sig"]
+                cand = (
+                    minhash_candidates(ds, text_col=text_col, id_col=id_col)
+                    .select_columns(cols)
+                    .union(_rename(prior_cand, "doc_id",
+                                   id_col).select_columns(cols))
+                )
+                pairs = pairs_from_candidates(cand, id_col=id_col,
+                                              threshold=threshold)
             out = drop_pair_losers(
                 ds, pairs, id_col=id_col,
                 prior_ids=_rename(
@@ -650,13 +650,21 @@ def _run_resumable_phase(
                 thin = thin.map_batches(add_nid, batch_format="pyarrow")
             prior_ids = None
             if payload == "digest":
-                # thin-payload discovery (run_dedup_job rejects it with
-                # --against); loser set is parity-identical to full-sig
+                # thin-payload discovery; loser set is parity-identical
+                # to full-sig.  With --against, prior docs enter via
+                # their stored manifest sigs (digest derivation + rep
+                # verification read the manifest, never prior text).
                 from dataguards_ray.neardup import minhash_pair_candidates
 
+                prior_cand = None
+                if against:
+                    prior_cand = rename(
+                        read_manifest(against, "minhash"), "doc_id", pair_id)
+                    prior_ids = prior_cand.select_columns([pair_id])
                 pairs = minhash_pair_candidates(
                     thin, text_col=text_col, id_col=pair_id,
-                    threshold=threshold, payload="digest")
+                    threshold=threshold, payload="digest",
+                    prior_cand=prior_cand)
             else:
                 cand = minhash_candidates(
                     thin, text_col=text_col, id_col=pair_id)
@@ -768,7 +776,8 @@ def main() -> int:
                          "a 16-byte signature digest through the LSH bucket "
                          "shuffle (~26x less payload; one extra rep-doc text "
                          "pass) — identical survivors, parity-tested; "
-                         "incompatible with --against")
+                         "with --against, prior docs join via their "
+                         "stored manifest sigs (prior text never re-read)")
     ap.add_argument("--streaming-discovery", action="store_true",
                     help="span/line/substring: recompute the occurrence "
                          "stream per consumer instead of pinning it in "

@@ -122,7 +122,7 @@ def test_thin_payload_no_dup_corpus_empty():
 def test_dedup_job_digest_payload_parity(tmp_path):
     """dg dedup --payload digest: survivors row-equal to the default
     full-sig run (same corpus, both through the resumable job path);
-    --against with digest is rejected loudly."""
+    digest with a non-minhash mode is rejected loudly."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data
@@ -146,10 +146,109 @@ def test_dedup_job_digest_payload_parity(tmp_path):
                 ray.data.read_parquet(str(tmp_path / "dig")).take_all())
     assert ks == kd
 
-    with pytest.raises(ValueError, match="incompatible with --against"):
-        run_dedup_job(str(src), str(tmp_path / "incr"), mode="minhash",
-                      threshold=0.5, payload="digest",
-                      against=str(tmp_path / "dig"))
     with pytest.raises(ValueError, match="mode minhash only"):
         run_dedup_job(str(src), str(tmp_path / "x"), mode="exact",
                       payload="digest")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_job_digest_incremental_against_parity(tmp_path):
+    """Incremental digest dedup: a new crawl run --against a prior
+    run's manifest under payload="digest" keeps exactly the docs the
+    full-sig incremental run keeps (prior docs enter discovery via
+    their STORED manifest sigs — prior text is never readable here
+    because we delete it before the incremental runs)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    rows1 = _cluster_corpus(seed=11)  # doc_id 0..N-1
+    n1 = len(rows1)
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows1), str(src1 / "p.parquet"))
+    run_dedup_job(str(src1), str(tmp_path / "run1"),
+                  mode="minhash", threshold=0.5)
+
+    # new crawl: near-copies of prior docs + fresh docs, ids disjoint
+    rows2 = [{"doc_id": n1 + i, "text": r["text"] + " again"}
+             for i, r in enumerate(rows1[:15])]
+    rows2 += [{"doc_id": n1 + 100 + j, "text": " ".join(
+        f"fresh{j}w{q}" for q in range(60))} for j in range(8)]
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows2), str(src2 / "p.parquet"))
+
+    # prior text gone: only the manifest survives (the real crawl shape)
+    shutil.rmtree(str(src1))
+
+    r_sig = run_dedup_job(str(src2), str(tmp_path / "incr_sig"),
+                          mode="minhash", threshold=0.5,
+                          against=str(tmp_path / "run1"))
+    r_dig = run_dedup_job(str(src2), str(tmp_path / "incr_dig"),
+                          mode="minhash", threshold=0.5, payload="digest",
+                          against=str(tmp_path / "run1"))
+    assert r_dig["kept_rows"] == r_sig["kept_rows"]
+    ks = sorted(r["doc_id"] for r in ray.data.read_parquet(
+        str(tmp_path / "incr_sig")).take_all())
+    kd = sorted(r["doc_id"] for r in ray.data.read_parquet(
+        str(tmp_path / "incr_dig")).take_all())
+    assert ks == kd
+    # fresh docs survive; some near-copies of prior docs were dropped
+    assert set(n1 + 100 + j for j in range(8)) <= set(ks)
+    assert r_sig["kept_rows"] < len(rows2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_thin_prior_cand_parity_both_tails():
+    """Library-level incremental parity: digest discovery with
+    prior_cand (manifest-shaped rows) equals the sig path's
+    union-into-candidates composition — on the driver-merge tail AND
+    the forced distributed tail."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray.neardup import (
+        minhash_candidates,
+        minhash_pair_candidates,
+        pairs_from_candidates,
+    )
+
+    prior_rows = _cluster_corpus(seed=5, n_clusters=6, n_unique=10)
+    n1 = len(prior_rows)
+    new_rows = [{"doc_id": n1 + i, "text": r["text"] + " tail9"}
+                for i, r in enumerate(prior_rows[:10])]
+    new_rows += [{"doc_id": n1 + 50 + j, "text": " ".join(
+        f"newdoc{j}tok{q}" for q in range(60))} for j in range(5)]
+
+    prior_ds = ray.data.from_items(prior_rows)
+    new_ds = ray.data.from_items(new_rows).repartition(3)
+    # manifest-shaped prior rows: (band, band_hash, doc_id, sig) —
+    # written to parquet and read back, exactly like a real manifest
+    # (a bare .union of a materialized dataset can surface Ray 2.49
+    # schemaless empty blocks; the job always reads manifests from disk)
+    import tempfile
+
+    cols = ["band", "band_hash", "doc_id", "sig"]
+    man_dir = tempfile.mkdtemp(prefix="thin_manifest_")
+    minhash_candidates(prior_ds).select_columns(cols).write_parquet(man_dir)
+    manifest = ray.data.read_parquet(man_dir)
+
+    ref = pairs_from_candidates(
+        minhash_candidates(new_ds).select_columns(cols).union(manifest),
+        threshold=0.5)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"]) for r in ref.take_all())
+    assert want
+
+    for cap in (200_000, 0):  # driver tail, then forced distributed tail
+        got_ds = minhash_pair_candidates(
+            new_ds, threshold=0.5, payload="digest",
+            max_driver_pairs=cap, prior_cand=manifest)
+        got = sorted((r["id_a"], r["id_b"], r["est_jaccard"])
+                     for r in got_ds.take_all())
+        assert got == want, f"cap={cap}"
