@@ -522,10 +522,18 @@ def _prior_thin_rows(prior_cand: Dataset, id_col: str) -> Dataset:
 
     def f(batch: pa.Table) -> pa.Table:
         d0s, d1s = [], []
+        # manifests carry N_BANDS rows per doc with the same sig, in
+        # doc-major order — cache digests per distinct sig per batch
+        cache: dict[bytes, tuple[int, int]] = {}
         for s in batch.column("sig").to_pylist():
-            dg = hashlib.blake2b(s, digest_size=16).digest()
-            d0s.append(int.from_bytes(dg[:8], "little"))
-            d1s.append(int.from_bytes(dg[8:], "little"))
+            v = cache.get(s)
+            if v is None:
+                dg = hashlib.blake2b(s, digest_size=16).digest()
+                v = (int.from_bytes(dg[:8], "little"),
+                     int.from_bytes(dg[8:], "little"))
+                cache[s] = v
+            d0s.append(v[0])
+            d1s.append(v[1])
         return pa.table(
             {
                 "band": batch.column("band").cast(pa.int32()),
