@@ -252,3 +252,19 @@ def test_thin_prior_cand_parity_both_tails():
         got = sorted((r["id_a"], r["id_b"], r["est_jaccard"])
                      for r in got_ds.take_all())
         assert got == want, f"cap={cap}"
+
+    # tiny caps × incremental: star/rep-edge/bucket-truncation branches
+    # must stay parity-identical when prior docs sit in the buckets
+    caps = dict(max_clique=2, max_expand=3, max_bucket=4)
+    ref_c = pairs_from_candidates(
+        minhash_candidates(new_ds).select_columns(cols).union(manifest),
+        threshold=0.5, **caps)
+    want_c = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"]) for r in ref_c.take_all())
+    for cap in (200_000, 0):
+        got_ds = minhash_pair_candidates(
+            new_ds, threshold=0.5, payload="digest",
+            max_driver_pairs=cap, prior_cand=manifest, **caps)
+        got = sorted((r["id_a"], r["id_b"], r["est_jaccard"])
+                     for r in got_ds.take_all())
+        assert got == want_c, f"caps cap={cap}"
