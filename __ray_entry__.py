@@ -2095,10 +2095,14 @@ def _q_tpch_q3(sf_dir: str):
 
     orders = orders.map_batches(prep_orders, batch_format="pyarrow")
     orders = semi_join(orders, cust, "o_custkey", right_key="c_custkey")
-    ometa = {
-        r["o_orderkey"]: (r["o_us"], r["o_orderpriority"])
-        for r in orders.take_all()
-    }
+    # broadcast side as aligned Arrow arrays (key, date, priority) pulled
+    # via to_arrow_refs — no row-dict materialization on the driver
+    import ray as _ray
+
+    otbl = pa.concat_tables(_ray.get(orders.to_arrow_refs()))
+    ref = _ray.put((otbl.column("o_orderkey").combine_chunks(),
+                    otbl.column("o_us").combine_chunks(),
+                    otbl.column("o_orderpriority").combine_chunks()))
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -2107,25 +2111,24 @@ def _q_tpch_q3(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    import ray as _ray
-
     from dataguards_ray.steps.dedup import get_broadcast
 
-    okeys = pa.array(list(ometa), type=pa.int64())
-    ref = _ray.put((okeys, ometa))
-
     def join_rev(b: pa.Table) -> pa.Table:
-        ks, m = get_broadcast(ref)
-        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ks))
-        keys = b.column("l_orderkey").to_pylist()
+        # one vectorized index_in probe: the null-index mask is the
+        # semi-join, take() on the aligned columns is the value fetch
+        ks, od, op = get_broadcast(ref)
+        idx = pc.index_in(b.column("l_orderkey"), value_set=ks)
+        mask = pc.is_valid(idx)
+        b = b.filter(mask)
+        hit = pc.array_filter(idx, mask)
         rev = pc.multiply(
             pc.cast(b.column("l_extendedprice"), pa.float64()),
             pc.subtract(1.0, pc.cast(b.column("l_discount"), pa.float64())),
         )
         return pa.table(
             {"l_orderkey": b.column("l_orderkey"),
-             "o_orderdate_us": pa.array([m[k][0] for k in keys], type=pa.int64()),
-             "o_orderpriority": pa.array([m[k][1] for k in keys], type=pa.string()),
+             "o_orderdate_us": pc.take(od, hit),
+             "o_orderpriority": pc.take(op, hit),
              "rev_c": _cents(rev)}
         )
 
@@ -2399,7 +2402,8 @@ def _q_tpch_q5_shape(sf_dir: str):
 
     lo = int(pa.scalar("1996-01-01").cast(pa.timestamp("us")).value)
     hi = int(pa.scalar("1997-01-01").cast(pa.timestamp("us")).value)
-    cref = _ray.put((pa.array(list(cust), type=pa.int64()), cust))
+    cref = _ray.put((pa.array(list(cust), type=pa.int64()),
+                     pa.array(list(cust.values()), type=pa.int64())))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -2410,13 +2414,15 @@ def _q_tpch_q5_shape(sf_dir: str):
             pc.fill_null(pc.less(ts, hi), False),
         )
         b = b.filter(keep)
-        ck, cm = get_broadcast(cref)
-        b = b.filter(pc.is_in(b.column("o_custkey"), value_set=ck))
+        # vectorized custkey→nationkey: one index_in probe does both the
+        # semi-join (null index = non-ASIA customer) and the value fetch
+        ck, cv = get_broadcast(cref)
+        idx = pc.index_in(b.column("o_custkey"), value_set=ck)
+        mask = pc.is_valid(idx)
+        b = b.filter(mask)
         return pa.table(
             {"l_orderkey": b.column("o_orderkey"),
-             "c_nationkey": pa.array(
-                 [cm[k] for k in b.column("o_custkey").to_pylist()],
-                 type=pa.int64())}
+             "c_nationkey": pc.take(cv, pc.array_filter(idx, mask))}
         )
 
     li = _read(sf_dir, "lineitem",
@@ -2426,9 +2432,11 @@ def _q_tpch_q5_shape(sf_dir: str):
         # the date+region filters leave a broadcast-sized order set:
         # map-side lookup beats shuffling all of lineitem (measured 29 s
         # → ~2 s at sf0.1).  Above the cap: the big-big hash_join.
-        orows = ords.take_all()
-        okeys = pa.array([r["l_orderkey"] for r in orows], type=pa.int64())
-        ovals = pa.array([r["c_nationkey"] for r in orows], type=pa.int64())
+        # Pull as Arrow blocks (zero row-dict materialization on the
+        # driver — up to 2M rows ride this path).
+        otbl = pa.concat_tables(_ray.get(ords.to_arrow_refs()))
+        okeys = otbl.column("l_orderkey").combine_chunks()
+        ovals = otbl.column("c_nationkey").combine_chunks()
         oref = _ray.put((okeys, ovals))
 
         def attach(b: pa.Table) -> pa.Table:
@@ -3113,35 +3121,42 @@ def _q_tpch_q14_shape(sf_dir: str):
     lo = int(pa.scalar("1997-06-01").cast(pa.timestamp("us")).value)
     hi = int(pa.scalar("1997-07-01").cast(pa.timestamp("us")).value)
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    promo = {r["p_partkey"]: r["p_type"] == "PROMO"
-             for r in part.take_all()}
     import ray as _ray
 
     from dataguards_ray.steps.dedup import get_broadcast
-    ref = _ray.put(promo)
+
+    # broadcast side as aligned Arrow arrays (partkey, is-promo flag):
+    # probed with one vectorized index_in per batch, no per-row dict
+    ptbl = pa.concat_tables(
+        _ray.get(_read(sf_dir, "part",
+                       ["p_partkey", "p_type"]).to_arrow_refs()))
+    ref = _ray.put((
+        ptbl.column("p_partkey").combine_chunks(),
+        pc.fill_null(pc.equal(ptbl.column("p_type"), "PROMO"),
+                     False).combine_chunks()))
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
 
     def prep(b: pa.Table) -> pa.Table:
-        pm = get_broadcast(ref)
+        pk, pf = get_broadcast(ref)
         ts = pc.cast(b.column("l_shipdate"), pa.int64())
         keep = pc.and_(pc.fill_null(pc.greater_equal(ts, lo), False),
                        pc.fill_null(pc.less(ts, hi), False))
         f = b.filter(keep)
+        # INNER-join semantics: drop rows whose partkey is absent from
+        # part — null index_in result = absent (vectorized probe)
+        idx = pc.index_in(f.column("l_partkey"), value_set=pk)
+        mask = pc.is_valid(idx)
+        f = f.filter(mask)
+        isp = pc.take(pf, pc.array_filter(idx, mask))
         ep = pc.cast(f.column("l_extendedprice"), pa.float64())
         di = pc.cast(f.column("l_discount"), pa.float64())
         cents = _cents(pc.multiply(
             ep, pc.subtract(pa.scalar(1.0, pa.float64()), di)))
-        # INNER-join semantics: drop rows whose partkey is absent from part
-        flags = [pm.get(k) for k in f.column("l_partkey").to_pylist()]
-        present = np.asarray([x is not None for x in flags], dtype=bool)
-        isp = np.asarray([bool(x) for x in flags], dtype=bool)[present]
-        cn = cents.to_numpy(zero_copy_only=False)[present]
         return pa.table({
-            "promo_cents": pa.array(np.where(isp, cn, 0), type=pa.int64()),
-            "total_cents": pa.array(cn, type=pa.int64())})
+            "promo_cents": pc.if_else(isp, cents, pa.scalar(0, pa.int64())),
+            "total_cents": cents})
 
     agg = li.map_batches(prep, batch_format="pyarrow").materialize()
     return pa.table({
@@ -3413,28 +3428,37 @@ def _q_tpch_q16_shape(sf_dir: str):
     from dataguards_ray.aggregates import grouped_count_distinct
     from dataguards_ray.steps.dedup import get_broadcast
 
-    part = _read(sf_dir, "part",
-                 ["p_partkey", "p_brand", "p_type", "p_size"]).take_all()
-    attrs = {r["p_partkey"]: (r["p_brand"], r["p_type"], int(r["p_size"]))
-             for r in part
-             if r["p_brand"] != "Brand#21" and r["p_type"] != "PROMO"
-             and int(r["p_size"]) in (1, 3, 5, 7, 9, 12)}
     import ray as _ray
 
-    ref = _ray.put(attrs)
+    # filter part on the driver with Arrow kernels, ship the surviving
+    # (partkey, brand, type, size) columns as aligned broadcast arrays
+    ptbl = pa.concat_tables(_ray.get(_read(
+        sf_dir, "part",
+        ["p_partkey", "p_brand", "p_type", "p_size"]).to_arrow_refs()))
+    psz = pc.cast(ptbl.column("p_size"), pa.int64())
+    keep = pc.and_(
+        pc.and_(pc.not_equal(ptbl.column("p_brand"), "Brand#21"),
+                pc.not_equal(ptbl.column("p_type"), "PROMO")),
+        pc.is_in(psz, value_set=pa.array([1, 3, 5, 7, 9, 12],
+                                         type=pa.int64())))
+    ptbl = ptbl.set_column(
+        ptbl.schema.get_field_index("p_size"), "p_size", psz).filter(keep)
+    ref = _ray.put(tuple(
+        ptbl.column(c).combine_chunks()
+        for c in ("p_partkey", "p_brand", "p_type", "p_size")))
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def prep(b: pa.Table) -> pa.Table:
-        am = get_broadcast(ref)
-        got = [am.get(k) for k in b.column("l_partkey").to_pylist()]
-        present = pa.array([x is not None for x in got], type=pa.bool_())
-        hit = [x for x in got if x is not None]
+        pk, pb, pt, psize = get_broadcast(ref)
+        idx = pc.index_in(b.column("l_partkey"), value_set=pk)
+        mask = pc.is_valid(idx)
+        hit = pc.array_filter(idx, mask)
         return pa.table({
-            "p_brand": pa.array([x[0] for x in hit], type=pa.string()),
-            "p_type": pa.array([x[1] for x in hit], type=pa.string()),
-            "p_size": pa.array([x[2] for x in hit], type=pa.int64()),
-            "l_suppkey": b.column("l_suppkey").filter(present)})
+            "p_brand": pc.take(pb, hit),
+            "p_type": pc.take(pt, hit),
+            "p_size": pc.take(psize, hit),
+            "l_suppkey": b.column("l_suppkey").filter(mask)})
 
     cnt = grouped_count_distinct(
         li.map_batches(prep, batch_format="pyarrow"),
