@@ -115,10 +115,29 @@ class RangeRule(Rule):
     def violations(self, batch: pa.Table) -> pa.Array:
         c = batch.column(self.col)
         ok = pc.is_valid(c)
-        if self.lo is not None:
-            ok = pc.and_(ok, pc.fill_null(pc.greater_equal(c, self.lo), False))
-        if self.hi is not None:
-            ok = pc.and_(ok, pc.fill_null(pc.less_equal(c, self.hi), False))
+
+        def bound(v):
+            # timestamp/date columns accept ISO-string bounds (the
+            # natural spelling in a JSON rules config): cast the bound
+            # to the column type once per batch, not the column per row
+            if isinstance(v, str) and pa.types.is_temporal(c.type):
+                return pa.scalar(v).cast(c.type)
+            return v
+
+        try:
+            if self.lo is not None:
+                ok = pc.and_(
+                    ok, pc.fill_null(pc.greater_equal(c, bound(self.lo)), False))
+            if self.hi is not None:
+                ok = pc.and_(
+                    ok, pc.fill_null(pc.less_equal(c, bound(self.hi)), False))
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid) as e:
+            raise ValueError(
+                f"RangeRule {self.name!r}: column {self.col!r} has type "
+                f"{c.type} but bounds are lo={self.lo!r} hi={self.hi!r} — "
+                f"use bounds of a comparable type (timestamp/date columns "
+                f"accept ISO strings, e.g. '2020-01-01')"
+            ) from e
         return pc.invert(ok).combine_chunks()
 
 

@@ -63,6 +63,24 @@ def test_range_regex_predicate_rules(mini):
     assert hits[6] == ["zip.format", "city.notnull"]
 
 
+def test_range_rule_timestamp_bounds():
+    """Round-5: a RangeRule on a timestamp column accepts ISO-string
+    bounds (the natural JSON-config spelling); incomparable bounds
+    raise a config-level ValueError naming the rule, not a raw Arrow
+    kernel error from inside a Ray task."""
+    batch = pa.table({
+        "ts": pa.array([0, 10**6 * 86400 * 20000, None],
+                       type=pa.timestamp("us")),
+    })
+    r = RangeRule("ts.window", "ts", lo="1971-01-01", hi="2030-01-01")
+    # row0 = 1970 (below lo), row1 ≈ 2024 (in range), row2 null (violates)
+    assert r.violations(batch).to_pylist() == [True, False, True]
+
+    bad = RangeRule("ts.bad", "ts", lo=0, hi=99)
+    with pytest.raises(ValueError, match="ts.bad.*timestamp"):
+        bad.violations(batch)
+
+
 def test_cfd_constant_and_variable(mini):
     # constant tableau: city == SF must have zip 94103 (holds)
     const = CFD("cfd.sf", ["city"], "zip", [{"city": "SF", "zip": "94103"}])
