@@ -48,26 +48,49 @@ class Predicate:
 
     def mask(self, batch: pa.Table) -> pa.Array:
         c = batch.column(self.col)
-        if self.op in _OPS:
-            rhs = batch.column(self.col2) if self.col2 else self.value
-            m = _OPS[self.op](c, rhs)
-        elif self.op == "in":
-            m = pc.is_in(c, value_set=pa.array(list(self.value)))
-        elif self.op == "not_in":
-            m = pc.invert(pc.is_in(c, value_set=pa.array(list(self.value))))
-        elif self.op == "is_null":
-            return pc.is_null(c).combine_chunks()
-        elif self.op == "not_null":
-            return pc.is_valid(c).combine_chunks()
-        elif self.op == "between":
-            lo, hi = self.value
-            m = pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
-        elif self.op == "matches":
-            m = pc.match_substring_regex(c, self.value)
-        elif self.op == "not_matches":
-            m = pc.invert(pc.match_substring_regex(c, self.value))
-        else:
-            raise ValueError(f"unknown predicate op {self.op!r}")
+
+        def konst(v):
+            # ISO-string constants against temporal columns (the JSON
+            # rules-config spelling) cast once per batch
+            if isinstance(v, str) and pa.types.is_temporal(c.type):
+                return pa.scalar(v).cast(c.type)
+            return v
+
+        try:
+            if self.op in _OPS:
+                rhs = batch.column(self.col2) if self.col2 else konst(self.value)
+                m = _OPS[self.op](c, rhs)
+            elif self.op == "in":
+                vs = pa.array(list(self.value))
+                if pa.types.is_temporal(c.type) and pa.types.is_string(vs.type):
+                    vs = vs.cast(c.type)
+                m = pc.is_in(c, value_set=vs)
+            elif self.op == "not_in":
+                vs = pa.array(list(self.value))
+                if pa.types.is_temporal(c.type) and pa.types.is_string(vs.type):
+                    vs = vs.cast(c.type)
+                m = pc.invert(pc.is_in(c, value_set=vs))
+            elif self.op == "is_null":
+                return pc.is_null(c).combine_chunks()
+            elif self.op == "not_null":
+                return pc.is_valid(c).combine_chunks()
+            elif self.op == "between":
+                lo, hi = self.value
+                m = pc.and_(pc.greater_equal(c, konst(lo)),
+                            pc.less_equal(c, konst(hi)))
+            elif self.op == "matches":
+                m = pc.match_substring_regex(c, self.value)
+            elif self.op == "not_matches":
+                m = pc.invert(pc.match_substring_regex(c, self.value))
+            else:
+                raise ValueError(f"unknown predicate op {self.op!r}")
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid) as e:
+            raise ValueError(
+                f"Predicate {self.col!r} {self.op} {self.value!r}: column "
+                f"type {c.type} is not comparable with that value — use a "
+                f"comparable constant (temporal columns accept ISO strings, "
+                f"e.g. '2020-01-01')"
+            ) from e
         return pc.fill_null(m, False).combine_chunks()
 
 

@@ -81,6 +81,25 @@ def test_range_rule_timestamp_bounds():
         bad.violations(batch)
 
 
+def test_predicate_timestamp_constants():
+    """Round-5: predicate atoms accept ISO-string constants against
+    temporal columns (>=, between, in); incomparable constants raise a
+    config-level ValueError instead of a raw Arrow kernel error."""
+    batch = pa.table({
+        "ts": pa.array([0, 10**6 * 86400 * 20000, None],
+                       type=pa.timestamp("us")),
+    })
+    assert Predicate("ts", ">=", "1971-01-01").mask(batch).to_pylist() == [
+        False, True, False]
+    assert Predicate(
+        "ts", "between", ("1969-01-01", "1971-01-01")
+    ).mask(batch).to_pylist() == [True, False, False]
+    assert Predicate("ts", "in", ["1970-01-01"]).mask(batch).to_pylist() == [
+        True, False, False]
+    with pytest.raises(ValueError, match="not comparable"):
+        Predicate("ts", ">=", 5).mask(batch)
+
+
 def test_cfd_constant_and_variable(mini):
     # constant tableau: city == SF must have zip 94103 (holds)
     const = CFD("cfd.sf", ["city"], "zip", [{"city": "SF", "zip": "94103"}])
