@@ -33,6 +33,23 @@ from .dsl import Rule
 WILDCARD = "_"
 
 
+def _eq_const(col: "pa.ChunkedArray | pa.Array", pat: Any) -> pa.Array:
+    """``pc.equal(col, pat)`` with the JSON-config affordance: an
+    ISO-string constant against a temporal column casts once per batch;
+    an incomparable constant raises a config-level ValueError instead
+    of a raw Arrow kernel error from inside a Ray task."""
+    if isinstance(pat, str) and pa.types.is_temporal(col.type):
+        pat = pa.scalar(pat).cast(col.type)
+    try:
+        return pc.equal(col, pat)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid) as e:
+        raise ValueError(
+            f"CFD tableau constant {pat!r} is not comparable with column "
+            f"type {col.type} — use a comparable constant (temporal "
+            f"columns accept ISO strings, e.g. '2020-01-01')"
+        ) from e
+
+
 def _sep_join(batch: pa.Table, cols: list[str]) -> pa.Array:
     """Composite string key over cols (null → literal '<null>')."""
     parts = []
@@ -75,7 +92,7 @@ class CFD(Rule):
             pat = trow.get(col, WILDCARD)
             if pat == WILDCARD:
                 continue
-            em = pc.fill_null(pc.equal(batch.column(col), pat), False)
+            em = pc.fill_null(_eq_const(batch.column(col), pat), False)
             m = em if m is None else pc.and_(m, em)
         return m  # None == matches everything
 
@@ -85,7 +102,7 @@ class CFD(Rule):
         for trow in self._const_rows:
             m = self._match_mask(batch, trow)
             bad = pc.invert(
-                pc.fill_null(pc.equal(batch.column(self.rhs), trow[self.rhs]), False)
+                pc.fill_null(_eq_const(batch.column(self.rhs), trow[self.rhs]), False)
             )
             viol = pc.or_(viol, bad if m is None else pc.and_(m, bad))
         return viol if isinstance(viol, pa.Array) else viol.combine_chunks()

@@ -100,6 +100,22 @@ def test_predicate_timestamp_constants():
         Predicate("ts", ">=", 5).mask(batch)
 
 
+def test_cfd_temporal_tableau_constants():
+    """Round-5: CFD tableau constants against temporal columns accept
+    ISO strings; incomparable constants raise a config-level error."""
+    batch = pa.table({
+        "day": pa.array([0, 0, 86400_000_000], type=pa.timestamp("us")),
+        "status": ["open", "closed", "open"],
+    })
+    cfd = CFD("cfd.day", ["day"], "status",
+              [{"day": "1970-01-01", "status": "open"}])
+    assert cfd.violations(batch).to_pylist() == [False, True, False]
+
+    bad = CFD("cfd.bad", ["day"], "status", [{"day": 5, "status": "open"}])
+    with pytest.raises(ValueError, match="not comparable"):
+        bad.violations(batch)
+
+
 def test_cfd_constant_and_variable(mini):
     # constant tableau: city == SF must have zip 94103 (holds)
     const = CFD("cfd.sf", ["city"], "zip", [{"city": "SF", "zip": "94103"}])
