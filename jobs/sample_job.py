@@ -137,18 +137,48 @@ def main() -> int:
     ds = ray.data.read_parquet(args.input)
     n_in = ds.count()
 
-    if args.decontaminate is None:
-        # every sample mode writes the resumable partitioned layout
-        # keyed on --id-col: fail up front with the fix, not with a
-        # KeyError deep inside a Ray task
-        import pyarrow as _pa
+    # column preflight: every mode fails up front with the flag to fix,
+    # not with a KeyError deep inside a Ray task.  The partitioned
+    # output layout always needs --id-col; each mode adds its own
+    # required columns, and side tables (dsir --target, --decontaminate
+    # BENCH) are schema-checked straight from their parquet footers.
+    import pyarrow as _pa
 
-        schema_names = _pa.schema(ds.schema().base_schema).names
-        if args.id_col not in schema_names:
-            ap.error(
-                f"--id-col {args.id_col!r} not in input columns "
-                f"{list(schema_names)}; the partitioned output layout "
-                "needs an id column (pass --id-col)")
+    schema_names = _pa.schema(ds.schema().base_schema).names
+    need = {"--id-col": args.id_col}
+    if args.decontaminate is not None or args.mode in (
+            "hash", "budget", "mixture", "dsir"):
+        need["--text-col"] = args.text_col
+    if args.decontaminate is None and args.mode == "mixture":
+        need["--source-col"] = args.source_col
+    if args.decontaminate is None and args.mode == "stratified":
+        need["--key"] = args.key
+        if args.order_col:
+            need["--order-col"] = args.order_col
+    for flag, col in need.items():
+        if col not in schema_names:
+            ap.error(f"{flag} {col!r} not in input columns "
+                     f"{list(schema_names)}")
+
+    def _check_side_table(path: str, what: str) -> None:
+        import pyarrow.parquet as _pq
+
+        f = path
+        if os.path.isdir(path):
+            pf = sorted(p for p in os.listdir(path)
+                        if p.endswith(".parquet"))
+            if not pf:
+                ap.error(f"{what} {path!r} contains no parquet files")
+            f = os.path.join(path, pf[0])
+        names = _pq.read_schema(f).names
+        if args.text_col not in names:
+            ap.error(f"--text-col {args.text_col!r} not in {what} "
+                     f"columns {list(names)}")
+
+    if args.decontaminate is not None:
+        _check_side_table(args.decontaminate, "--decontaminate BENCH")
+    elif args.mode == "dsir" and args.target:
+        _check_side_table(args.target, "--target")
 
     if args.decontaminate is not None:
         res = run_decontaminate_job(

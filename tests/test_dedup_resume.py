@@ -442,3 +442,37 @@ def test_check_job_violations_only_clean_data(tmp_path, ray_session):
     res2 = run_check_job(str(tmp_path / "in.parquet"), rules, out_dir=out,
                          violations_only=True, partitions=4, resume=True)
     assert res2 == res
+
+
+def test_sample_job_column_preflight(tmp_path, ray_session):
+    """Missing columns fail up front with the flag to fix (argparse
+    error naming the column + available columns), never a KeyError
+    inside a Ray task (found probing `dg sample --mode mixture` on the
+    pages corpus, which has no `source` column)."""
+    import subprocess
+    import sys as _sys
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(_corpus(n=10), str(src / "p.parquet"))
+    side = tmp_path / "side.parquet"
+    pq.write_table(pa.table({"other": ["x"]}), str(side))
+
+    cases = [
+        (["--mode", "mixture", "--weights", "a=1"],
+         "--source-col 'source' not in input columns"),
+        (["--mode", "stratified", "--key", "nosuch"],
+         "--key 'nosuch' not in input columns"),
+        (["--mode", "hash", "--text-col", "nosuch"],
+         "--text-col 'nosuch' not in input columns"),
+        (["--mode", "dsir", "--target", str(side), "--k", "2"],
+         "--text-col 'text' not in --target columns"),
+    ]
+    for extra, msg in cases:
+        r = subprocess.run(
+            [_sys.executable, "jobs/sample_job.py", str(src),
+             str(tmp_path / "out"), "--num-cpus", "4", *extra],
+            capture_output=True, text=True)
+        assert r.returncode != 0, extra
+        assert msg in r.stderr, (extra, r.stderr[-800:])
+        assert "RayTaskError" not in r.stderr, extra
