@@ -137,8 +137,13 @@ def fit_hashed_ngram_dist(
         buckets = np.asarray([r["bucket"] for r in merged], dtype=np.int64)
         ns = np.asarray([r["n"] for r in merged], dtype=np.int64)
     else:
-        buckets = table.column("bucket").to_numpy(zero_copy_only=False)
-        ns = table.column("n").to_numpy(zero_copy_only=False)
+        # astype: a ZERO-chunk Arrow int64 column comes back as an empty
+        # float64 ndarray, which numpy rejects as a fancy index (empty
+        # corpus found by CLI probing)
+        buckets = table.column("bucket").to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        ns = table.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
     cnt = np.zeros(n_buckets, dtype=np.int64)
     cnt[buckets] = ns
     return (cnt + 1.0) / float(cnt.sum() + n_buckets)

@@ -313,6 +313,8 @@ def _read_parts(out_dir: str, prefix: str) -> Dataset:
         for n in sorted(os.listdir(out_dir))
         if n.startswith(prefix) and n.endswith(".parquet")
     ]
+    if not files:  # a finished run that kept 0 rows writes no part files
+        return ray.data.from_items([])
     return ray.data.read_parquet(files)
 
 
@@ -328,6 +330,8 @@ def read_kept(out_dir: str, *, columns: list[str] | None = None) -> Dataset:
         for n in sorted(os.listdir(out_dir))
         if n.startswith("kept-") and n.endswith(".parquet")
     ]
+    if not files:
+        return ray.data.from_items([])
     return ray.data.read_parquet(files, columns=columns)
 
 

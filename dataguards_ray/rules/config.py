@@ -50,11 +50,23 @@ from .dsl import (DomainBlockRule, Predicate, PredicateRule, RangeRule,
 from .integrity import InclusionRule, UniqueRule
 
 
+def _req(d: dict[str, Any], key: str, what: str) -> Any:
+    """d[key] with a config error naming the rule and the missing key
+    (a raw KeyError traceback told a user typing "column" for "col"
+    nothing about which rule or what to fix)."""
+    try:
+        return d[key]
+    except KeyError:
+        raise ValueError(
+            f"{what} needs {key!r} (got keys {sorted(d)}): {d!r}") from None
+
+
 def _predicate(d: dict[str, Any]) -> Predicate:
     value = d.get("value")
     if d.get("op") == "between" and isinstance(value, list):
         value = tuple(value)
-    return Predicate(col=d["col"], op=d["op"], value=value,
+    return Predicate(col=_req(d, "col", "predicate"),
+                     op=_req(d, "op", "predicate"), value=value,
                      col2=d.get("col2"))
 
 
@@ -68,10 +80,11 @@ def rule_from_config(
     if not name:
         raise ValueError(f"rule config needs a 'name': {d!r}")
     if t == "range":
-        return RangeRule(name=name, col=d["col"], lo=d.get("lo"),
+        return RangeRule(name=name, col=_req(d, "col", f"range rule {name!r}"), lo=d.get("lo"),
                          hi=d.get("hi"))
     if t == "regex":
-        return RegexRule(name=name, col=d["col"], pattern=d["pattern"],
+        return RegexRule(name=name, col=_req(d, "col", f"regex rule {name!r}"),
+                         pattern=_req(d, "pattern", f"regex rule {name!r}"),
                          must_match=bool(d.get("must_match", True)))
     if t == "predicate":
         preds = [_predicate(p) for p in d.get("all_of", d.get("predicates", []))]
@@ -79,14 +92,18 @@ def rule_from_config(
             raise ValueError(f"predicate rule {name!r} needs 'all_of'")
         return PredicateRule(name=name, predicates=preds)
     if t == "cfd":
-        return CFD(name=name, lhs=list(d["lhs"]), rhs=d["rhs"],
-                   tableau=[dict(row) for row in d["tableau"]])
+        return CFD(name=name, lhs=list(_req(d, "lhs", f"cfd rule {name!r}")),
+                   rhs=_req(d, "rhs", f"cfd rule {name!r}"),
+                   tableau=[dict(row) for row in
+                            _req(d, "tableau", f"cfd rule {name!r}")])
     if t == "dc":
         return DenialConstraint(
             name=name,
             single=[_predicate(p) for p in d.get("single", [])],
             eq_keys=list(d.get("eq_keys", [])),
-            pair_atoms=[Atom(a["left"], a["op"], a["right"])
+            pair_atoms=[Atom(_req(a, "left", f"dc rule {name!r} atom"),
+                             _req(a, "op", f"dc rule {name!r} atom"),
+                             _req(a, "right", f"dc rule {name!r} atom"))
                         for a in d.get("pair_atoms", [])],
         )
     if t == "domain_block":
@@ -102,17 +119,21 @@ def rule_from_config(
                                domains=frozenset(domains),
                                match=d.get("match", "either"))
     if t == "unique":
-        return UniqueRule(name=name, cols=list(d["cols"]))
+        return UniqueRule(name=name,
+                          cols=list(_req(d, "cols", f"unique rule {name!r}")))
     if t == "inclusion":
-        ref = d["ref_table"]
+        ref = _req(d, "ref_table", f"inclusion rule {name!r}")
         if resolve_table is not None:
             ref_ds = resolve_table(ref)
         else:
             import ray.data
 
-            ref_ds = ray.data.read_parquet(ref, columns=list(d["ref_cols"]))
-        return InclusionRule(name=name, cols=list(d["cols"]), ref_ds=ref_ds,
-                             ref_cols=list(d["ref_cols"]))
+            ref_ds = ray.data.read_parquet(
+                ref, columns=list(_req(d, "ref_cols", f"inclusion rule {name!r}")))
+        return InclusionRule(name=name,
+                             cols=list(_req(d, "cols", f"inclusion rule {name!r}")),
+                             ref_ds=ref_ds,
+                             ref_cols=list(_req(d, "ref_cols", f"inclusion rule {name!r}")))
     raise ValueError(f"unknown rule type {t!r} in {d!r}")
 
 

@@ -21,12 +21,18 @@ from .steps.dedup import get_broadcast
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:  # reshape(0, -1) is ambiguous to numpy; dim from the type
+        dim = getattr(arr.type, "list_size", None) or 0
+        return np.zeros((0, dim), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    if m.ndim == 1 and m.size == 0:  # np.array([]) from an empty row list
+        m = m.reshape(0, 0)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(norms, 1e-30)
 

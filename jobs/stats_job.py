@@ -56,7 +56,10 @@ def domain_stats(out_dir: str, k: int = 20) -> list[tuple[str, int]]:
     from dataguards_ray.io import read_filtered
     from dataguards_ray.urltools import add_url_domain
 
-    ds = add_url_domain(read_filtered(out_dir))
+    survivors = read_filtered(out_dir)
+    if survivors.count() == 0:  # a run may legitimately keep 0 rows
+        return []
+    ds = add_url_domain(survivors)
     counts = salted_groupby(ds, ["domain"], [("url", "count", "n")],
                             salt_n=16, salt_source="url")
     top = topk(counts, [("n", True), ("domain", False)], k)

@@ -247,3 +247,27 @@ def test_sample_mixture_rejects_bad_weights(ray_session):
         sample_mixture(ds, 10, {"a": -1.0})
     with pytest.raises(ValueError):
         sample_mixture(ds, 10, {"a": 0.0})
+
+
+def test_dsir_empty_corpus(ray_session):
+    """Empty docs corpus → 0 selected rows, no crash.  Pins the
+    fit_hashed_ngram_dist int cast: a ZERO-chunk Arrow int64 column
+    round-trips through to_numpy as float64, which numpy rejects as a
+    fancy index (found probing `dg sample --mode dsir` on an empty
+    parquet)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dataguards_ray.dsir import dsir_resample, fit_hashed_ngram_dist
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    target = ray.data.from_items(
+        [{"doc_id": i, "text": f"target text {i}"} for i in range(5)])
+
+    dist = fit_hashed_ngram_dist(empty, n_buckets=64)
+    assert dist.shape == (64,) and np.allclose(dist, 1.0 / 64)
+
+    out = dsir_resample(empty, target, 3)
+    assert out.count() == 0

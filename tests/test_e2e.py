@@ -300,3 +300,30 @@ def test_resume_ignores_stray_tmp_files(tmp_path):
     recs = FilterPipeline().run(path, out, resume=True)
     assert len(dg_io.partitions_by_stage(out)["final"]) == n_final
     assert sum(r["kept_rows"] for r in recs) == 195
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_corpus_run_and_stats(tmp_path):
+    """A 0-row input runs the full filter → read-back → stats chain
+    without crashing: no part files are written, read_filtered returns
+    an empty dataset instead of failing read_parquet([]), and
+    domain_stats short-circuits (found probing the CLI with an empty
+    parquet)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataguards_ray import io as dg_io
+    from dataguards_ray.pipeline import FilterPipeline
+    from fixtures.gen import pages_table
+    from jobs.stats_job import domain_stats, lineage_stats
+
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(pages_table(1).slice(0, 0), src)
+    out = str(tmp_path / "out")
+    recs = FilterPipeline().run(src, out)
+    assert sum(r["input_rows"] for r in recs) == 0
+
+    assert dg_io.read_filtered(out).count() == 0
+    rep = lineage_stats(out)
+    assert rep["input_rows"] == 0 and rep["kept_rows"] == 0
+    assert domain_stats(out) == []

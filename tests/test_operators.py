@@ -4198,3 +4198,26 @@ def test_codec_forged_header_guards():
 
     with pytest.raises(ValueError, match="corrupt GIF video"):
         list(_iter_video_frames(b"GIF89a\x00\x00\x00\x00"))
+
+
+def test_embedding_dedup_empty_corpus():
+    """0-row corpus → 0 rows kept, no crash: np.array([]) from an empty
+    take_all is 1-D and axis-1 normalization used to AxisError; an
+    empty Arrow list column also can't reshape(0, -1) (found probing
+    `dg dedup --mode embedding` on an empty parquet)."""
+    import ray.data
+
+    from dataguards_ray.similarity import (_normalize, _to_matrix,
+                                           embedding_dedup_filter)
+
+    m = _normalize(np.array([], dtype=np.float64))
+    assert m.shape == (0, 0)
+    fx = _to_matrix(pa.chunked_array([], type=pa.list_(pa.float64())))
+    assert fx.shape == (0, 0)
+    fx3 = _to_matrix(pa.chunked_array([], type=pa.list_(pa.float64(), 3)))
+    assert fx3.shape == (0, 3)
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64()))}))
+    assert embedding_dedup_filter(empty, 0.9).count() == 0

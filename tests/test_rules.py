@@ -787,3 +787,36 @@ def test_codec_corrupt_blobs_raise_cleanly():
         _decode_audio_one(b"RIFF\x00\x00\x00\x00AVI LIST")  # RIFF non-WAV
     with _pytest.raises(ValueError):
         _decode_audio_one(b"RIFF\x04\x00\x00\x00WAVEfmt")  # truncated WAV
+
+
+def test_rule_config_missing_keys_name_the_rule():
+    """A config typo ("column" for "col", a missing tableau) fails as a
+    ValueError naming the rule and the missing key — never a raw
+    KeyError traceback (found probing `dg check` with a hand-written
+    config)."""
+    from dataguards_ray.rules.config import rule_from_config
+
+    cases = [
+        ({"type": "range", "name": "r", "column": "x", "lo": 0},
+         "range rule 'r' needs 'col'"),
+        ({"type": "regex", "name": "g", "col": "x"},
+         "regex rule 'g' needs 'pattern'"),
+        ({"type": "cfd", "name": "c", "lhs": ["a"], "rhs": "b"},
+         "cfd rule 'c' needs 'tableau'"),
+        ({"type": "dc", "name": "d", "pair_atoms": [{"left": "a"}]},
+         "dc rule 'd' atom needs 'op'"),
+        ({"type": "unique", "name": "u"},
+         "unique rule 'u' needs 'cols'"),
+        ({"type": "inclusion", "name": "i", "cols": ["a"]},
+         "inclusion rule 'i' needs 'ref_table'"),
+        ({"type": "predicate", "name": "p",
+          "all_of": [{"column": "x", "op": "=="}]},
+         "predicate needs 'col'"),
+    ]
+    for cfg, msg in cases:
+        with pytest.raises(ValueError, match=""):
+            try:
+                rule_from_config(cfg)
+            except ValueError as e:
+                assert msg in str(e), (cfg, str(e))
+                raise
