@@ -204,6 +204,18 @@ def run_dedup_job(
     ds = ray.data.read_parquet(input_path)
     n_in = ds.count()
     schema_names = list(pa.schema(ds.schema().base_schema).names)
+    # preflight: fail with the flag to fix, not a KeyError deep inside
+    # a Ray task (mirrors the sample job; found by CLI probing)
+    must = {"--id-col": id_col}
+    if mode == "embedding":
+        must["--vec-col"] = vec_col
+    else:
+        must["--text-col"] = text_col
+    if n_in:
+        for flag, col in must.items():
+            if col not in schema_names:
+                raise ValueError(f"{flag} {col!r} not in input columns "
+                                 f"{schema_names}")
     needed = [c for c in dict.fromkeys([id_col, text_col]) if c in schema_names]
     has_extra = any(c not in (id_col, text_col) for c in schema_names)
     if mode in ("span", "line", "substring") and has_extra:

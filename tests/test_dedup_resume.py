@@ -476,3 +476,23 @@ def test_sample_job_column_preflight(tmp_path, ray_session):
         assert r.returncode != 0, extra
         assert msg in r.stderr, (extra, r.stderr[-800:])
         assert "RayTaskError" not in r.stderr, extra
+
+
+def test_dedup_job_column_preflight(tmp_path, ray_session):
+    """`dg dedup` validates its column flags against the input schema
+    up front — embedding mode on a corpus with no vector column used to
+    die with a KeyError from inside a Ray task."""
+    from jobs.dedup_job import run_dedup_job
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(_corpus(n=10), str(src / "p.parquet"))
+
+    with pytest.raises(ValueError, match="--vec-col 'embedding' not in"):
+        run_dedup_job(str(src), str(tmp_path / "o1"), mode="embedding")
+    with pytest.raises(ValueError, match="--text-col 'nosuch' not in"):
+        run_dedup_job(str(src), str(tmp_path / "o2"), mode="exact",
+                      text_col="nosuch")
+    with pytest.raises(ValueError, match="--id-col 'missing' not in"):
+        run_dedup_job(str(src), str(tmp_path / "o3"), mode="span",
+                      id_col="missing")
