@@ -19,17 +19,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def lineage_stats(out_dir: str) -> dict:
-    """Pure manifest merge — no Ray needed."""
+    """Pure manifest merge — no Ray needed.  Handles BOTH manifest
+    flavors: filter-run manifests (input_rows / rule_counts /
+    lang_totals) and the generic partitioned-writer manifests that
+    `dg dedup/sample/check/decontaminate --out` write (part_id /
+    kept_rows / op params only) — stats on those reports row totals
+    and the recorded op, with the rule/lang sections empty."""
     from dataguards_ray.io import read_lineage
 
     rule_drops: dict[str, int] = {}
     lang_tot: dict[str, int] = {}
     lang_kept: dict[str, int] = {}
+    ops: set[str] = set()
     input_rows = kept_rows = 0
+    saw_input = False
     for m in read_lineage(out_dir):
-        input_rows += m["input_rows"]
-        kept_rows += m.get("kept_rows", m["kept_pre_dedup"])
-        for r, n in m["rule_counts"].items():
+        if "input_rows" in m:
+            saw_input = True
+            input_rows += m["input_rows"]
+        kept_rows += m.get("kept_rows", m.get("kept_pre_dedup", 0))
+        for key in ("op", "spec"):
+            if m.get(key):
+                ops.add(str(m[key]))
+        for r, n in m.get("rule_counts", {}).items():
             rule_drops[r] = rule_drops.get(r, 0) + n
         for lg, n in m.get("lang_totals", {}).items():
             lang_tot[lg] = lang_tot.get(lg, 0) + n
@@ -40,12 +52,15 @@ def lineage_stats(out_dir: str) -> dict:
              "retention": lang_kept.get(lg, 0) / lang_tot[lg]}
         for lg in sorted(lang_tot)
     }
-    return {
-        "input_rows": input_rows,
+    out = {
+        "input_rows": input_rows if saw_input else None,
         "kept_rows": kept_rows,
         "rule_drops": dict(sorted(rule_drops.items(), key=lambda kv: -kv[1])),
         "lang_retention": retention,
     }
+    if ops:
+        out["ops"] = sorted(ops)
+    return out
 
 
 def domain_stats(out_dir: str, k: int = 20) -> list[tuple[str, int]]:
@@ -59,6 +74,9 @@ def domain_stats(out_dir: str, k: int = 20) -> list[tuple[str, int]]:
     survivors = read_filtered(out_dir)
     if survivors.count() == 0:  # a run may legitimately keep 0 rows
         return []
+    sch = survivors.schema()
+    if sch is None or "url" not in sch.names:
+        return []  # partitioned outputs of url-less tables: no domains
     ds = add_url_domain(survivors)
     counts = salted_groupby(ds, ["domain"], [("url", "count", "n")],
                             salt_n=16, salt_source="url")

@@ -496,3 +496,27 @@ def test_dedup_job_column_preflight(tmp_path, ray_session):
     with pytest.raises(ValueError, match="--id-col 'missing' not in"):
         run_dedup_job(str(src), str(tmp_path / "o3"), mode="span",
                       id_col="missing")
+
+
+def test_stats_on_partitioned_writer_output(tmp_path, ray_session):
+    """`dg stats` degrades gracefully on a dedup/sample-style output:
+    generic partitioned-writer manifests carry no input_rows /
+    rule_counts, so stats reports row totals + the recorded op (and
+    skips domains for url-less tables) instead of KeyError."""
+    import ray.data
+
+    from dataguards_ray.io import write_partitioned_resumable
+    from jobs.stats_job import domain_stats, lineage_stats
+
+    out = str(tmp_path / "out")
+    n = write_partitioned_resumable(
+        ray.data.from_arrow(_corpus(n=30)), out,
+        id_col="doc_id", partitions=4,
+        params={"op": "sample", "spec": "hash(frac=1.0)"})
+    assert n == 30
+
+    rep = lineage_stats(out)
+    assert rep["input_rows"] is None
+    assert rep["kept_rows"] == 30
+    assert rep["ops"] == ["hash(frac=1.0)", "sample"]
+    assert domain_stats(out) == []  # _corpus has no url column
