@@ -28,7 +28,7 @@ def url_normalize_one(url: str) -> str:
     except ValueError:
         return ""
     scheme = p.scheme.lower()
-    host = p.hostname or ""
+    host = (p.hostname or "").rstrip(".")
     port = f":{p.port}" if p.port and str(p.port) != _DEFAULT_PORTS.get(scheme) else ""
     path = p.path or "/"
     q = f"?{p.query}" if p.query else ""
@@ -37,9 +37,11 @@ def url_normalize_one(url: str) -> str:
 
 def url_domain_one(url: str) -> str:
     """Registered domain: last 2 labels, or 3 when the 2-label tail is a
-    known public suffix (frozen snapshot)."""
+    known public suffix (frozen snapshot).  A trailing root dot
+    (``example.com.`` — the absolute-FQDN form, a classic blocklist
+    evasion) is stripped first: DNS-wise it is the same host."""
     try:
-        host = urlsplit(url).hostname or ""
+        host = (urlsplit(url).hostname or "").rstrip(".")
     except ValueError:
         return ""
     labels = host.lower().split(".")
@@ -52,9 +54,9 @@ def url_domain_one(url: str) -> str:
 
 
 def url_host_one(url: str) -> str:
-    """Lowercased hostname; '' for unparseable."""
+    """Lowercased hostname, root dot stripped; '' for unparseable."""
     try:
-        return (urlsplit(url).hostname or "").lower()
+        return (urlsplit(url).hostname or "").lower().rstrip(".")
     except ValueError:
         return ""
 

@@ -622,6 +622,12 @@ def test_urltools():
     assert url_domain_one("https://a.b.site9.example.com/p") == "example.com"
     assert url_domain_one("https://news.bbc.co.uk/x") == "bbc.co.uk"
     assert url_domain_one("https://localhost/") == "localhost"
+    # absolute-FQDN trailing dot (blocklist-evasion form) is the same host
+    from dataguards_ray.urltools import url_host_one
+
+    assert url_domain_one("http://evil.example.com./x") == "example.com"
+    assert url_host_one("http://Evil.Example.COM./x") == "evil.example.com"
+    assert url_normalize_one("http://example.com./x") == "http://example.com/x"
 
 
 def test_domains_array_matches_scalar():
