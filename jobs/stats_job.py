@@ -31,9 +31,10 @@ def lineage_stats(out_dir: str) -> dict:
     lang_tot: dict[str, int] = {}
     lang_kept: dict[str, int] = {}
     ops: set[str] = set()
-    input_rows = kept_rows = 0
+    input_rows = kept_rows = n_manifests = 0
     saw_input = False
     for m in read_lineage(out_dir):
+        n_manifests += 1
         if "input_rows" in m:
             saw_input = True
             input_rows += m["input_rows"]
@@ -53,7 +54,9 @@ def lineage_stats(out_dir: str) -> dict:
         for lg in sorted(lang_tot)
     }
     out = {
-        "input_rows": input_rows if saw_input else None,
+        # None ONLY when generic-writer manifests exist without the
+        # field; an empty finished run (no manifests) reports 0
+        "input_rows": input_rows if saw_input or not n_manifests else None,
         "kept_rows": kept_rows,
         "rule_drops": dict(sorted(rule_drops.items(), key=lambda kv: -kv[1])),
         "lang_retention": retention,
