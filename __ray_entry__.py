@@ -4260,10 +4260,13 @@ _R05_WINDOW = [
     "event_gap_lag", "moving_sum_events", "range_sum_events",
     "rank_customer_balance", "pivot_orders_status",
     "full_outer_nation_balance", "var_price_by_status", "top_tokens",
-    "tpch_q3", "median_price_by_priority", "mad_price_by_priority",
-    "p90_price_by_priority",
+    "tpch_q3", "median_price_by_priority",
+    # round-5-session fixes touched dsir (empty-corpus int cast) and
+    # urltools (root-dot strip): both take window slots from the
+    # mad/p90 quantile siblings (median keeps the family's driver row)
+    "dsir_resample_docs", "url_blocklist_filter",
     # distinct_customers_by_priority (green r02) yielded its slot to
-    # minhash_near_dups_digest; its quantile siblings stay in-window
+    # minhash_near_dups_digest
 ]
 
 
