@@ -29,6 +29,8 @@ def url_normalize_one(url: str) -> str:
         return ""
     scheme = p.scheme.lower()
     host = (p.hostname or "").rstrip(".")
+    if ":" in host:  # IPv6 literal: re-bracket so the result re-parses
+        host = f"[{host}]"
     port = f":{p.port}" if p.port and str(p.port) != _DEFAULT_PORTS.get(scheme) else ""
     path = p.path or "/"
     q = f"?{p.query}" if p.query else ""

@@ -628,6 +628,10 @@ def test_urltools():
     assert url_domain_one("http://evil.example.com./x") == "example.com"
     assert url_host_one("http://Evil.Example.COM./x") == "evil.example.com"
     assert url_normalize_one("http://example.com./x") == "http://example.com/x"
+    # IPv6 literals re-bracket so normalized urls re-parse (idempotent)
+    assert url_normalize_one("HTTPS://[::1]:8443/x") == "https://[::1]:8443/x"
+    assert url_normalize_one(url_normalize_one("https://[2001:db8::1]/p")) \
+        == "https://[2001:db8::1]/p"
 
 
 def test_domains_array_matches_scalar():
