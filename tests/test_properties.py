@@ -249,3 +249,29 @@ def test_gif_avi_decoders_fail_cleanly_on_fuzz(payload):
         list(iter_avi_mjpeg_frames(avi))
     except (ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_urltools_scalar_total_on_garbage(u):
+    """Untrusted web urls must never crash the gate: every scalar url
+    kernel is total over arbitrary text (returns '' / best-effort)."""
+    from dataguards_ray.urltools import (url_domain_one, url_host_one,
+                                         url_normalize_one)
+
+    for fn in (url_domain_one, url_host_one, url_normalize_one):
+        assert isinstance(fn(u), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=20))
+def test_urltools_vector_total_on_garbage(urls):
+    import pyarrow as pa
+
+    from dataguards_ray.urltools import (blocklist_hits, domains_array,
+                                         hosts_array)
+
+    arr = pa.array(urls, type=pa.string())
+    assert len(domains_array(arr)) == len(urls)
+    assert len(hosts_array(arr)) == len(urls)
+    assert len(blocklist_hits(arr, pa.array(["example.com"]))) == len(urls)
