@@ -159,3 +159,29 @@ def md5_hex_array(dig: np.ndarray) -> pa.Array:
     hexes = np.frombuffer(binascii.hexlify(
         np.ascontiguousarray(dig).tobytes()), dtype="S32")
     return pa.array(hexes.astype("U32"), type=pa.string())
+
+
+def partition_ids(col: "pa.Array | pa.ChunkedArray", partitions: int) -> pa.Array:
+    """Deterministic partition id per row for the resumable writers:
+    ``((fnv1a64(f"v:{v}") - 2**63) mod 2**64) % partitions`` — the
+    signed ``nid64_array`` view reinterpreted as uint64.  ONE shared
+    definition for io.write_partitioned_resumable AND the dedup job's
+    survivor write (ADVICE r04: two private copies drifted — the
+    scalar fallback computed plain ``fnv1a64 % P``, which disagrees
+    whenever P is not a power of two, so a resume whose id column
+    arrived with a different Arrow type silently shifted rows between
+    partitions).  The scalar fallback handles exotic id types that
+    ``nid64_array`` rejects; both paths are parity-tested.
+    """
+    from .spec import fnv1a64
+
+    P = int(partitions)
+    try:
+        pid = (nid64_array(col).view(np.uint64) % np.uint64(P)).astype(
+            np.int64)
+        return pa.array(pid, type=pa.int64())
+    except TypeError:  # exotic id type → scalar fallback, same mapping
+        return pa.array(
+            [(fnv1a64(f"v:{v}".encode()) - (1 << 63)) % (1 << 64) % P
+             for v in col.to_pylist()],
+            type=pa.int64())

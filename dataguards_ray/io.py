@@ -410,10 +410,7 @@ def write_partitioned_resumable(
 
     Returns the total kept rows across all partitions (manifest sum).
     Requires non-null ``id_col`` values (string or int)."""
-    import numpy as np
-
-    from .hashutil import nid64_array
-    from .spec import fnv1a64
+    from .hashutil import partition_ids
 
     P = int(partitions)
     if P <= 0:
@@ -435,23 +432,9 @@ def write_partitioned_resumable(
                 f"with {prev} but this run has {full_params}")
 
     def add_part(b: pa.Table) -> pa.Table:
-        col = b.column(id_col)
-        try:
-            pid = (nid64_array(col).view(np.uint64) % np.uint64(P)).astype(
-                np.int64)
-            arr = pa.array(pid, type=pa.int64())
-        except TypeError:  # exotic id type → scalar fallback
-            # SAME partition function as the vectorized path:
-            # ((fnv1a64 - 2**63) mod 2**64) % P — the signed nid64 view
-            # reinterpreted as uint64.  The two paths must agree even
-            # when P is not a power of two, or a resume whose id column
-            # arrives with a different Arrow type would silently shift
-            # rows between partitions.
-            arr = pa.array(
-                [(fnv1a64(f"v:{v}".encode()) - (1 << 63)) % (1 << 64) % P
-                 for v in col.to_pylist()],
-                type=pa.int64())
-        return b.append_column("__part", arr)
+        # one shared partition function (vectorized + consistent scalar
+        # fallback) for every resumable writer — hashutil.partition_ids
+        return b.append_column("__part", partition_ids(b.column(id_col), P))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     if done:

@@ -577,20 +577,18 @@ def _run_resumable_phase(
 ) -> int:
     """Two-phase resumable exact/minhash dedup (module docstring).
     Returns the total survivor row count across ALL partitions."""
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
     import ray.data
 
-    from dataguards_ray.hashutil import nid64_array
+    from dataguards_ray.hashutil import partition_ids
     from dataguards_ray.io import (
         _atomic_write_json,
         _atomic_write_table,
         has_parquet_files,
     )
     from dataguards_ray.joins import anti_join, semi_join
-    from dataguards_ray.spec import fnv1a64
 
     P = int(partitions)
     state_dir = os.path.join(out_dir, "_dedup_state")
@@ -709,16 +707,10 @@ def _run_resumable_phase(
     full = ray.data.read_parquet(input_path)
 
     def add_part(b: pa.Table) -> pa.Table:
-        col = b.column(id_col)
-        try:
-            pid = (nid64_array(col).view(np.uint64) % np.uint64(P)).astype(
-                np.int64)
-            arr = pa.array(pid, type=pa.int64())
-        except TypeError:  # exotic id type → scalar fallback
-            arr = pa.array(
-                [fnv1a64(f"v:{v}".encode()) % P for v in col.to_pylist()],
-                type=pa.int64())
-        return b.append_column("__part", arr)
+        # the ONE shared partition function (vectorized + consistent
+        # scalar fallback) — hashutil.partition_ids; a private copy here
+        # drifted from io.py's on the fallback path (ADVICE r04)
+        return b.append_column("__part", partition_ids(b.column(id_col), P))
 
     full = full.map_batches(add_part, batch_format="pyarrow")
     if done_manifests:

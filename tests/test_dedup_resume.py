@@ -264,6 +264,8 @@ def test_add_part_hash_paths_agree():
     from dataguards_ray.hashutil import nid64_array
     from dataguards_ray.spec import fnv1a64
 
+    from dataguards_ray.hashutil import partition_ids
+
     ids = pa.array([f"doc-{i}" for i in range(300)])
     vals = ids.to_pylist()
     for P in (7, 100, 64, 1000):
@@ -273,6 +275,19 @@ def test_add_part_hash_paths_agree():
             [(fnv1a64(f"v:{v}".encode()) - (1 << 63)) % (1 << 64) % P
              for v in vals], dtype=np.int64)
         assert (vec == scal).all(), P
+        # the SHARED kernel both writers now call (io.py + dedup job)
+        assert partition_ids(ids, P).to_numpy().tolist() == scal.tolist()
+
+    # exotic id type → the kernel's scalar fallback must implement the
+    # SAME mapping (this is the path that drifted in the dedup job)
+    exotic = pa.array([float(i) + 0.5 for i in range(50)])
+    with pytest.raises(TypeError):
+        nid64_array(exotic)
+    for P in (7, 100):
+        got = partition_ids(exotic, P).to_pylist()
+        exp = [(fnv1a64(f"v:{v}".encode()) - (1 << 63)) % (1 << 64) % P
+               for v in exotic.to_pylist()]
+        assert got == exp, P
 
 
 def test_fully_dropped_partitions_marked_done(tmp_path, ray_session):
