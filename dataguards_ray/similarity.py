@@ -575,6 +575,7 @@ def semdedup_losers(
     keep: str = "closest",
     max_cluster_rows: int = 65_536,
     block: int = 4096,
+    prior: Dataset | None = None,
 ) -> Dataset:
     """SemDeDup loser discovery (Abbas et al. 2023, arXiv:2303.09540):
     assign every vector to its nearest k-means centroid, then WITHIN
@@ -598,6 +599,16 @@ def semdedup_losers(
     controls m).  Clusters above ``max_cluster_rows`` raise with
     guidance rather than silently OOMing a worker: at 100 TB pass
     ``n_clusters ≈ corpus_rows / 10⁴`` so expected m stays ~10⁴.
+
+    ``prior`` (incremental cross-run dedup): a thin (``id_col``,
+    ``vec_col``) Dataset of a PRIOR run's survivors.  Prior rows are
+    assigned to the same centroids and ordered FIRST within their
+    cluster regardless of centroid similarity — they are already on
+    disk, so they always win: a new row within ``threshold`` of any
+    prior survivor in its cluster is dropped, and prior rows are never
+    reported as losers.  Chains should reuse the prior run's centroids
+    (jobs/dedup_job.py validates this) so prior survivors land in the
+    clusters they were deduplicated under.
 
     Returns a thin Dataset with one ``id_col`` row per dropped vector.
     """
@@ -635,9 +646,24 @@ def semdedup_losers(
             }
         )
 
-    thin = ds.select_columns([id_col, vec_col]).map_batches(
-        assign, batch_format="pyarrow"
+    def _flag(value: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "is_prior", pa.array(
+                    np.full(b.num_rows, value, dtype=np.int8)))
+
+        return f
+
+    thin = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .map_batches(_flag(0), batch_format="pyarrow")
     )
+    if prior is not None:
+        thin = thin.union(
+            prior.select_columns([id_col, vec_col])
+            .map_batches(assign, batch_format="pyarrow")
+            .map_batches(_flag(1), batch_format="pyarrow"))
 
     def dedup_cluster(group: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], type=pa.int64())})
@@ -656,10 +682,15 @@ def semdedup_losers(
         csim = np.asarray(
             group.column("csim").to_numpy(zero_copy_only=False), dtype=np.float64
         )
-        # deterministic survivor order: csim (desc for keep="closest",
+        flag = np.asarray(
+            group.column("is_prior").to_numpy(zero_copy_only=False),
+            dtype=np.int8)
+        # deterministic survivor order: prior rows FIRST (already on
+        # disk — they always win), then csim (desc for keep="closest",
         # asc for keep="farthest"), id ascending as tiebreak
-        order = np.lexsort((ids, -csim if descending else csim))
+        order = np.lexsort((ids, -csim if descending else csim, -flag))
         ids = ids[order]
+        flag = flag[order]
         arr = group.column("vec").combine_chunks()
         dim = arr.type.byte_width // 4
         flat = np.frombuffer(arr.buffers()[1], dtype=np.float32)
@@ -675,6 +706,10 @@ def semdedup_losers(
             # mask i >= j (strict upper triangle in global coordinates)
             S[row_idx[:j1, None] >= np.arange(j0, j1)[None, :]] = -np.inf
             dropped[j0:j1] = S.max(axis=0) >= threshold
+        # prior rows are never losers (the flag ordering makes them
+        # unreachable as j anyway unless the prior manifest itself held
+        # a >=threshold pair; mask defensively either way)
+        dropped &= flag == 0
         return pa.table({id_col: pa.array(ids[dropped], type=pa.int64())})
 
     return thin.groupby("cluster").map_groups(dedup_cluster, batch_format="pyarrow")
@@ -692,10 +727,16 @@ def semdedup_filter(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     max_cluster_rows: int = 65_536,
+    prior: Dataset | None = None,
 ) -> Dataset:
     """Semantic dedup (SemDeDup): k-means over the embedding column,
     within-cluster pairwise-cosine duplicate removal, survivors pass
     through unchanged.
+
+    ``prior``: thin (``id_col``, ``vec_col``) survivors of a prior run
+    (incremental cross-run dedup — see ``semdedup_losers``); pass the
+    prior run's ``centroids`` alongside so cluster assignment matches
+    the run the prior rows survived under.
 
     ``centroids`` lets a caller reuse an existing IVF index; otherwise
     ``ivf_train`` fits deterministic spherical k-means on a capped,
@@ -722,6 +763,6 @@ def semdedup_filter(
         )
     losers = semdedup_losers(
         thin, threshold, centroids, vec_col=vec_col, id_col=id_col,
-        keep=keep, max_cluster_rows=max_cluster_rows,
+        keep=keep, max_cluster_rows=max_cluster_rows, prior=prior,
     )
     return anti_join(ds, losers, id_col)

@@ -33,7 +33,7 @@ row-equal to the single-shot run (tests/test_operators.py::
 test_dedup_job_kill_and_resume).  Both phases are deterministic
 functions of the input corpus, so a crash at ANY point converges.
 
---against PRIOR_OUT (exact/minhash/embedding): incremental cross-run
+--against PRIOR_OUT (exact/minhash/embedding/semdedup): incremental cross-run
 dedup — new docs duplicating the prior run's survivors are dropped too,
 reading only the prior run's thin ``_dedup_manifest`` (exact: fp per
 survivor; minhash: (band, band_hash, doc_id, sig) candidate rows;
@@ -71,6 +71,19 @@ substring : exact duplicated-substring removal à la Lee et al. 2022 —
 embedding : cosine near-dup dedup over a list<float> --vec-col at
           --threshold cosine (similarity.embedding_dedup_filter; auto
           exact/LSH discovery, min-id component winner)
+semdedup : SemDeDup (Abbas et al. 2023) — spherical k-means clusters
+          (--n-clusters, default ceil(sqrt(n))), within-cluster
+          pairwise cosine at --threshold, --keep closest|farthest
+          survivor rule (similarity.semdedup_filter).  --against
+          reuses the PRIOR run's centroids verbatim (frozen in the
+          manifest with the threshold/keep params, all validated) and
+          prior survivors always win — new docs within threshold of a
+          prior survivor in its cluster are dropped, prior docs are
+          never retroactively dropped (unlike exact/minhash/embedding
+          the combined output is NOT single-shot-equivalent in
+          general: single-shot orders survivors by centroid
+          similarity across BOTH corpora, incremental freezes what is
+          already on disk — the behavior a recurring crawl wants)
 
 Scale shape (10^12 docs): discovery runs over a column-pruned
 (id, text) read — the document payload never enters a shuffle; the
@@ -167,6 +180,8 @@ def run_dedup_job(
     against: str | None = None,
     window: int = 50,
     vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    keep: str = "closest",
     streaming_discovery: "bool | None" = None,
     resume: bool = False,
     partitions: int = 32,
@@ -207,7 +222,7 @@ def run_dedup_job(
     # preflight: fail with the flag to fix, not a KeyError deep inside
     # a Ray task (mirrors the sample job; found by CLI probing)
     must = {"--id-col": id_col}
-    if mode == "embedding":
+    if mode in ("embedding", "semdedup"):
         must["--vec-col"] = vec_col
     else:
         must["--text-col"] = text_col
@@ -245,7 +260,8 @@ def run_dedup_job(
 
     drop_cols: list[str] = []
     add_nid = _make_add_nid(id_col)
-    nid_needed = mode in ("minhash", "embedding") and not pa.types.is_integer(
+    nid_needed = mode in ("minhash", "embedding",
+                          "semdedup") and not pa.types.is_integer(
         pa.schema(ds.schema().base_schema).field(id_col).type
     )
 
@@ -302,6 +318,67 @@ def run_dedup_job(
             raise ValueError(
                 f"--against span-params mismatch: prior run used {prev}, "
                 f"this run has {cur}")
+
+    def _sem_centroids_dir(base: str) -> str:
+        # sibling of the survivor-row manifest: _read_manifest reads the
+        # whole semdedup/ dir as survivor rows, so the centroid table
+        # lives in its own directory
+        return os.path.join(base, "_dedup_manifest", "semdedup_centroids")
+
+    def _check_sem_params(base: str, *, threshold: float, keep: str,
+                          n_clusters: int | None) -> dict:
+        """Validate that an incremental semdedup run keeps the prior
+        run's geometry (threshold / keep / cluster count) — a silently
+        different threshold would make 'prior survivors always win'
+        meaningless.  Returns the pinned params."""
+        p = os.path.join(_manifest_dir(base, "semdedup"), "_sem_params.json")
+        if not os.path.isfile(p):
+            raise ValueError(
+                f"--against {base!r}: semdedup manifest lacks "
+                "_sem_params.json (the prior run must be a semdedup "
+                "dedup-job output)")
+        with open(p) as f:
+            prev = json.load(f)
+        if prev.get("threshold") != threshold or prev.get("keep") != keep:
+            raise ValueError(
+                f"--against semdedup-params mismatch: prior run used "
+                f"{prev}, this run has threshold={threshold} keep={keep!r}")
+        if n_clusters is not None and n_clusters != prev.get("n_clusters"):
+            raise ValueError(
+                f"--n-clusters {n_clusters} conflicts with the prior "
+                f"run's {prev.get('n_clusters')} (centroids are reused "
+                "verbatim on --against; drop the flag)")
+        return prev
+
+    def _read_sem_centroids(base: str):
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        d = _sem_centroids_dir(base)
+        if not has_parquet_files(d):
+            raise ValueError(
+                f"--against {base!r}: semdedup manifest lacks its "
+                f"centroid table at {d!r}")
+        t = _pq.read_table(os.path.join(d, "centroids.parquet"))
+        t = t.take(pc.sort_indices(t, sort_keys=[("cid", "ascending")]))
+        return np.array(t.column("centroid").to_pylist(), dtype=np.float64)
+
+    def _write_sem_manifest_extras(params: dict, centroids) -> None:
+        import pyarrow.parquet as _pq
+
+        cdir = _sem_centroids_dir(out_dir)
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir, exist_ok=True)
+        _pq.write_table(
+            pa.table({
+                "cid": pa.array(range(len(centroids)), type=pa.int64()),
+                "centroid": pa.array([list(map(float, c)) for c in centroids],
+                                     type=pa.list_(pa.float64()))}),
+            os.path.join(cdir, "centroids.parquet"))
+        _atomic_write_json(
+            params,
+            os.path.join(_manifest_dir(out_dir, "semdedup"),
+                         "_sem_params.json"))
 
     def _rename(d: "ray.data.Dataset", old: str, new: str) -> "ray.data.Dataset":
         if old == new:
@@ -418,6 +495,45 @@ def run_dedup_job(
             prior = _rename(_rename(pm, "doc_id", eid), "embedding", vec_col)
         out = embedding_dedup_filter(ds, threshold, vec_col=vec_col,
                                      id_col=eid, prior=prior)
+    elif mode == "semdedup":
+        # SemDeDup (Abbas et al. 2023): spherical k-means clusters, one
+        # thin cluster-keyed all-to-all, within-cluster pairwise cosine.
+        # --against reuses the PRIOR run's centroids (frozen in the
+        # manifest — cluster assignment must match the run the prior
+        # survivors were deduped under) and prior survivors always win;
+        # prior docs are never retroactively dropped.
+        import numpy as np
+
+        from dataguards_ray.similarity import ivf_train, semdedup_filter
+
+        eid = id_col
+        if nid_needed:
+            ds = nid_ds(ds)
+            eid = "__nid"
+            drop_cols = ["__nid"]
+        prior = None
+        if against:
+            sem_params = _check_sem_params(against, threshold=threshold,
+                                           keep=keep, n_clusters=n_clusters)
+            centroids = _read_sem_centroids(against)
+            pm = _read_manifest(against, "semdedup")
+            prior = _rename(_rename(pm, "doc_id", eid), "embedding", vec_col)
+        else:
+            k = n_clusters or max(1, int(np.ceil(np.sqrt(max(n_in, 1)))))
+            # empty corpus: no centroids can be trained — the run
+            # succeeds (empty output) but writes NO manifest extras, so
+            # a later --against on it fails loudly instead of chaining
+            # off a degenerate centroid table
+            centroids = (ivf_train(ds.select_columns([eid, vec_col]), k,
+                                   vec_col=vec_col, id_col=eid)
+                         if n_in else None)
+            sem_params = {"threshold": threshold, "keep": keep,
+                          "n_clusters": (int(len(centroids))
+                                         if centroids is not None else None)}
+        out = (semdedup_filter(ds, threshold, centroids=centroids,
+                               vec_col=vec_col, id_col=eid, keep=keep,
+                               prior=prior)
+               if n_in else ds)
     else:
         raise ValueError(f"unknown dedup mode {mode!r}")
 
@@ -435,7 +551,7 @@ def run_dedup_job(
     if out is not None:
         n_out = written.count() if written is not None else 0
 
-    if mode in ("exact", "minhash", "embedding"):
+    if mode in ("exact", "minhash", "embedding", "semdedup"):
         # thin dedup manifest beside the survivors: lets the NEXT crawl
         # dedup against this run without re-reading any text (VERDICT
         # r02 missing #4).  Chained runs need only ONE --against: the
@@ -461,7 +577,7 @@ def run_dedup_job(
             if against:
                 man = man.union(_read_manifest(against, "exact",
                                                columns=["fp"]))
-        elif mode == "embedding":
+        elif mode in ("embedding", "semdedup"):
             w = written.select_columns(
                 [c for c in dict.fromkeys([orig_id_col, vec_col])])
             mid = orig_id_col
@@ -472,7 +588,7 @@ def run_dedup_job(
                 w.select_columns([mid, vec_col]), mid, "doc_id"),
                 vec_col, "embedding").select_columns(["doc_id", "embedding"])
             if against:
-                man = man.union(_read_manifest(against, "embedding"))
+                man = man.union(_read_manifest(against, mode))
         else:
             w = written.select_columns(
                 [c for c in dict.fromkeys([orig_id_col, text_col])])
@@ -497,10 +613,15 @@ def run_dedup_job(
                 "doc_id": pa.array([], type=pa.int64()),
                 "embedding": pa.array([], type=pa.list_(pa.float64()))}),
         }
+        _EMPTIES["semdedup"] = _EMPTIES["embedding"]
         if man is not None:
             man.write_parquet(man_dir)
         if not has_parquet_files(man_dir):
             _pq.write_table(_EMPTIES[mode], os.path.join(man_dir, "empty.parquet"))
+        if mode == "semdedup" and centroids is not None:
+            # the centroid table + pinned params the NEXT --against run
+            # reuses (chains only ever need the latest output)
+            _write_sem_manifest_extras(sem_params, centroids)
 
     if mode in ("span", "line", "substring"):
         # thin incremental manifest: distinct span digests of this run's
@@ -768,10 +889,21 @@ def main() -> int:
     ap.add_argument("out_dir")
     ap.add_argument("--mode",
                     choices=("exact", "minhash", "span", "line", "substring",
-                             "embedding"),
+                             "embedding", "semdedup"),
                     default="exact")
     ap.add_argument("--vec-col", default="embedding",
-                    help="embedding mode: the list<float> vector column")
+                    help="embedding/semdedup modes: the list<float> vector "
+                         "column")
+    ap.add_argument("--n-clusters", type=int, default=None,
+                    help="semdedup: k-means cluster count (default "
+                         "ceil(sqrt(n)); at real scale pass ~n/10^4 — "
+                         "cluster size is the O(m^2) knob); ignored-with-"
+                         "validation on --against (prior centroids reused)")
+    ap.add_argument("--keep", choices=("closest", "farthest"),
+                    default="closest",
+                    help="semdedup survivor rule: keep the centroid-"
+                         "closest (released-code behavior) or -farthest "
+                         "(paper text) member of each duplicate set")
     ap.add_argument("--window", type=int, default=50,
                     help="substring mode: duplicated-window length in tokens")
     ap.add_argument("--threshold", type=float, default=0.8)
@@ -821,6 +953,7 @@ def main() -> int:
                         threshold=args.threshold, text_col=args.text_col,
                         id_col=args.id_col, against=args.against,
                         window=args.window, vec_col=args.vec_col,
+                        n_clusters=args.n_clusters, keep=args.keep,
                         resume=args.resume, partitions=args.partitions,
                         payload=args.payload,
                         # flag → force streaming; absent → auto (None)

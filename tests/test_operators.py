@@ -2473,6 +2473,103 @@ def test_incremental_embedding_dedup_against_prior(tmp_path):
     assert ids_of(out_a) + ids_of(out_b) == ids_of(out_s)
 
 
+def test_dedup_job_semdedup_mode(tmp_path):
+    """dg dedup --mode semdedup: within-cluster cosine dedup survivors
+    with payload intact; string ids ride the __nid derivation."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    rows = [
+        {"uid": "a", "embedding": [1.0, 0.0, 0.0], "m": 1},
+        {"uid": "b", "embedding": [0.999, 0.01, 0.0], "m": 2},   # dup of a
+        {"uid": "c", "embedding": [0.0, 1.0, 0.0], "m": 3},
+        {"uid": "d", "embedding": [0.0, 0.0, 1.0], "m": 4},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+
+    from jobs.dedup_job import run_dedup_job
+
+    res = run_dedup_job(str(src), str(tmp_path / "out"), mode="semdedup",
+                        threshold=0.95, id_col="uid", n_clusters=2)
+    assert res["input_rows"] == 4 and res["kept_rows"] == 3
+    surv = ray.data.read_parquet(str(tmp_path / "out"))
+    assert "__nid" not in surv.schema().names
+    kept = {r["uid"]: r["m"] for r in surv.take_all()}
+    # one of the near-dup pair survives (centroid-closest), c and d stay
+    assert set(kept) in ({"a", "c", "d"}, {"b", "c", "d"})
+    assert kept.get("c") == 3 and kept.get("d") == 4
+
+
+def test_incremental_semdedup_against_prior(tmp_path):
+    """--against for semdedup: the prior run's centroids are reused
+    verbatim (frozen in the manifest), prior survivors always win, and
+    a chain only ever needs the LATEST output — a run-C doc duplicating
+    a run-A survivor drops with only run-B as --against."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(12, 8))
+
+    def write(ids, vecs, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(ids), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float64()))}),
+            str(d / "p.parquet"))
+        return str(d)
+
+    def ids_of(out_dir):
+        return sorted(r["doc_id"]
+                      for r in ray.data.read_parquet(out_dir).take_all())
+
+    jig = 0.0005 * rng.normal(size=8)
+    src_a = write(range(12), base, "a")                       # 12 distinct
+    src_b = write([100, 101], [base[3] + jig,                 # dup of a3
+                               rng.normal(size=8)], "b")      # fresh
+    out_a, out_b, out_c = (str(tmp_path / n) for n in ("oa", "ob", "oc"))
+    run_dedup_job(src_a, out_a, mode="semdedup", threshold=0.95,
+                  n_clusters=3)
+    res_b = run_dedup_job(src_b, out_b, mode="semdedup", threshold=0.95,
+                          against=out_a)
+    assert ids_of(out_a) == list(range(12))
+    assert ids_of(out_b) == [101]
+    assert res_b["dropped_rows"] == 1
+
+    # centroids are carried forward verbatim
+    ca = pq.read_table(
+        out_a + "/_dedup_manifest/semdedup_centroids/centroids.parquet")
+    cb = pq.read_table(
+        out_b + "/_dedup_manifest/semdedup_centroids/centroids.parquet")
+    assert ca.equals(cb)
+
+    # chain: a dup of an A-survivor AND a dup of B's fresh survivor both
+    # drop with only out_b as --against (manifest is cumulative)
+    src_c = write([200, 201, 202],
+                  [base[7] + jig,                         # dup of a7
+                   np.asarray(pq.read_table(src_b + "/p.parquet")
+                              .column("embedding").to_pylist()[1]) + jig,
+                   rng.normal(size=8)], "c")
+    run_dedup_job(src_c, out_c, mode="semdedup", threshold=0.95,
+                  against=out_b)
+    assert ids_of(out_c) == [202]
+
+    # changed geometry fails loudly instead of silently mixing
+    with pytest.raises(ValueError, match="semdedup-params mismatch"):
+        run_dedup_job(src_c, str(tmp_path / "bad"), mode="semdedup",
+                      threshold=0.90, against=out_b)
+    with pytest.raises(ValueError, match="n-clusters"):
+        run_dedup_job(src_c, str(tmp_path / "bad2"), mode="semdedup",
+                      threshold=0.95, n_clusters=7, against=out_b)
+
+
 def test_incremental_dedup_all_new_docs_duplicate_prior(tmp_path):
     """Review r03: --against where EVERY new doc duplicates the prior
     corpus — zero survivors must not crash, and the forward-merged
