@@ -53,10 +53,31 @@ def lineage_stats(out_dir: str) -> dict:
              "retention": lang_kept.get(lg, 0) / lang_tot[lg]}
         for lg in sorted(lang_tot)
     }
+    if not n_manifests:
+        # manifest-less outputs: the embedding/semdedup dedup modes
+        # write plain survivor parquet with no lineage — row totals
+        # come from the parquet footers (metadata only, no Ray, no
+        # data read; subdirs like _dedup_manifest/ are NOT survivors).
+        # A truly empty finished run (no files at all) stays 0.
+        import pyarrow.parquet as _pq
+
+        files = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+            and os.path.isfile(os.path.join(out_dir, f))
+        ) if os.path.isdir(out_dir) else []
+        if files:
+            kept_rows = sum(
+                _pq.ParquetFile(f).metadata.num_rows for f in files)
+            saw_input = False  # unknown without manifests → None below
+            n_manifests = -1   # flag: report input_rows as unknown
     out = {
-        # None ONLY when generic-writer manifests exist without the
-        # field; an empty finished run (no manifests) reports 0
-        "input_rows": input_rows if saw_input or not n_manifests else None,
+        # None when generic-writer manifests exist without the field,
+        # or when a manifest-less survivor dir makes the input size
+        # unknowable; an empty finished run (no manifests, no files)
+        # reports 0
+        "input_rows": (input_rows if saw_input or n_manifests == 0
+                       else None),
         "kept_rows": kept_rows,
         "rule_drops": dict(sorted(rule_drops.items(), key=lambda kv: -kv[1])),
         "lang_retention": retention,

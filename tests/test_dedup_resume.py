@@ -535,3 +535,32 @@ def test_stats_on_partitioned_writer_output(tmp_path, ray_session):
     assert rep["kept_rows"] == 30
     assert rep["ops"] == ["hash(frac=1.0)", "sample"]
     assert domain_stats(out) == []  # _corpus has no url column
+
+
+def test_stats_on_manifestless_survivor_output(tmp_path):
+    """Embedding/semdedup dedup modes write plain survivor parquet with
+    NO lineage manifests: stats reports the row total from the parquet
+    footers (input unknown → None) instead of claiming 0 kept rows;
+    manifest parquet in subdirs is not counted as survivors."""
+    import pyarrow.parquet as pq
+
+    from jobs.stats_job import lineage_stats
+
+    out = tmp_path / "out"
+    (out / "_dedup_manifest" / "semdedup").mkdir(parents=True)
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2, 3])}),
+                   str(out / "a.parquet"))
+    pq.write_table(pa.table({"doc_id": pa.array([4])}),
+                   str(out / "b.parquet"))
+    pq.write_table(pa.table({"doc_id": pa.array([9, 9])}),
+                   str(out / "_dedup_manifest" / "semdedup" / "m.parquet"))
+
+    rep = lineage_stats(str(out))
+    assert rep["input_rows"] is None
+    assert rep["kept_rows"] == 4
+
+    # truly empty finished run: still reports 0, not None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rep0 = lineage_stats(str(empty))
+    assert rep0["input_rows"] == 0 and rep0["kept_rows"] == 0
