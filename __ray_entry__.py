@@ -1429,6 +1429,37 @@ def _q_semdedup_embeddings(sf_dir: str):
             .select_columns(["vec_id"]).sort("vec_id"))
 
 
+def _q_semdedup_incremental(sf_dir: str):
+    """Cross-run incremental SemDeDup (round 5): the embeddings table
+    split by vec_id parity into a 'prior crawl' (even ids) and a 'new
+    crawl' (odd ids).  The prior half is semantically deduped; the new
+    half then dedups AGAINST its survivors under the same frozen
+    centroids (similarity.semdedup_filter(prior=...)) — prior
+    survivors always win and are never retroactively dropped, the
+    contract `dg dedup --mode semdedup --against` runs on recurring
+    crawls.  Returns the new-crawl survivors.  Rows-only (k-means and
+    the prior-wins ordering aren't SQL-expressible)."""
+    from dataguards_ray.similarity import ivf_train, semdedup_filter
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _parity(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("vec_id"), pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), want))
+
+        return f
+
+    prior_raw = ds.map_batches(_parity(0), batch_format="pyarrow")
+    new_raw = ds.map_batches(_parity(1), batch_format="pyarrow")
+    cents = ivf_train(prior_raw, 8, id_col="vec_id")
+    prior_surv = semdedup_filter(prior_raw, 0.4, centroids=cents)
+    out = semdedup_filter(
+        new_raw, 0.4, centroids=cents,
+        prior=prior_surv.select_columns(["vec_id", "embedding"]))
+    return out.select_columns(["vec_id"]).sort("vec_id")
+
+
 def _q_line_dedup_docs(sf_dir: str):
     """RefinedWeb-style corpus-wide exact line dedup
     (spandedup.line_dedup): duplicated normalized lines (≥15 chars)
@@ -4252,7 +4283,7 @@ _R05_WINDOW = [
     "tpch_q1", "filter_project", "join_customer_orders",
     "join_region_nation_customer", "semi_join_customers_with_orders",
     "anti_join_customers_without_orders", "hash_join_supplier_nation",
-    "topk_orders", "distinct_flag_status", "union_all_names",
+    "topk_orders",
     "nations_without_suppliers_negbal", "latest_event_per_user",
     "json_props_stats", "window_tumbling_events", "window_hopping_events",
     "window_distinct_users", "running_total_per_user",
@@ -4261,6 +4292,10 @@ _R05_WINDOW = [
     "rank_customer_balance", "pivot_orders_status",
     "full_outer_nation_balance", "var_price_by_status", "top_tokens",
     "tpch_q3", "median_price_by_priority",
+    # round-5-session addition (incremental semdedup) + its touched
+    # kernel's existing query: take the slots of union_all_names /
+    # distinct_flag_status (both twice-green, trivial shapes)
+    "semdedup_incremental", "semdedup_embeddings",
     # round-5-session fixes touched dsir (empty-corpus int cast) and
     # urltools (root-dot strip): both take window slots from the
     # mad/p90 quantile siblings (median keeps the family's driver row)
@@ -4302,6 +4337,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "fd_discovery_orders": _q_fd_discovery_orders,
         "cfd_mine_source_lang": _q_cfd_mine_source_lang,
         "semdedup_embeddings": _q_semdedup_embeddings,
+        # --- round-5 addition: incremental semdedup ---
+        "semdedup_incremental": _q_semdedup_incremental,
         "tpch_q7_shape": _q_tpch_q7_shape,
         "tpch_q13_shape": _q_tpch_q13_shape,
         "tpch_q15_shape": _q_tpch_q15_shape,
