@@ -8,8 +8,10 @@ queries() entry).
   ray job submit --working-dir . -- python jobs/dedup_job.py IN OUT ...
 
 RESUMABLE LAYOUT (round 4, verdict item #1 — the flagship's two-phase
-checkpoint scheme from dataguards_ray/io.py applied to dedup): for
-exact and minhash over non-null ids the job writes
+checkpoint scheme from dataguards_ray/io.py applied to dedup; round 5
+extends it to embedding and semdedup, so EVERY pairwise mode is
+resumable): for exact/minhash/embedding/semdedup over non-null ids the
+job writes
 
   out_dir/
     part-{pid:05d}.parquet          survivors of partition pid, sorted
@@ -231,7 +233,9 @@ def run_dedup_job(
             if col not in schema_names:
                 raise ValueError(f"{flag} {col!r} not in input columns "
                                  f"{schema_names}")
-    needed = [c for c in dict.fromkeys([id_col, text_col]) if c in schema_names]
+    thin_cols = [id_col,
+                 vec_col if mode in ("embedding", "semdedup") else text_col]
+    needed = [c for c in dict.fromkeys(thin_cols) if c in schema_names]
     has_extra = any(c not in (id_col, text_col) for c in schema_names)
     if mode in ("span", "line", "substring") and has_extra:
         # span/line output is exactly (id, text, n_spans_removed) —
@@ -389,17 +393,25 @@ def run_dedup_job(
             batch_format="pyarrow")
 
     # ------------------------------------------------------------------
-    # Resumable two-phase path: exact/minhash over non-null ids (the
-    # normal corpus shape).  Null ids cannot key a deterministic
-    # row→partition map, so those fall back to the single-shot paths.
+    # Resumable two-phase path: exact/minhash/embedding/semdedup over
+    # non-null ids (the normal corpus shape).  Null ids cannot key a
+    # deterministic row→partition map, so those fall back to the
+    # single-shot paths.
     # ------------------------------------------------------------------
-    resumable = mode in ("exact", "minhash") and _null_id_count() == 0
+    resumable = (mode in ("exact", "minhash", "embedding", "semdedup")
+                 and _null_id_count() == 0
+                 # empty vector corpora take the single-shot branch:
+                 # there is nothing to checkpoint and no centroids to
+                 # train (exact/minhash handle empty in-phase, tested)
+                 and not (mode in ("embedding", "semdedup") and n_in == 0))
     if resume and not resumable:
         raise ValueError(
-            f"--resume needs mode exact/minhash with non-null {id_col!r} "
-            "ids (the partitioned checkpoint layout keys on the id)")
+            f"--resume needs mode exact/minhash/embedding/semdedup with "
+            f"non-null {id_col!r} ids (the partitioned checkpoint layout "
+            "keys on the id)")
 
     out = None  # set by the non-resumable branches
+    sem_state: dict = {}  # semdedup: {"params", "centroids"} for the manifest
     if resumable:
         n_out = _run_resumable_phase(
             input_path, out_dir, mode=mode, threshold=threshold,
@@ -411,6 +423,10 @@ def run_dedup_job(
             pairs_from_candidates=pairs_from_candidates,
             pair_loser_ids=pair_loser_ids,
             payload=payload,
+            vec_col=vec_col, keep=keep, n_clusters=n_clusters,
+            check_sem_params=_check_sem_params,
+            read_sem_centroids=_read_sem_centroids,
+            sem_state=sem_state,
         )
     elif mode == "exact":
         if against:
@@ -530,6 +546,7 @@ def run_dedup_job(
             sem_params = {"threshold": threshold, "keep": keep,
                           "n_clusters": (int(len(centroids))
                                          if centroids is not None else None)}
+        sem_state = {"params": sem_params, "centroids": centroids}
         out = (semdedup_filter(ds, threshold, centroids=centroids,
                                vec_col=vec_col, id_col=eid, keep=keep,
                                prior=prior)
@@ -618,10 +635,11 @@ def run_dedup_job(
             man.write_parquet(man_dir)
         if not has_parquet_files(man_dir):
             _pq.write_table(_EMPTIES[mode], os.path.join(man_dir, "empty.parquet"))
-        if mode == "semdedup" and centroids is not None:
+        if mode == "semdedup" and sem_state.get("centroids") is not None:
             # the centroid table + pinned params the NEXT --against run
             # reuses (chains only ever need the latest output)
-            _write_sem_manifest_extras(sem_params, centroids)
+            _write_sem_manifest_extras(sem_state["params"],
+                                       sem_state["centroids"])
 
     if mode in ("span", "line", "substring"):
         # thin incremental manifest: distinct span digests of this run's
@@ -695,9 +713,20 @@ def _run_resumable_phase(
     pairs_from_candidates,
     pair_loser_ids,
     payload: str = "sig",
+    vec_col: str = "embedding",
+    keep: str = "closest",
+    n_clusters: "int | None" = None,
+    check_sem_params=None,
+    read_sem_centroids=None,
+    sem_state: "dict | None" = None,
 ) -> int:
-    """Two-phase resumable exact/minhash dedup (module docstring).
-    Returns the total survivor row count across ALL partitions."""
+    """Two-phase resumable exact/minhash/embedding/semdedup dedup
+    (module docstring).  Returns the total survivor row count across
+    ALL partitions.  For semdedup, ``sem_state`` is filled with the
+    {params, centroids} the caller's manifest write needs — computed
+    even when the loser checkpoint short-circuits discovery (ivf_train
+    is a deterministic capped-sample fit, so a resume recomputes the
+    identical centroids)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -721,7 +750,12 @@ def _run_resumable_phase(
 
     params = {"mode": mode, "id_col": id_col, "text_col": text_col,
               "against": against or "", "partitions": P,
-              "threshold": threshold if mode == "minhash" else None}
+              "threshold": (threshold if mode in ("minhash", "embedding",
+                                                  "semdedup") else None)}
+    if mode in ("embedding", "semdedup"):
+        params["vec_col"] = vec_col
+    if mode == "semdedup":
+        params["keep"] = keep
 
     done_manifests = _read_part_manifests(out_dir) if resume else {}
     for m in done_manifests.values():
@@ -744,7 +778,36 @@ def _run_resumable_phase(
                 f"{prev} but this run has {params}")
         losers_ready = True
 
-    pair_id = "__nid" if (mode == "minhash" and nid_needed) else id_col
+    pair_id = ("__nid" if (mode in ("minhash", "embedding", "semdedup")
+                           and nid_needed) else id_col)
+
+    # semdedup centroid state: trained/loaded OUTSIDE the losers_ready
+    # guard — a resumed run's manifest rewrite still needs them, and
+    # ivf_train is deterministic so recomputation is exact
+    sem_prior_rows = None
+    if mode == "semdedup":
+        from dataguards_ray.similarity import ivf_train
+
+        if against:
+            sem_params = check_sem_params(against, threshold=threshold,
+                                          keep=keep, n_clusters=n_clusters)
+            centroids = read_sem_centroids(against)
+            pm = read_manifest(against, "semdedup")
+            sem_prior_rows = rename(rename(pm, "doc_id", pair_id),
+                                    "embedding", vec_col)
+        else:
+            import numpy as _np
+
+            t = ray.data.read_parquet(input_path, columns=needed)
+            if nid_needed:
+                t = t.map_batches(add_nid, batch_format="pyarrow")
+            k = n_clusters or max(1, int(_np.ceil(_np.sqrt(t.count()))))
+            centroids = ivf_train(t.select_columns([pair_id, vec_col]), k,
+                                  vec_col=vec_col, id_col=pair_id)
+            sem_params = {"threshold": threshold, "keep": keep,
+                          "n_clusters": int(len(centroids))}
+        if sem_state is not None:
+            sem_state.update(params=sem_params, centroids=centroids)
     if not losers_ready:
         shutil.rmtree(losers_dir, ignore_errors=True)
         thin = ray.data.read_parquet(input_path, columns=needed)
@@ -776,6 +839,43 @@ def _run_resumable_phase(
             losers_ds = parts[0]
             for p in parts[1:]:
                 losers_ds = losers_ds.union(p)
+        elif mode == "embedding":
+            # same discovery ladder as embedding_dedup_filter (exact
+            # all-pairs under the cap, LSH buckets above), same prior
+            # semantics, but the loser set is CHECKPOINTED like minhash
+            from dataguards_ray.similarity import (lsh_ann_candidates,
+                                                   near_dup_cosine)
+
+            if nid_needed:
+                thin = thin.map_batches(add_nid, batch_format="pyarrow")
+            disc = thin.select_columns([pair_id, vec_col])
+            prior_ids = None
+            if against:
+                pm = read_manifest(against, "embedding")
+                prow = rename(rename(pm, "doc_id", pair_id),
+                              "embedding", vec_col)
+                disc = disc.union(prow.select_columns([pair_id, vec_col]))
+                prior_ids = prow.select_columns([pair_id])
+            if disc.count() <= 65_536:
+                pairs = near_dup_cosine(disc, threshold, vec_col=vec_col,
+                                        id_col=pair_id)
+            else:
+                pairs = lsh_ann_candidates(disc, threshold, vec_col=vec_col,
+                                           id_col=pair_id)
+            loser_list = pair_loser_ids(pairs, id_col=pair_id,
+                                        prior_ids=prior_ids)
+            losers_ds = ray.data.from_arrow(
+                pa.table({"loser": pa.array(loser_list, type=pa.int64())}))
+        elif mode == "semdedup":
+            from dataguards_ray.similarity import semdedup_losers
+
+            if nid_needed:
+                thin = thin.map_batches(add_nid, batch_format="pyarrow")
+            sl = semdedup_losers(
+                thin.select_columns([pair_id, vec_col]), threshold,
+                centroids, vec_col=vec_col, id_col=pair_id, keep=keep,
+                prior=sem_prior_rows)
+            losers_ds = rename(sl, pair_id, "loser")
         else:  # minhash
             if nid_needed:
                 thin = thin.map_batches(add_nid, batch_format="pyarrow")
@@ -842,7 +942,7 @@ def _run_resumable_phase(
                 pc.is_in(b.column("__part"), value_set=done_arr)))
 
         full = full.map_batches(skip_done, batch_format="pyarrow")
-    if mode == "minhash" and nid_needed:
+    if mode in ("minhash", "embedding", "semdedup") and nid_needed:
         full = full.map_batches(add_nid, batch_format="pyarrow")
     if losers is not None:
         surv = anti_join(full, losers, pair_id, right_key="loser")
@@ -926,12 +1026,13 @@ def main() -> int:
                          "prior dedup-job output (reads only its thin "
                          "_dedup_manifest, never its text)")
     ap.add_argument("--resume", action="store_true",
-                    help="continue a killed exact/minhash run: skip the "
-                         "loser-discovery checkpoint and finished "
-                         "partitions (same arguments required)")
+                    help="continue a killed exact/minhash/embedding/"
+                         "semdedup run: skip the loser-discovery "
+                         "checkpoint and finished partitions (same "
+                         "arguments required)")
     ap.add_argument("--partitions", type=int, default=32,
-                    help="exact/minhash: deterministic output partition "
-                         "count (resume granularity)")
+                    help="exact/minhash/embedding/semdedup: deterministic "
+                         "output partition count (resume granularity)")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()

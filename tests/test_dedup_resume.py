@@ -96,6 +96,69 @@ def test_dedup_job_kill_and_resume(tmp_path, ray_session, mode, string_ids,
     assert os.path.isdir(os.path.join(out_k, "_dedup_manifest", mode))
 
 
+@pytest.mark.parametrize("mode", ["embedding", "semdedup"])
+def test_vector_dedup_job_kill_and_resume(tmp_path, ray_session, mode):
+    """Round 5: the two-phase checkpoint layout covers the vector modes
+    too — kill half the partitions (+ the cross-run manifest), resume,
+    and every partition file is byte-equal to the single-shot run."""
+    from jobs.dedup_job import run_dedup_job
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(48, 8))
+    vecs = []
+    for i in range(60):
+        v = (base[i % 48] + 0.0004 * rng.normal(size=8)
+             if i >= 48 else base[i])
+        vecs.append([float(x) for x in v])
+    t = pa.table({
+        "doc_id": pa.array([f"v-{i:04d}" for i in range(60)]),  # __nid path
+        "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+        "payload": pa.array([f"p{i}" for i in range(60)]),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+
+    kw = dict(mode=mode, threshold=0.98, partitions=8)
+    if mode == "semdedup":
+        kw["n_clusters"] = 4
+
+    out_s = str(tmp_path / "single")
+    res_s = run_dedup_job(str(src), out_s, **kw)
+    assert res_s["kept_rows"] < res_s["input_rows"]  # dups really dropped
+    assert "phase_walls" in res_s  # took the resumable path
+
+    out_k = str(tmp_path / "killed")
+    run_dedup_job(str(src), out_k, **kw)
+    assert _kill_partitions(out_k) >= 2
+    res_r = run_dedup_job(str(src), out_k, resume=True, **kw)
+    assert res_r["kept_rows"] == res_s["kept_rows"]
+    for f in sorted(os.listdir(out_s)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            with open(os.path.join(out_s, f), "rb") as a, \
+                    open(os.path.join(out_k, f), "rb") as b:
+                assert a.read() == b.read(), f
+
+    # the cross-run manifest was rebuilt on resume: chaining works
+    assert os.path.isdir(os.path.join(out_k, "_dedup_manifest", mode))
+    if mode == "semdedup":
+        assert os.path.isfile(os.path.join(
+            out_k, "_dedup_manifest", "semdedup_centroids",
+            "centroids.parquet"))
+    src2 = tmp_path / "in2"  # fresh ids, near-dup vectors of the bases
+    src2.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"w-{i:04d}" for i in range(48)]),
+        "embedding": pa.array(
+            [[float(x) for x in base[i] + 0.0004 * rng.normal(size=8)]
+             for i in range(48)], type=pa.list_(pa.float64())),
+        "payload": pa.array([f"q{i}" for i in range(48)]),
+    }), str(src2 / "p.parquet"))
+    out_chain = str(tmp_path / "chain")
+    res_c = run_dedup_job(str(src2), out_chain, against=out_k, **kw)
+    assert res_c["kept_rows"] == 0  # every doc duplicates the prior run
+
+
 def test_dedup_resume_rejects_mismatched_args(tmp_path, ray_session):
     from jobs.dedup_job import run_dedup_job
 
