@@ -756,6 +756,10 @@ def _run_resumable_phase(
         params["vec_col"] = vec_col
     if mode == "semdedup":
         params["keep"] = keep
+        # the loser set AND the centroid checkpoint depend on the
+        # cluster count; a resume with a different --n-clusters must
+        # fail loudly, not reuse stale state (None = the sqrt default)
+        params["n_clusters"] = n_clusters
 
     done_manifests = _read_part_manifests(out_dir) if resume else {}
     for m in done_manifests.values():
@@ -797,13 +801,38 @@ def _run_resumable_phase(
                                     "embedding", vec_col)
         else:
             import numpy as _np
+            import pyarrow.parquet as _pq
 
-            t = ray.data.read_parquet(input_path, columns=needed)
-            if nid_needed:
-                t = t.map_batches(add_nid, batch_format="pyarrow")
-            k = n_clusters or max(1, int(_np.ceil(_np.sqrt(t.count()))))
-            centroids = ivf_train(t.select_columns([pair_id, vec_col]), k,
-                                  vec_col=vec_col, id_col=pair_id)
+            # the trained centroids are CHECKPOINTED beside the loser
+            # state: retraining is deterministic but costs a capped
+            # driver sample pull per resume (~57 s measured at 500k
+            # vectors) that the checkpoint makes free.  Only trusted
+            # when the marker's params validated above (same run args
+            # → same deterministic fit).
+            cent_ckpt = os.path.join(state_dir, "sem_centroids.parquet")
+            if resume and os.path.exists(marker) and os.path.exists(
+                    cent_ckpt):
+                ct = _pq.read_table(cent_ckpt)
+                ct = ct.take(pc.sort_indices(
+                    ct, sort_keys=[("cid", "ascending")]))
+                centroids = _np.array(ct.column("centroid").to_pylist(),
+                                      dtype=_np.float64)
+            else:
+                t = ray.data.read_parquet(input_path, columns=needed)
+                if nid_needed:
+                    t = t.map_batches(add_nid, batch_format="pyarrow")
+                k = n_clusters or max(1, int(_np.ceil(_np.sqrt(t.count()))))
+                centroids = ivf_train(
+                    t.select_columns([pair_id, vec_col]), k,
+                    vec_col=vec_col, id_col=pair_id)
+                _atomic_write_table(
+                    pa.table({
+                        "cid": pa.array(range(len(centroids)),
+                                        type=pa.int64()),
+                        "centroid": pa.array(
+                            [list(map(float, c)) for c in centroids],
+                            type=pa.list_(pa.float64()))}),
+                    cent_ckpt)
             sem_params = {"threshold": threshold, "keep": keep,
                           "n_clusters": int(len(centroids))}
         if sem_state is not None:

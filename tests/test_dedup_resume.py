@@ -145,6 +145,14 @@ def test_vector_dedup_job_kill_and_resume(tmp_path, ray_session, mode):
         assert os.path.isfile(os.path.join(
             out_k, "_dedup_manifest", "semdedup_centroids",
             "centroids.parquet"))
+        # centroids are checkpointed beside the loser state (resume
+        # skips the retrain), and a resume with a different cluster
+        # count fails loudly instead of reusing stale losers
+        assert os.path.isfile(os.path.join(
+            out_k, "_dedup_state", "sem_centroids.parquet"))
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_dedup_job(str(src), out_k, resume=True, mode="semdedup",
+                          threshold=0.98, partitions=8, n_clusters=5)
     src2 = tmp_path / "in2"  # fresh ids, near-dup vectors of the bases
     src2.mkdir()
     pq.write_table(pa.table({
