@@ -1485,6 +1485,22 @@ def _q_simhash_near_dups(sf_dir: str):
     return t.select(["id_a", "id_b"])
 
 
+def _q_simhash_dedup_docs(sf_dir: str):
+    """SimHash dedup end-to-end (round 5, `dg dedup --mode simhash`'s
+    kernel): 4-block bucket discovery at Hamming ≤ 3 → connected
+    components → min-id winner; returns surviving doc ids of the
+    near-dup-bait corpus.  Rows-only (components aren't
+    SQL-expressible; the pair stage is driver-checked as
+    simhash_near_dups)."""
+    from dataguards_ray.neardup import (drop_pair_losers,
+                                        simhash_pair_candidates)
+
+    ds = _mutated_documents(sf_dir)
+    pairs = simhash_pair_candidates(ds, max_hamming=3)
+    return (drop_pair_losers(ds, pairs)
+            .select_columns(["doc_id"]).sort("doc_id"))
+
+
 def _q_lsh_ann_pairs(sf_dir: str):
     from dataguards_ray.similarity import lsh_bucket_pairs
 
@@ -4280,7 +4296,7 @@ _R05_WINDOW = [
     "flagship_pipeline",
     "tpch_q8_shape", "tpch_q21_shape", "knn_embeddings",
     # oldest driver coverage (green r02, unseen since)
-    "tpch_q1", "filter_project", "join_customer_orders",
+    "tpch_q1", "join_customer_orders",
     "join_region_nation_customer", "semi_join_customers_with_orders",
     "anti_join_customers_without_orders", "hash_join_supplier_nation",
     "topk_orders",
@@ -4296,6 +4312,9 @@ _R05_WINDOW = [
     # kernel's existing query: take the slots of union_all_names /
     # distinct_flag_status (both twice-green, trivial shapes)
     "semdedup_incremental", "semdedup_embeddings",
+    # round-5-session addition (simhash dedup mode): takes
+    # filter_project's slot (twice-green, trivial shape)
+    "simhash_dedup_docs",
     # round-5-session fixes touched dsir (empty-corpus int cast) and
     # urltools (root-dot strip): both take window slots from the
     # mad/p90 quantile siblings (median keeps the family's driver row)
@@ -4400,6 +4419,8 @@ def _queries_registry() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_docs": _q_compression_ratio_docs,
         "event_key_skew": _q_event_key_skew,
         "simhash_near_dups": _q_simhash_near_dups,
+        # --- round-5 addition: simhash dedup end-to-end ---
+        "simhash_dedup_docs": _q_simhash_dedup_docs,
         "lsh_ann_pairs": _q_lsh_ann_pairs,
         "ivf_knn_embeddings": _q_ivf_knn,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,

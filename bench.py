@@ -189,7 +189,7 @@ def run_bench() -> dict:
                      "dsir_resample_docs", "tpch_q7_shape",
                      "tpch_q8_shape", "tpch_q21_shape",
                      "line_dedup_docs", "semdedup_embeddings",
-                     "semdedup_incremental",
+                     "semdedup_incremental", "simhash_dedup_docs",
                      "multimodal_video_frames"):
             t0 = time.time()
             res = qs[name](SF_DIR)

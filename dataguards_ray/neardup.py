@@ -1056,11 +1056,18 @@ def simhash_pair_candidates(
     max_clique: int = MAX_CLIQUE,
     max_expand: int = MAX_EXPAND,
     max_bucket: int = MAX_BUCKET,
+    prior_hashes: "Dataset | None" = None,
 ) -> Dataset:
     """Distributed SimHash near-dup pairs (Hamming ≤ max_hamming):
     4-block bucketing (a pair within distance 3 agrees on ≥1 of 4
     16-bit blocks) → groupby block value → degenerate-safe exact verify
-    → distributed cross-bucket dedup."""
+    → distributed cross-bucket dedup.
+
+    ``prior_hashes`` (incremental dedup): a thin (``id_col``,
+    ``h`` uint64) Dataset of a PRIOR corpus' already-computed simhashes
+    (a dedup job's manifest) — those rows re-enter the block buckets
+    WITHOUT any text re-read (block values derive from the stored
+    hash), so cross-run pairs surface alongside internal ones."""
     with_h = add_simhash(ds, text_col=text_col, out="__sh", emit_ntok=True)
     explode = _simhash_explode(id_col)
     caps = {"max_clique": max_clique, "max_expand": max_expand, "max_bucket": max_bucket}
@@ -1068,10 +1075,43 @@ def simhash_pair_candidates(
     def pairs(group: pa.Table) -> pa.Table:
         return _simhash_bucket_pairs(group, id_col, max_hamming, caps)
 
-    raw = with_h.map_batches(explode, batch_format="pyarrow").groupby(
-        ["blk", "val"]
-    ).map_groups(pairs, batch_format="pyarrow")
+    bucket_rows = with_h.map_batches(explode, batch_format="pyarrow")
+    if prior_hashes is not None:
+        bucket_rows = bucket_rows.union(prior_hashes.map_batches(
+            _simhash_explode_from_hash(id_col), batch_format="pyarrow"))
+    raw = bucket_rows.groupby(["blk", "val"]).map_groups(
+        pairs, batch_format="pyarrow")
     return raw.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def _simhash_explode_from_hash(id_col: str):
+    """(blk, val, id, h) block rows from STORED simhashes (a prior
+    run's manifest) — the vectorized no-text twin of _simhash_explode.
+    Manifest rows are survivors with evidence (ntok == 0 docs never
+    enter the manifest), so no empty-doc guard is needed."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        h = np.asarray(batch.column("h").to_numpy(zero_copy_only=False),
+                       dtype=np.uint64)
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        blk = np.repeat(np.arange(4, dtype=np.int32), n)
+        val = np.concatenate(
+            [((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
+             for b in range(4)]) if n else np.array([], dtype=np.int32)
+        oid = pa.concat_arrays([ids.combine_chunks()
+                                if isinstance(ids, pa.ChunkedArray)
+                                else ids] * 4) if n else pa.array(
+                                    [], type=pa.int64())
+        return pa.table(
+            {"blk": pa.array(blk, type=pa.int32()),
+             "val": pa.array(val, type=pa.int32()),
+             id_col: oid,
+             "h": pa.array(np.tile(h, 4), type=pa.uint64())})
+
+    return explode
 
 
 def _simhash_explode(id_col: str):

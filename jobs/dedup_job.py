@@ -35,7 +35,7 @@ row-equal to the single-shot run (tests/test_operators.py::
 test_dedup_job_kill_and_resume).  Both phases are deterministic
 functions of the input corpus, so a crash at ANY point converges.
 
---against PRIOR_OUT (exact/minhash/embedding/semdedup): incremental cross-run
+--against PRIOR_OUT (exact/minhash/simhash/embedding/semdedup): incremental cross-run
 dedup — new docs duplicating the prior run's survivors are dropped too,
 reading only the prior run's thin ``_dedup_manifest`` (exact: fp per
 survivor; minhash: (band, band_hash, doc_id, sig) candidate rows;
@@ -60,6 +60,12 @@ single-shot run over both corpora (monotone ids across runs).
 exact   : hash-partition exact dedup (min-id winner per text fingerprint)
 minhash : MinHash+LSH near-dedup (distributed pair discovery + connected
           components; see dataguards_ray/neardup.py)
+simhash : SimHash near-dedup at --max-hamming (default 3) 64-bit bits —
+          4-block bucket discovery (exact for distance <= 3), same
+          connected-component min-id winner as minhash; --against
+          rebuilds prior docs' buckets from the manifest's stored
+          hashes (one uint64 per survivor — the thinnest cross-run
+          manifest of any mode; prior text never re-read)
 span    : C4-style duplicated-three-sentence-span removal — keeps every
           doc but deletes repeated spans from all but the first
           occurrence (dataguards_ray/spandedup.py); output columns are
@@ -154,8 +160,11 @@ def _lineage_path(out_dir: str, pid: int) -> str:
 
 
 def _read_part_manifests(out_dir: str) -> dict[int, dict]:
-    """pid → manifest for every partition whose output file exists
-    (a manifest without its file is not done — matches io.py)."""
+    """pid → manifest for every FINISHED partition: its output file
+    exists, or it is a deliberate zero-row manifest (``output_file``
+    None — written for partitions whose rows were ALL dedup losers, so
+    a resume of a completed run skips them instead of re-shuffling
+    their rows every time; same convention as io.py)."""
     lin = os.path.join(out_dir, "_lineage")
     out: dict[int, dict] = {}
     if not os.path.isdir(lin):
@@ -165,7 +174,7 @@ def _read_part_manifests(out_dir: str) -> dict[int, dict]:
             continue
         with open(os.path.join(lin, name)) as f:
             m = json.load(f)
-        if m.get("output_file") and os.path.exists(
+        if m.get("output_file") is None or os.path.exists(
                 os.path.join(out_dir, m["output_file"])):
             out[int(m["part_id"])] = m
     return out
@@ -184,6 +193,7 @@ def run_dedup_job(
     vec_col: str = "embedding",
     n_clusters: int | None = None,
     keep: str = "closest",
+    max_hamming: int = 3,
     streaming_discovery: "bool | None" = None,
     resume: bool = False,
     partitions: int = 32,
@@ -264,7 +274,7 @@ def run_dedup_job(
 
     drop_cols: list[str] = []
     add_nid = _make_add_nid(id_col)
-    nid_needed = mode in ("minhash", "embedding",
+    nid_needed = mode in ("minhash", "simhash", "embedding",
                           "semdedup") and not pa.types.is_integer(
         pa.schema(ds.schema().base_schema).field(id_col).type
     )
@@ -398,7 +408,8 @@ def run_dedup_job(
     # deterministic row→partition map, so those fall back to the
     # single-shot paths.
     # ------------------------------------------------------------------
-    resumable = (mode in ("exact", "minhash", "embedding", "semdedup")
+    resumable = (mode in ("exact", "minhash", "simhash", "embedding",
+                          "semdedup")
                  and _null_id_count() == 0
                  # empty vector corpora take the single-shot branch:
                  # there is nothing to checkpoint and no centroids to
@@ -406,9 +417,9 @@ def run_dedup_job(
                  and not (mode in ("embedding", "semdedup") and n_in == 0))
     if resume and not resumable:
         raise ValueError(
-            f"--resume needs mode exact/minhash/embedding/semdedup with "
-            f"non-null {id_col!r} ids (the partitioned checkpoint layout "
-            "keys on the id)")
+            f"--resume needs mode exact/minhash/simhash/embedding/semdedup "
+            f"with non-null {id_col!r} ids (the partitioned checkpoint "
+            "layout keys on the id)")
 
     out = None  # set by the non-resumable branches
     sem_state: dict = {}  # semdedup: {"params", "centroids"} for the manifest
@@ -424,6 +435,7 @@ def run_dedup_job(
             pair_loser_ids=pair_loser_ids,
             payload=payload,
             vec_col=vec_col, keep=keep, n_clusters=n_clusters,
+            max_hamming=max_hamming,
             check_sem_params=_check_sem_params,
             read_sem_centroids=_read_sem_centroids,
             sem_state=sem_state,
@@ -474,6 +486,24 @@ def run_dedup_job(
         else:
             out = near_dedup_filter(ds, text_col=text_col, id_col=id_col,
                                     threshold=threshold, payload=payload)
+    elif mode == "simhash":
+        # null-id fallback (resumable path handles the normal case)
+        from dataguards_ray.neardup import simhash_pair_candidates
+
+        if nid_needed:
+            ds = nid_ds(ds)
+            id_col = "__nid"
+            drop_cols = ["__nid"]
+        prior_ids = prior_h = None
+        if against:
+            pm = _read_manifest(against, "simhash")
+            prior_h = _rename(pm, "doc_id", id_col)
+            prior_ids = prior_h.select_columns([id_col])
+        pairs = simhash_pair_candidates(
+            ds, text_col=text_col, id_col=id_col,
+            max_hamming=max_hamming, prior_hashes=prior_h)
+        out = drop_pair_losers(ds, pairs, id_col=id_col,
+                               prior_ids=prior_ids)
     elif mode in ("span", "line", "substring"):
         from dataguards_ray.spandedup import (line_dedup, span_dedup,
                                               substring_dedup)
@@ -568,7 +598,7 @@ def run_dedup_job(
     if out is not None:
         n_out = written.count() if written is not None else 0
 
-    if mode in ("exact", "minhash", "embedding", "semdedup"):
+    if mode in ("exact", "minhash", "simhash", "embedding", "semdedup"):
         # thin dedup manifest beside the survivors: lets the NEXT crawl
         # dedup against this run without re-reading any text (VERDICT
         # r02 missing #4).  Chained runs need only ONE --against: the
@@ -606,6 +636,27 @@ def run_dedup_job(
                 vec_col, "embedding").select_columns(["doc_id", "embedding"])
             if against:
                 man = man.union(_read_manifest(against, mode))
+        elif mode == "simhash":
+            # thin (doc_id, h) survivor hashes — the next --against run
+            # rebuilds block buckets from these, never from prior text.
+            # Evidence-free docs (0 tokens → simhash 0) never enter the
+            # manifest: they are not near-dups of each other.
+            from dataguards_ray.neardup import add_simhash
+
+            w = written.select_columns(
+                [c for c in dict.fromkeys([orig_id_col, text_col])])
+            mid = orig_id_col
+            if nid_needed:
+                w = w.map_batches(add_nid, batch_format="pyarrow")
+                mid = "__nid"
+            w = add_simhash(w, text_col=text_col, out="h", emit_ntok=True)
+            w = w.map_batches(
+                lambda b: b.filter(pc.greater(b.column("__ntok"), 0)),
+                batch_format="pyarrow")
+            man = _rename(w.select_columns([mid, "h"]), mid,
+                          "doc_id").select_columns(["doc_id", "h"])
+            if against:
+                man = man.union(_read_manifest(against, "simhash"))
         else:
             w = written.select_columns(
                 [c for c in dict.fromkeys([orig_id_col, text_col])])
@@ -626,6 +677,9 @@ def run_dedup_job(
                 "band_hash": pa.array([], type=pa.uint64()),
                 "doc_id": pa.array([], type=pa.int64()),
                 "sig": pa.array([], type=pa.binary())}),
+            "simhash": pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.uint64())}),
             "embedding": pa.table({
                 "doc_id": pa.array([], type=pa.int64()),
                 "embedding": pa.array([], type=pa.list_(pa.float64()))}),
@@ -716,6 +770,7 @@ def _run_resumable_phase(
     vec_col: str = "embedding",
     keep: str = "closest",
     n_clusters: "int | None" = None,
+    max_hamming: int = 3,
     check_sem_params=None,
     read_sem_centroids=None,
     sem_state: "dict | None" = None,
@@ -754,6 +809,8 @@ def _run_resumable_phase(
                                                   "semdedup") else None)}
     if mode in ("embedding", "semdedup"):
         params["vec_col"] = vec_col
+    if mode == "simhash":
+        params["max_hamming"] = max_hamming
     if mode == "semdedup":
         params["keep"] = keep
         # the loser set AND the centroid checkpoint depend on the
@@ -782,7 +839,8 @@ def _run_resumable_phase(
                 f"{prev} but this run has {params}")
         losers_ready = True
 
-    pair_id = ("__nid" if (mode in ("minhash", "embedding", "semdedup")
+    pair_id = ("__nid" if (mode in ("minhash", "simhash", "embedding",
+                                    "semdedup")
                            and nid_needed) else id_col)
 
     # semdedup centroid state: trained/loaded OUTSIDE the losers_ready
@@ -868,6 +926,26 @@ def _run_resumable_phase(
             losers_ds = parts[0]
             for p in parts[1:]:
                 losers_ds = losers_ds.union(p)
+        elif mode == "simhash":
+            # SimHash near-dup discovery; with --against, prior docs'
+            # block buckets derive from the manifest's STORED hashes —
+            # prior text is never re-read
+            from dataguards_ray.neardup import simhash_pair_candidates
+
+            if nid_needed:
+                thin = thin.map_batches(add_nid, batch_format="pyarrow")
+            prior_ids = prior_h = None
+            if against:
+                pm = read_manifest(against, "simhash")
+                prior_h = rename(pm, "doc_id", pair_id)
+                prior_ids = prior_h.select_columns([pair_id])
+            pairs = simhash_pair_candidates(
+                thin, text_col=text_col, id_col=pair_id,
+                max_hamming=max_hamming, prior_hashes=prior_h)
+            loser_list = pair_loser_ids(pairs, id_col=pair_id,
+                                        prior_ids=prior_ids)
+            losers_ds = ray.data.from_arrow(
+                pa.table({"loser": pa.array(loser_list, type=pa.int64())}))
         elif mode == "embedding":
             # same discovery ladder as embedding_dedup_filter (exact
             # all-pairs under the cap, LSH buckets above), same prior
@@ -971,7 +1049,7 @@ def _run_resumable_phase(
                 pc.is_in(b.column("__part"), value_set=done_arr)))
 
         full = full.map_batches(skip_done, batch_format="pyarrow")
-    if mode in ("minhash", "embedding", "semdedup") and nid_needed:
+    if mode in ("minhash", "simhash", "embedding", "semdedup") and nid_needed:
         full = full.map_batches(add_nid, batch_format="pyarrow")
     if losers is not None:
         surv = anti_join(full, losers, pair_id, right_key="loser")
@@ -1007,6 +1085,19 @@ def _run_resumable_phase(
         if surv.count() != 0:
             raise
 
+    # a partition whose rows were ALL dedup losers forms no group and
+    # writes no manifest; the write completed, so mark the absent pids
+    # with zero-row manifests (output_file None) — a resumed COMPLETED
+    # run then skips them instead of re-shuffling their rows (the
+    # ADVICE-r04 io.py fix applied to the dedup layout too)
+    present = _read_part_manifests(out_dir)
+    for pid in range(P):
+        if pid not in present:
+            _atomic_write_json(
+                {"part_id": pid, "stage": "final", "kept_rows": 0,
+                 "output_file": None, "mode": mode, "partitions": P},
+                _lineage_path(out_dir, pid))
+
     phase_walls["survivor_write"] = round(time.time() - _t0, 2)
     _run_resumable_phase.last_phase_walls = phase_walls
     return sum(m["kept_rows"] for m in _read_part_manifests(out_dir).values())
@@ -1017,9 +1108,13 @@ def main() -> int:
     ap.add_argument("input")
     ap.add_argument("out_dir")
     ap.add_argument("--mode",
-                    choices=("exact", "minhash", "span", "line", "substring",
-                             "embedding", "semdedup"),
+                    choices=("exact", "minhash", "simhash", "span", "line",
+                             "substring", "embedding", "semdedup"),
                     default="exact")
+    ap.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash mode: maximum 64-bit Hamming distance "
+                         "for a near-dup pair (the 4-block bucketing is "
+                         "exact for distances <= 3)")
     ap.add_argument("--vec-col", default="embedding",
                     help="embedding/semdedup modes: the list<float> vector "
                          "column")
@@ -1084,6 +1179,7 @@ def main() -> int:
                         id_col=args.id_col, against=args.against,
                         window=args.window, vec_col=args.vec_col,
                         n_clusters=args.n_clusters, keep=args.keep,
+                        max_hamming=args.max_hamming,
                         resume=args.resume, partitions=args.partitions,
                         payload=args.payload,
                         # flag → force streaming; absent → auto (None)

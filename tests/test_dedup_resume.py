@@ -30,6 +30,30 @@ def _corpus(n=120, dup_every=3, string_ids=False):
     return pa.Table.from_pylist(rows)
 
 
+def _sim_corpus(n=120, dup_every=3):
+    """SimHash-meaningful corpus: _corpus's texts differ only by one
+    number token, so they collapse into a single Hamming-3 component —
+    here each base doc is a distinct random-word topic (pairwise far
+    apart) and dups are exact text copies (hamming 0)."""
+    import random
+
+    rnd = random.Random(9)
+    vocab = [f"word{j:04d}" for j in range(4000)]
+    bases = {}
+
+    def base(k):
+        if k not in bases:
+            bases[k] = " ".join(rnd.choices(vocab, k=60))
+        return bases[k]
+
+    rows = []
+    for i in range(n):
+        text = base(i // dup_every) if i % dup_every else base(i)
+        rows.append({"doc_id": f"u-{i:04d}", "text": text,
+                     "payload": f"p{i}"})
+    return pa.Table.from_pylist(rows)
+
+
 def _survivors(out_dir):
     import ray.data
 
@@ -60,12 +84,14 @@ def _kill_partitions(out_dir, fraction=0.5, drop_state=False):
     ("exact", False, False),
     ("exact", False, True),   # checkpoint lost → discovery recomputed
     ("minhash", True, False),  # string ids → vectorized __nid path
+    ("simhash", True, False),
 ])
 def test_dedup_job_kill_and_resume(tmp_path, ray_session, mode, string_ids,
                                    drop_state):
     from jobs.dedup_job import run_dedup_job
 
-    t = _corpus(string_ids=string_ids)
+    t = _sim_corpus() if mode == "simhash" else _corpus(
+        string_ids=string_ids)
     src = tmp_path / "in"
     src.mkdir()
     pq.write_table(t, str(src / "p.parquet"))
@@ -165,6 +191,37 @@ def test_vector_dedup_job_kill_and_resume(tmp_path, ray_session, mode):
     out_chain = str(tmp_path / "chain")
     res_c = run_dedup_job(str(src2), out_chain, against=out_k, **kw)
     assert res_c["kept_rows"] == 0  # every doc duplicates the prior run
+
+
+def test_dedup_fully_dropped_partitions_marked_done(tmp_path, ray_session):
+    """A partition whose rows were ALL dedup losers writes a zero-row
+    manifest (output_file None), so a completed run's resume skips it
+    (the io.py ADVICE-r04 fix applied to the dedup layout)."""
+    from jobs.dedup_job import _read_part_manifests, run_dedup_job
+
+    # one shared text → one survivor; rows scatter over 8 partitions
+    t = pa.table({
+        "doc_id": pa.array([f"u-{i:04d}" for i in range(64)]),
+        "text": pa.array(["identical body of text " * 8] * 64),
+    })
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    out = str(tmp_path / "out")
+    res = run_dedup_job(str(src), out, mode="exact", partitions=8)
+    assert res["kept_rows"] == 1
+
+    done = _read_part_manifests(out)
+    assert sorted(done) == list(range(8))  # ALL partitions marked done
+    empties = [m for m in done.values() if m["output_file"] is None]
+    assert len(empties) == 7 and all(m["kept_rows"] == 0 for m in empties)
+
+    import ray.data
+
+    res2 = run_dedup_job(str(src), out, mode="exact", partitions=8,
+                         resume=True)
+    assert res2["kept_rows"] == 1
+    assert ray.data.read_parquet(out).count() == 1  # still readable
 
 
 def test_dedup_resume_rejects_mismatched_args(tmp_path, ray_session):

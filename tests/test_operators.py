@@ -2473,6 +2473,54 @@ def test_incremental_embedding_dedup_against_prior(tmp_path):
     assert ids_of(out_a) + ids_of(out_b) == ids_of(out_s)
 
 
+def test_dedup_job_simhash_mode_and_incremental(tmp_path):
+    """dg dedup --mode simhash: Hamming-ball near-dup survivors; the
+    cross-run manifest is one uint64 per survivor, and --against
+    rebuilds prior docs' block buckets from those stored hashes (prior
+    text never re-read)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    d1 = "the quick brown fox jumps over the lazy dog " * 8
+    d2 = "completely different content about container shipping " * 8
+    d3 = "a third topic entirely regarding alpine meadow flora " * 8
+    a = [{"doc_id": "a1", "text": d1},
+         {"doc_id": "a2", "text": d1 + "tail"},   # near-dup of a1
+         {"doc_id": "a3", "text": d2}]
+    b = [{"doc_id": "b1", "text": d1 + "end"},    # cross-run dup of a1
+         {"doc_id": "b2", "text": d3}]
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+        return str(d)
+
+    def ids_of(out_dir):
+        return sorted(r["doc_id"]
+                      for r in ray.data.read_parquet(out_dir).take_all())
+
+    out_a, out_b = str(tmp_path / "oa"), str(tmp_path / "ob")
+    res_a = run_dedup_job(write(a, "a"), out_a, mode="simhash",
+                          max_hamming=3, partitions=4)
+    assert res_a["kept_rows"] == 2 and ids_of(out_a) == ["a1", "a3"]
+    # manifest: one (doc_id, h) row per survivor
+    man = pq.read_table(out_a + "/_dedup_manifest/simhash")
+    assert man.num_rows == 2 and set(man.schema.names) == {"doc_id", "h"}
+
+    res_b = run_dedup_job(write(b, "b"), out_b, mode="simhash",
+                          max_hamming=3, partitions=4, against=out_a)
+    assert ids_of(out_b) == ["b2"]
+    assert res_b["dropped_rows"] == 1
+
+    # geometry change on resume fails loudly
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_dedup_job(write(a, "a2dir"), out_a, mode="simhash",
+                      max_hamming=2, partitions=4, resume=True)
+
+
 def test_dedup_job_semdedup_mode(tmp_path):
     """dg dedup --mode semdedup: within-cluster cosine dedup survivors
     with payload intact; string ids ride the __nid derivation."""
