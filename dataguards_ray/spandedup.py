@@ -383,8 +383,30 @@ def span_dedup(
     spans removed as surgery collateral and invent spans born at
     surgery seams).  Probed with a semi-join over the thin occurrence
     stream — no corpus-sized driver state."""
-    from .steps.dedup import get_broadcast
+    losers = span_loser_starts(
+        docs, id_col=id_col, text_col=text_col, n_sent=n_sent,
+        segmenter=segmenter, min_norm_chars=min_norm_chars,
+        max_driver_winners=max_driver_winners,
+        streaming_discovery=streaming_discovery,
+        occ_bytes_factor=occ_bytes_factor,
+        prior_hashes=prior_hashes).materialize()
+    return apply_span_surgery(
+        docs, losers, id_col=id_col, text_col=text_col, n_sent=n_sent,
+        segmenter=segmenter, max_broadcast_losers=max_broadcast_losers)
 
+
+def span_loser_starts(
+    docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text",
+    n_sent: int = 3, segmenter=sentence_segments, min_norm_chars: int = 1,
+    max_driver_winners: int = 2_000_000,
+    streaming_discovery: "bool | None" = None,
+    occ_bytes_factor: float = 2.0,
+    prior_hashes: "Dataset | None" = None,
+) -> Dataset:
+    """Discovery half of ``span_dedup``: the (id_col, start) rows of
+    every LOSING span occurrence — a deterministic pure function of the
+    input corpus (the dedup job checkpoints it for resume).  See
+    ``span_dedup`` for parameter semantics."""
     if streaming_discovery is None:
         est = _input_file_bytes(docs)
         streaming_discovery = bool(
@@ -414,7 +436,22 @@ def span_dedup(
         # distinct: a span both prior-losing and internally-losing must
         # count once in n_spans_removed
         losers_ds = distinct(losers_ds.union(prior_l), [id_col, "start"])
-    losers = losers_ds.materialize()
+    return losers_ds
+
+
+def apply_span_surgery(
+    docs: Dataset, losers: Dataset, *, id_col: str = "doc_id",
+    text_col: str = "text", n_sent: int = 3, segmenter=sentence_segments,
+    max_broadcast_losers: int = 2_000_000,
+) -> Dataset:
+    """Surgery half of ``span_dedup``: given the (id_col, start) loser
+    rows (``span_loser_starts`` output — materialized or
+    parquet-backed, it is consumed twice), rewrite each doc with its
+    losing spans removed.  Row-local per doc given the loser map: docs
+    absent from ``docs`` simply keep their loser rows unmatched, which
+    is what lets a resumed job run surgery on the unfinished
+    partitions only."""
+    from .steps.dedup import get_broadcast
 
     def _surgery(text, starts):
         segs = segmenter(text)

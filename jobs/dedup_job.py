@@ -9,9 +9,8 @@ queries() entry).
 
 RESUMABLE LAYOUT (round 4, verdict item #1 — the flagship's two-phase
 checkpoint scheme from dataguards_ray/io.py applied to dedup; round 5
-extends it to embedding and semdedup, so EVERY pairwise mode is
-resumable): for exact/minhash/embedding/semdedup over non-null ids the
-job writes
+extends it to simhash/embedding/semdedup AND the span family, so EVERY
+mode is resumable): over non-null ids the job writes
 
   out_dir/
     part-{pid:05d}.parquet          survivors of partition pid, sorted
@@ -409,17 +408,51 @@ def run_dedup_job(
     # single-shot paths.
     # ------------------------------------------------------------------
     resumable = (mode in ("exact", "minhash", "simhash", "embedding",
-                          "semdedup")
+                          "semdedup", "span", "line", "substring")
                  and _null_id_count() == 0
-                 # empty vector corpora take the single-shot branch:
-                 # there is nothing to checkpoint and no centroids to
-                 # train (exact/minhash handle empty in-phase, tested)
-                 and not (mode in ("embedding", "semdedup") and n_in == 0))
+                 # empty vector/span corpora take the single-shot
+                 # branch: there is nothing to checkpoint (and no
+                 # centroids to train); exact/minhash handle empty
+                 # in-phase, tested
+                 and not (mode in ("embedding", "semdedup", "span", "line",
+                                   "substring") and n_in == 0))
+
+    span_losers_fn = span_surgery_fn = None
+    if mode in ("span", "line", "substring") and resumable:
+        from dataguards_ray.spandedup import (apply_span_surgery,
+                                              line_segments,
+                                              sentence_segments,
+                                              span_loser_starts,
+                                              token_segments)
+
+        span_prior = None
+        if against:
+            _check_span_params(against, mode)
+            span_prior = _read_manifest(against, mode, columns=["h"])
+        seg = {
+            "span": dict(n_sent=3, segmenter=sentence_segments,
+                         min_norm_chars=1),
+            "line": dict(n_sent=1, segmenter=line_segments,
+                         min_norm_chars=15),
+            "substring": dict(n_sent=window, segmenter=token_segments,
+                              min_norm_chars=1, occ_bytes_factor=20.0),
+        }[mode]
+
+        def span_losers_fn(thin, _seg=seg, _prior=span_prior):
+            return span_loser_starts(
+                thin, id_col=id_col, text_col=text_col,
+                streaming_discovery=streaming_discovery,
+                prior_hashes=_prior, **_seg)
+
+        def span_surgery_fn(docs_part, losers_part, _seg=seg):
+            return apply_span_surgery(
+                docs_part, losers_part, id_col=id_col, text_col=text_col,
+                n_sent=_seg["n_sent"], segmenter=_seg["segmenter"])
     if resume and not resumable:
         raise ValueError(
-            f"--resume needs mode exact/minhash/simhash/embedding/semdedup "
-            f"with non-null {id_col!r} ids (the partitioned checkpoint "
-            "layout keys on the id)")
+            f"--resume needs non-null {id_col!r} ids (the partitioned "
+            "checkpoint layout keys on the id) and a non-empty corpus "
+            "for the vector/span modes")
 
     out = None  # set by the non-resumable branches
     sem_state: dict = {}  # semdedup: {"params", "centroids"} for the manifest
@@ -435,10 +468,12 @@ def run_dedup_job(
             pair_loser_ids=pair_loser_ids,
             payload=payload,
             vec_col=vec_col, keep=keep, n_clusters=n_clusters,
-            max_hamming=max_hamming,
+            max_hamming=max_hamming, window=window,
             check_sem_params=_check_sem_params,
             read_sem_centroids=_read_sem_centroids,
             sem_state=sem_state,
+            span_losers_fn=span_losers_fn,
+            span_surgery_fn=span_surgery_fn,
         )
     elif mode == "exact":
         if against:
@@ -771,9 +806,12 @@ def _run_resumable_phase(
     keep: str = "closest",
     n_clusters: "int | None" = None,
     max_hamming: int = 3,
+    window: int = 50,
     check_sem_params=None,
     read_sem_centroids=None,
     sem_state: "dict | None" = None,
+    span_losers_fn=None,
+    span_surgery_fn=None,
 ) -> int:
     """Two-phase resumable exact/minhash/embedding/semdedup dedup
     (module docstring).  Returns the total survivor row count across
@@ -811,6 +849,8 @@ def _run_resumable_phase(
         params["vec_col"] = vec_col
     if mode == "simhash":
         params["max_hamming"] = max_hamming
+    if mode == "substring":
+        params["window"] = window
     if mode == "semdedup":
         params["keep"] = keep
         # the loser set AND the centroid checkpoint depend on the
@@ -926,6 +966,13 @@ def _run_resumable_phase(
             losers_ds = parts[0]
             for p in parts[1:]:
                 losers_ds = losers_ds.union(p)
+        elif mode in ("span", "line", "substring"):
+            # loser (id, start) rows — a deterministic pure function of
+            # the FULL input corpus (discovery must always see every
+            # doc; only the surgery+write phase skips finished
+            # partitions).  The checkpoint parquet doubles as the
+            # spill for corpus-scale loser volumes.
+            losers_ds = span_losers_fn(thin)
         elif mode == "simhash":
             # SimHash near-dup discovery; with --against, prior docs'
             # block buckets derive from the manifest's STORED hashes —
@@ -1032,7 +1079,11 @@ def _run_resumable_phase(
     # ---- phase 2: partitioned survivor write (skips done pids) ------
     if len(done_manifests) == P:  # nothing left (killed after last write)
         return sum(m["kept_rows"] for m in done_manifests.values())
-    full = ray.data.read_parquet(input_path)
+    span_family = mode in ("span", "line", "substring")
+    # span output is exactly (id, text, n_spans_removed) — never haul
+    # the other columns through the surgery shuffle
+    full = (ray.data.read_parquet(input_path, columns=needed)
+            if span_family else ray.data.read_parquet(input_path))
 
     def add_part(b: pa.Table) -> pa.Table:
         # the ONE shared partition function (vectorized + consistent
@@ -1051,7 +1102,21 @@ def _run_resumable_phase(
         full = full.map_batches(skip_done, batch_format="pyarrow")
     if mode in ("minhash", "simhash", "embedding", "semdedup") and nid_needed:
         full = full.map_batches(add_nid, batch_format="pyarrow")
-    if losers is not None:
+    if span_family:
+        # surgery instead of an anti-join: every doc survives with its
+        # losing spans cut out.  Row-local per doc given the loser rows
+        # (loser rows of already-finished docs match nothing), so
+        # running it on the skip_done-filtered corpus is exact; the
+        # partition key is a pure function of the id, recomputed after
+        # the surgery rebuilds the schema.
+        if losers is None:
+            id_type = pa.schema(full.schema().base_schema).field(id_col).type
+            losers = ray.data.from_arrow(pa.table({
+                id_col: pa.array([], type=id_type),
+                "start": pa.array([], type=pa.int64())}))
+        surv = span_surgery_fn(full, losers).map_batches(
+            add_part, batch_format="pyarrow")
+    elif losers is not None:
         surv = anti_join(full, losers, pair_id, right_key="loser")
     else:
         surv = full

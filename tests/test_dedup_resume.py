@@ -193,6 +193,69 @@ def test_vector_dedup_job_kill_and_resume(tmp_path, ray_session, mode):
     assert res_c["kept_rows"] == 0  # every doc duplicates the prior run
 
 
+@pytest.mark.parametrize("mode", ["span", "substring"])
+def test_span_dedup_job_kill_and_resume(tmp_path, ray_session, mode):
+    """Round 5: the span family rides the two-phase layout too — the
+    loser (id, start) discovery is checkpointed, surgery+write skips
+    finished partitions, and the resumed output is byte-equal to the
+    single-shot run."""
+    import ray.data
+
+    from jobs.dedup_job import run_dedup_job
+
+    sents = [f"Sentence number {i} about topic {i % 7} hereby ends. "
+             for i in range(40)]
+    rows = []
+    for i in range(60):
+        # every 4th doc repeats doc (i-4)'s middle — duplicated spans
+        body = "".join(sents[(i * 3 + j) % 40] for j in range(12))
+        if i % 4 == 0 and i:
+            body += "".join(sents[((i - 4) * 3 + j) % 40] for j in range(6))
+        rows.append({"doc_id": f"u-{i:04d}", "text": body})
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "p.parquet"))
+
+    kw = dict(mode=mode, partitions=8)
+    if mode == "substring":
+        kw["window"] = 10
+
+    out_s = str(tmp_path / "single")
+    res_s = run_dedup_job(str(src), out_s, **kw)
+    assert res_s["kept_rows"] == 60            # span modes keep every doc
+    assert res_s["spans_removed"] > 0          # surgery really happened
+    assert "phase_walls" in res_s              # took the resumable path
+
+    out_k = str(tmp_path / "killed")
+    run_dedup_job(str(src), out_k, **kw)
+    assert _kill_partitions(out_k) >= 2
+    res_r = run_dedup_job(str(src), out_k, resume=True, **kw)
+    assert res_r["spans_removed"] == res_s["spans_removed"]
+    for f in sorted(os.listdir(out_s)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            with open(os.path.join(out_s, f), "rb") as a, \
+                    open(os.path.join(out_k, f), "rb") as b:
+                assert a.read() == b.read(), f
+
+    # window geometry is pinned in the checkpoint for substring
+    if mode == "substring":
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_dedup_job(str(src), out_k, mode="substring", window=25,
+                          partitions=8, resume=True)
+
+    # the library single-shot path (null-id fallback equivalent) gives
+    # the same texts: resumable ≡ library
+    from dataguards_ray.spandedup import span_dedup, substring_dedup
+
+    lib = (span_dedup(ray.data.read_parquet(str(src)))
+           if mode == "span" else
+           substring_dedup(ray.data.read_parquet(str(src)), window=10))
+    lib_rows = {r["doc_id"]: r["text"] for r in lib.take_all()}
+    got_rows = {r["doc_id"]: r["text"]
+                for r in ray.data.read_parquet(out_s).take_all()}
+    assert got_rows == lib_rows
+
+
 def test_dedup_fully_dropped_partitions_marked_done(tmp_path, ray_session):
     """A partition whose rows were ALL dedup losers writes a zero-row
     manifest (output_file None), so a completed run's resume skips it
