@@ -16,7 +16,7 @@ def main() -> int:
             "usage: python -m dataguards_ray filter INPUT OUT_DIR [--num-parts N] [--num-cpus N]\n"
             "       python -m dataguards_ray resume INPUT OUT_DIR [...]\n"
             "       python -m dataguards_ray stats OUT_DIR [--top-domains K]\n"
-            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|span|line|substring|embedding] [--against PRIOR_OUT] [...]\n"
+            "       python -m dataguards_ray dedup INPUT OUT_DIR [--mode exact|minhash|simhash|span|line|substring|embedding|semdedup] [--against PRIOR_OUT] [--resume] [...]\n"
             "       python -m dataguards_ray check INPUT --rules RULES.json [--block-domains FILE] [--out DIR] [--violations-only]\n"
             "       python -m dataguards_ray sample INPUT OUT_DIR [--mode hash|budget|stratified|mixture|dsir] [...]\n"
             "       python -m dataguards_ray decontaminate INPUT OUT_DIR --bench BENCH.parquet [--ngram 13] [--drop]"
