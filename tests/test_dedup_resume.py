@@ -255,6 +255,28 @@ def test_span_dedup_job_kill_and_resume(tmp_path, ray_session, mode):
                 for r in ray.data.read_parquet(out_s).take_all()}
     assert got_rows == lib_rows
 
+    # incremental × resume: kill-and-resume an --against run too
+    src_b = tmp_path / "in_b"
+    src_b.mkdir()
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": f"w-{i:04d}",
+          "text": rows[i]["text"] + " Fresh trailing sentence here. "}
+         for i in range(20)]), str(src_b / "p.parquet"))
+    kw_b = dict(against=out_s, **kw)
+    out_bs = str(tmp_path / "b_single")
+    res_bs = run_dedup_job(str(src_b), out_bs, **kw_b)
+    assert res_bs["spans_removed"] > 0  # prior spans really lose
+    out_bk = str(tmp_path / "b_killed")
+    run_dedup_job(str(src_b), out_bk, **kw_b)
+    _kill_partitions(out_bk)
+    res_br = run_dedup_job(str(src_b), out_bk, resume=True, **kw_b)
+    assert res_br["spans_removed"] == res_bs["spans_removed"]
+    for f in sorted(os.listdir(out_bs)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            with open(os.path.join(out_bs, f), "rb") as a, \
+                    open(os.path.join(out_bk, f), "rb") as b:
+                assert a.read() == b.read(), f
+
 
 def test_dedup_fully_dropped_partitions_marked_done(tmp_path, ray_session):
     """A partition whose rows were ALL dedup losers writes a zero-row
